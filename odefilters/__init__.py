@@ -1,0 +1,50 @@
+"""odefilters — a TPU-native probabilistic ODE solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design of ProbNumDiffEq.jl (a.k.a.
+ODEFilters.jl, reference at /root/reference): EK0/EK1 Gaussian ODE filters
+with square-root (QR-based) Kalman filtering/smoothing, IBM priors with
+preconditioning, five diffusion-calibration models, Taylor-mode exact
+initialization, an adaptive PI-controlled driver, dense posterior output,
+posterior sampling, IEKS — plus what the reference never had: `vmap`
+ensembles, device-mesh sharding, and time-parallel associative-scan
+filtering/smoothing.
+
+Quick start::
+
+    import odefilters as odf
+    prob = odf.models.fitzhugh_nagumo()
+    sol = odf.solve(prob, odf.EK1(order=3), abstol=1e-6, reltol=1e-3)
+    sol.u            # posterior means at the solver grid
+    sol(2.5)         # dense output: Gaussian at t=2.5
+"""
+
+from odefilters.algorithms import EK0, EK1, IEKS, AbstractEK
+from odefilters.linalg import Gaussian
+from odefilters.problem import ODEProblem, ode_problem, remake
+from odefilters.solution import MeanProbODESolution, ProbODESolution, evaluate
+from odefilters.solve import solve
+from odefilters.fixedgrid import solve_fixed
+from odefilters import models
+from odefilters import priors
+from odefilters import taylor
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EK0",
+    "EK1",
+    "IEKS",
+    "AbstractEK",
+    "Gaussian",
+    "ODEProblem",
+    "ode_problem",
+    "remake",
+    "ProbODESolution",
+    "MeanProbODESolution",
+    "evaluate",
+    "solve",
+    "solve_fixed",
+    "models",
+    "priors",
+    "taylor",
+]

@@ -1,0 +1,128 @@
+"""Solver algorithm configurations: EK0, EK1, IEKS.
+
+Equivalent of `/root/reference/src/algorithms.jl` and the step-controller
+trait constants of `/root/reference/src/alg_utils.jl`. These are frozen,
+hashable dataclasses used as *static* jit arguments — each configuration
+compiles to its own specialized XLA program.
+
+References (as cited by the reference's docstrings, `algorithms.jl:16-22`):
+- N. Bosch, P. Hennig, F. Tronarp: "Calibrated Adaptive Probabilistic ODE
+  Solvers" (2021)
+- F. Tronarp, H. Kersting, S. Sarkka, P. Hennig: "Probabilistic Solutions to
+  ODEs as Non-Linear Bayesian Filtering" (2019)
+- M. Schober, S. Sarkka, P. Hennig: "A Probabilistic Model for the Numerical
+  Solution of Initial Value Problems" (2018)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+
+DIFFUSION_MODELS = ("dynamic", "dynamicMV", "fixed", "fixedMV", "fixedMAP")
+STATIC_DIFFUSIONS = ("fixed", "fixedMV", "fixedMAP")
+DYNAMIC_DIFFUSIONS = ("dynamic", "dynamicMV")
+MV_DIFFUSIONS = ("dynamicMV", "fixedMV")
+
+
+@dataclasses.dataclass(frozen=True)
+class AbstractEK:
+    """Shared config of the Gaussian ODE filters (`algorithms.jl:4-5`)."""
+
+    prior: str = "ibm"
+    order: int = 3
+    diffusionmodel: str = "dynamic"
+    smooth: bool = True
+
+    def __post_init__(self):
+        if self.prior != "ibm":
+            raise ValueError("Only the ibm prior is implemented so far")
+        if self.diffusionmodel not in DIFFUSION_MODELS:
+            raise ValueError(
+                f"diffusionmodel must be one of {DIFFUSION_MODELS}, "
+                f"got {self.diffusionmodel!r}"
+            )
+        if self.order < 1:
+            raise ValueError("order must be >= 1")
+
+    # --- traits (reference: src/alg_utils.jl, src/diffusions.jl:4-7) ---
+    @property
+    def alg_order(self) -> int:
+        """Convergence order q+1 (`alg_utils.jl:15`)."""
+        return self.order + 1
+
+    @property
+    def beta1(self) -> float:
+        """PI controller exponent, 7/(10(q+1)) (`alg_utils.jl:24`)."""
+        return float(Fraction(7, 10 * (self.order + 1)))
+
+    @property
+    def beta2(self) -> float:
+        """PI controller exponent, 2/(5(q+1)) (`alg_utils.jl:23`)."""
+        return float(Fraction(2, 5 * (self.order + 1)))
+
+    @property
+    def is_dynamic_diffusion(self) -> bool:
+        return self.diffusionmodel in DYNAMIC_DIFFUSIONS
+
+    @property
+    def is_static_diffusion(self) -> bool:
+        return self.diffusionmodel in STATIC_DIFFUSIONS
+
+    @property
+    def is_mv_diffusion(self) -> bool:
+        return self.diffusionmodel in MV_DIFFUSIONS
+
+    @property
+    def is_ek1(self) -> bool:
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class EK0(AbstractEK):
+    """Gaussian ODE filtering with zeroth-order linearization (H = E1 P^-1).
+
+    Reference: `/root/reference/src/algorithms.jl:23-28`. The measurement
+    model ignores the Jacobian of the vector field; covariances stay
+    Kronecker-structured, enabling the O(q^3)-per-step fast path.
+    """
+
+
+@dataclasses.dataclass(frozen=True)
+class EK1(AbstractEK):
+    """Gaussian ODE filtering with first-order (extended Kalman) linearization.
+
+    Reference: `/root/reference/src/algorithms.jl:46-51`. The measurement
+    Jacobian is ``H = (E1 - J_f E0) P^-1`` with ``J_f`` from the analytic
+    ``prob.jac`` or ``jax.jacfwd`` (`perform_step.jl:111-127`).
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.is_mv_diffusion:
+            # The MV diffusions assert EK0 structure
+            # (src/diffusions.jl:96-101,126-136).
+            raise ValueError("MV diffusion models require the EK0 algorithm")
+
+    @property
+    def is_ek1(self) -> bool:
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
+class IEKS(EK1):
+    """Iterated extended Kalman smoothing config.
+
+    Reference: `/root/reference/src/ieks.jl:2-40`. Use with
+    :func:`odefilters.ieks.solve_ieks`; each outer iteration re-solves with
+    the EK1 linearized at the previous smoothed posterior mean
+    (`perform_step.jl:111-113`). ``smooth`` is forced True.
+    """
+
+    order: int = 1
+    smooth: bool = True
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not self.smooth:
+            raise ValueError("IEKS requires smooth=True")

@@ -1,0 +1,114 @@
+"""Fixed-grid solver: one `lax.scan` over the time grid.
+
+This is the solver shape the reference cannot express (its loop lives in
+OrdinaryDiffEq): with a static grid the whole solve is a single fused scan,
+reverse-mode differentiable (`jax.grad` through the solve), trivially
+`vmap`-able over ensembles, and the basis for the time-parallel
+associative-scan backend in ``odefilters/parallel/``.
+
+Equivalent reference behavior: ``solve(prob, alg, adaptive=false, dt=h)``
+(`/root/reference/test/correctness.jl:33-35`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from odefilters.algorithms import AbstractEK
+from odefilters.linalg import Gaussian
+from odefilters.problem import ODEProblem
+from odefilters.solution import RETCODE_SUCCESS, DEStats, ProbODESolution
+from odefilters.step import attempt_step, make_model
+from odefilters.taylor import initial_state
+
+
+@partial(jax.jit, static_argnames=("alg", "n_steps", "taylor_method", "calibrate_errors"))
+def _solve_fixed_jit(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    ts: jax.Array,
+    abstol,
+    reltol,
+    n_steps: int,
+    taylor_method: str,
+    calibrate_errors: bool,
+):
+    from odefilters.solve import _postprocess  # local import to avoid cycle
+
+    d = prob.d
+    dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
+    model = make_model(alg, prob.f, prob.jac, d, dtype)
+    x0 = initial_state(
+        prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
+        method=taylor_method,
+    )
+    from odefilters import diffusions as diff
+
+    sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
+
+    def body(carry, inp):
+        x, sigma2, ll, k = carry
+        t, dt = inp
+        res = attempt_step(
+            model, x, x.mean[:d], t, dt, sigma2, k, abstol, reltol, prob.p
+        )
+        ll = ll + res.log_likelihood
+        out = (res.x_filt.mean, res.x_filt.chol, res.u_filt, res.sigma2_global)
+        return (res.x_filt, res.sigma2_global, ll, k + 1), out
+
+    dts = ts[1:] - ts[:-1]
+    init = (x0, sigma2_0, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
+    (x_last, sigma2_last, ll, _), (ms, Ls, us, sgs) = jax.lax.scan(
+        body, init, (ts[:-1], dts)
+    )
+
+    x_filt = Gaussian(
+        jnp.concatenate([x0.mean[None], ms], axis=0),
+        jnp.concatenate([x0.chol[None], Ls], axis=0),
+    )
+    diff_buf = jnp.concatenate(
+        [jnp.ones_like(sigma2_0)[None], sgs], axis=0
+    )
+    n = jnp.asarray(n_steps, jnp.int32)
+    stats = DEStats(
+        nf=n, njacs=n if alg.is_ek1 else jnp.zeros((), jnp.int32),
+        naccept=n, nreject=jnp.zeros((), jnp.int32),
+    )
+    retcode = jnp.asarray(RETCODE_SUCCESS, jnp.int32)
+    return _postprocess(
+        model, prob, ts, x_filt, diff_buf, n, ll, sigma2_last, stats, retcode
+    )
+
+
+def solve_fixed(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    *,
+    dt: Optional[float] = None,
+    ts: Optional[jax.Array] = None,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    taylor_method: str = "jvp",
+) -> ProbODESolution:
+    """Fixed-grid solve: supply either a step size ``dt`` or a grid ``ts``.
+
+    The grid must start at ``tspan[0]`` and end at ``tspan[1]``.
+    """
+    t0, t1 = prob.tspan
+    if ts is None:
+        if dt is None:
+            raise ValueError("Fixed timestep methods require a choice of dt")
+        n = int(round(float(t1 - t0) / float(dt)))
+        n = max(n, 1)
+        ts = jnp.linspace(t0, t1, n + 1)
+    else:
+        ts = jnp.asarray(ts)
+    dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
+    ts = ts.astype(dtype)
+    return _solve_fixed_jit(
+        prob, alg, ts, abstol, reltol, ts.shape[0] - 1, taylor_method, True
+    )

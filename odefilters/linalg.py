@@ -1,0 +1,184 @@
+"""Square-root linear algebra substrate.
+
+TPU-native replacement for the reference's L0 layer
+(`/root/reference/src/squarerootmatrix.jl:9-42`, Gaussian glue in
+`/root/reference/src/ProbNumDiffEq.jl:34-66`).
+
+Design differences from the reference (deliberate, TPU-first):
+
+- Covariances are carried *only* as a factor ``L`` with ``Sigma = L @ L.T``.
+  The reference eagerly materializes the dense matrix next to the factor
+  (`squarerootmatrix.jl:16`, TODO at `:19` admits it should be lazy); we never do.
+- All re-factorizations go through a single always-QR path
+  (:func:`tril_factor`) instead of the reference's "try Cholesky, fall back
+  to QR" dance (`filtering.jl:33-48`): branch-free code is what XLA wants,
+  and a Householder QR of a tall stacked factor is batched-friendly on TPU.
+- ``Gaussian`` is a registered JAX pytree so it flows through ``jit`` /
+  ``vmap`` / ``lax.scan`` / ``grad`` unchanged.
+
+Factors are *not* required to be triangular: any ``L`` with ``Sigma = L L^T``
+is a valid carrier (this mirrors the reference, whose Joseph-form update also
+produces non-triangular square roots, `filtering.jl:79-91`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Gaussian:
+    """A Gaussian ``N(mean, chol @ chol.T)`` carried in square-root form.
+
+    Equivalent of the reference's ``SRGaussian`` alias
+    (`/root/reference/src/ProbNumDiffEq.jl:47-48`). ``chol`` is any square
+    root of the covariance, not necessarily triangular. Batch dimensions are
+    allowed on the left: ``mean: (..., D)``, ``chol: (..., D, D)``.
+    """
+
+    mean: jax.Array
+    chol: jax.Array
+
+    @property
+    def dim(self) -> int:
+        return self.mean.shape[-1]
+
+    @property
+    def cov(self) -> jax.Array:
+        """Dense covariance (materialized on demand, never stored)."""
+        return self.chol @ _T(self.chol)
+
+    @property
+    def std(self) -> jax.Array:
+        """Marginal standard deviations, sqrt(diag(Sigma))."""
+        return jnp.sqrt(jnp.sum(self.chol * self.chol, axis=-1))
+
+    @property
+    def var(self) -> jax.Array:
+        return jnp.sum(self.chol * self.chol, axis=-1)
+
+    def __matmul__(self, other: Any):  # pragma: no cover - convenience only
+        raise TypeError("use linalg.pushforward(M, g) for M * Gaussian")
+
+
+def _T(x: jax.Array) -> jax.Array:
+    return jnp.swapaxes(x, -1, -2)
+
+
+def pushforward(M: jax.Array, g: Gaussian) -> Gaussian:
+    """Linear pushforward ``M * N(m, LL^T) = N(Mm, (ML)(ML)^T)``.
+
+    Reference: ``Base.:*(M, g::Gaussian)`` at
+    `/root/reference/src/ProbNumDiffEq.jl:58`.
+    """
+    return Gaussian(mean=jnp.einsum("...ij,...j->...i", M, g.mean), chol=M @ g.chol)
+
+
+def scale_rows(p: jax.Array, g: Gaussian) -> Gaussian:
+    """Diagonal pushforward ``diag(p) * g`` without materializing diag(p).
+
+    Used for the preconditioner coordinate changes
+    (`/root/reference/src/perform_step.jl:36-38,72-75`).
+    """
+    return Gaussian(mean=p * g.mean, chol=p[..., :, None] * g.chol)
+
+
+def X_A_Xt(A_chol: jax.Array, X: jax.Array) -> jax.Array:
+    """Square-root congruence transform: factor of ``X (LL^T) X^T``.
+
+    Reference: `/root/reference/src/squarerootmatrix.jl:38-39` — the result
+    is simply ``X @ L``, kept in factor form.
+    """
+    return X @ A_chol
+
+
+def tril_factor(stacked_T: jax.Array) -> jax.Array:
+    """Re-triangularize a wide factor via QR.
+
+    Given ``M`` with ``Sigma = M @ M.T`` (``M``: ``(..., D, K)``, ``K >= D``),
+    pass in ``M.T`` (shape ``(..., K, D)``) and get back a lower-triangular
+    ``L`` (``(..., D, D)``) with ``L @ L.T = Sigma``.
+
+    This is the single, branch-free path replacing the reference's
+    Cholesky-then-QR fallback (`/root/reference/src/filtering.jl:33-48`).
+    The diagonal sign is fixed to be non-negative so the factor is
+    deterministic (helps bitwise test reproducibility across backends).
+    """
+    R = jnp.linalg.qr(stacked_T, mode="r")
+    L = _T(R)
+    sign = jnp.sign(jnp.diagonal(L, axis1=-2, axis2=-1))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return L * sign[..., None, :]
+
+
+def qr_stack2(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Factor of ``A A^T + B B^T`` via QR of the stacked transpose."""
+    return tril_factor(jnp.concatenate([_T(A), _T(B)], axis=-2))
+
+
+def qr_stack3(A: jax.Array, B: jax.Array, C: jax.Array) -> jax.Array:
+    """Factor of ``A A^T + B B^T + C C^T`` (3-block QR, cf. the smoother's
+    stacked factor at `/root/reference/src/smoothing.jl:53-56`)."""
+    return tril_factor(jnp.concatenate([_T(A), _T(B), _T(C)], axis=-2))
+
+
+def cholesky_psd(mat: jax.Array) -> jax.Array:
+    """Cholesky with a tiny diagonal guard for PSD (rank-deficient) inputs."""
+    eps = jnp.finfo(mat.dtype).eps
+    d = mat.shape[-1]
+    jitter = eps * jnp.trace(mat, axis1=-2, axis2=-1)[..., None] / d
+    return jnp.linalg.cholesky(mat + jitter[..., None] * jnp.eye(d, dtype=mat.dtype))
+
+
+def logdet_from_chol(L: jax.Array) -> jax.Array:
+    """log|Sigma| from a *triangular* factor L (Sigma = LL^T)."""
+    return 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1
+    )
+
+
+def gaussian_logpdf_zero(z: jax.Array, S_chol: jax.Array) -> jax.Array:
+    """``log N(0; z, S)`` with ``S = S_chol @ S_chol.T`` (triangular factor).
+
+    Reference: per-step likelihood `logpdf(measurement, zeros(d))` at
+    `/root/reference/src/perform_step.jl:66`.
+    """
+    d = z.shape[-1]
+    w = jax.scipy.linalg.solve_triangular(S_chol, z[..., None], lower=True)[..., 0]
+    maha = jnp.sum(w * w, axis=-1)
+    logdet = logdet_from_chol(S_chol)
+    return -0.5 * (maha + logdet + d * jnp.log(2.0 * jnp.pi))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _sample(mean: jax.Array, chol: jax.Array, eps: jax.Array, n: int) -> jax.Array:
+    del n
+    return mean[..., None] + chol @ eps
+
+
+def sample_gaussian(key: jax.Array, g: Gaussian, n: int = 1) -> jax.Array:
+    """Draw ``n`` samples: ``m + L @ randn(D, n)``; returns ``(..., D, n)``.
+
+    Reference: ``_rand`` at `/root/reference/src/solution_sampling.jl:6-12`
+    (deterministic in directions where the factor is zero).
+    """
+    eps = jax.random.normal(
+        key, g.chol.shape[:-1] + (n,), dtype=g.mean.dtype
+    )
+    return g.mean[..., None] + g.chol @ eps
+
+
+def assert_nonnegative_diagonal(chol: jax.Array) -> jax.Array:
+    """Debug guard mirroring `/root/reference/src/numerics_tricks.jl:1-6`.
+
+    Returns the variance diagonal; wrap in `jax.debug` checks when needed —
+    in square-root form diag(LL^T) is a sum of squares, so this is a no-op
+    numerically but kept for API parity with the reference's sanitizer.
+    """
+    return jnp.sum(chol * chol, axis=-1)

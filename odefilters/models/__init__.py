@@ -1,0 +1,21 @@
+from odefilters.models.library import (
+    brusselator_2d,
+    exponential_decay,
+    fitzhugh_nagumo,
+    linear_ode,
+    logistic,
+    lotka_volterra,
+    seir,
+    van_der_pol,
+)
+
+__all__ = [
+    "brusselator_2d",
+    "exponential_decay",
+    "fitzhugh_nagumo",
+    "linear_ode",
+    "logistic",
+    "lotka_volterra",
+    "seir",
+    "van_der_pol",
+]

@@ -1,0 +1,151 @@
+"""Canonical test/benchmark problems.
+
+The reference pulls these from DiffEqProblemLibrary.jl (see
+`/root/reference/test/correctness.jl:10-13`, `test/diffusions.jl`); here they
+are first-class, with analytic solutions/Jacobians where available. All
+vector fields are pure JAX functions with the ``f(u, p, t)`` convention.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from odefilters.problem import ODEProblem, ode_problem
+
+
+def fitzhugh_nagumo(
+    u0=(-1.0, 1.0), p=(0.7, 0.8, 1 / 12.5, 0.5), tspan=(0.0, 20.0)
+) -> ODEProblem:
+    """FitzHugh-Nagumo neuron model (README example of the reference,
+    `/root/reference/README.md:32-58`; `examples/fitzhughnagumo_animation.jl`)."""
+
+    def f(u, p, t):
+        a, b, tinv, izero = p
+        v, w = u[0], u[1]
+        dv = v - v**3 / 3 - w + izero
+        dw = tinv * (v + a - b * w)
+        return jnp.stack([dv, dw])
+
+    def jac(u, p, t):
+        a, b, tinv, izero = p
+        v = u[0]
+        return jnp.array([[1 - v**2, -1.0], [tinv, -tinv * b]])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
+
+
+def lotka_volterra(
+    u0=(1.0, 1.0), p=(1.5, 1.0, 3.0, 1.0), tspan=(0.0, 7.0)
+) -> ODEProblem:
+    """Lotka-Volterra predator-prey (`prob_ode_lotkavoltera` in the
+    reference's test deps)."""
+
+    def f(u, p, t):
+        a, b, c, d = p
+        x, y = u[0], u[1]
+        return jnp.stack([a * x - b * x * y, -c * y + d * x * y])
+
+    def jac(u, p, t):
+        a, b, c, d = p
+        x, y = u[0], u[1]
+        return jnp.array([[a - b * y, -b * x], [d * y, -c + d * x]])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
+
+
+def logistic(u0=(0.01,), p=(3.0,), tspan=(0.0, 3.0)) -> ODEProblem:
+    """Scalar logistic equation with analytic solution — the convergence
+    test problem (`/root/reference/test/convergence.jl:7-14`)."""
+
+    def f(u, p, t):
+        return p[0] * u * (1 - u)
+
+    def analytic(u0, p, t):
+        return u0 * jnp.exp(p[0] * t) / (1 - u0 + u0 * jnp.exp(p[0] * t))
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), analytic=analytic)
+
+
+def linear_ode(u0=(0.5,), p=(1.01,), tspan=(0.0, 1.0)) -> ODEProblem:
+    """`prob_ode_linear`: u' = p u with analytic solution."""
+
+    def f(u, p, t):
+        return p * u
+
+    def analytic(u0, p, t):
+        return u0 * jnp.exp(p * t)
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), analytic=analytic)
+
+
+def exponential_decay(u0=(1.0, 2.0), p=(-0.9,), tspan=(0.0, 2.0)) -> ODEProblem:
+    """Linear vector ODE u' = a u (state-init exactness tests,
+    `/root/reference/test/state_init.jl:9-28`)."""
+
+    def f(u, p, t):
+        return p[0] * u
+
+    def analytic(u0, p, t):
+        return u0 * jnp.exp(p[0] * t)
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), analytic=analytic)
+
+
+def van_der_pol(u0=(2.0, 0.0), mu=1e5, tspan=(0.0, 2.0)) -> ODEProblem:
+    """Stiff Van der Pol oscillator (`/root/reference/test/specific_problems.jl:44-47`;
+    BASELINE config 3 uses mu=1e5 with EK1(5)+smoothing)."""
+
+    def f(u, p, t):
+        x, v = u[0], u[1]
+        return jnp.stack([v, p * ((1 - x**2) * v - x)])
+
+    def jac(u, p, t):
+        x, v = u[0], u[1]
+        return jnp.array([[0.0, 1.0], [p * (-2 * x * v - 1.0), p * (1 - x**2)]])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(mu), jac=jac)
+
+
+def brusselator_2d(N: int = 16, tspan=(0.0, 1.0), alpha: float = 0.1) -> ODEProblem:
+    """2D Brusselator reaction-diffusion, semi-discretized on an N x N
+    periodic grid -> d = 2 N^2 states (BASELINE config 4: ~1e4 states with
+    EK0 + Kronecker covariance)."""
+
+    A_, B_ = 3.4, 1.0
+
+    def f(u, p, t):
+        a = u[: N * N].reshape(N, N)
+        b = u[N * N :].reshape(N, N)
+
+        def lap(x):
+            return (
+                jnp.roll(x, 1, 0) + jnp.roll(x, -1, 0)
+                + jnp.roll(x, 1, 1) + jnp.roll(x, -1, 1)
+                - 4 * x
+            ) * (N - 1) ** 2
+
+        da = B_ + a * a * b - (A_ + 1) * a + p * lap(a)
+        db = A_ * a - a * a * b + p * lap(b)
+        return jnp.concatenate([da.ravel(), db.ravel()])
+
+    key_x = jnp.linspace(0, 1, N)
+    X, Y = jnp.meshgrid(key_x, key_x, indexing="ij")
+    a0 = 22.0 * (Y * (1 - Y)) ** 1.5
+    b0 = 27.0 * (X * (1 - X)) ** 1.5
+    u0 = jnp.concatenate([a0.ravel(), b0.ravel()])
+    return ode_problem(f, u0, tspan, p=jnp.asarray(alpha))
+
+
+def seir(
+    u0=(0.99, 0.01, 0.0, 0.0), p=(0.35, 0.2, 0.1), tspan=(0.0, 100.0)
+) -> ODEProblem:
+    """SEIR epidemic model (reference docs example, `docs/src/index.md`)."""
+
+    def f(u, p, t):
+        beta, sigma, gamma = p
+        S, E, I, R = u[0], u[1], u[2], u[3]
+        return jnp.stack(
+            [-beta * S * I, beta * S * I - sigma * E, sigma * E - gamma * I, gamma * I]
+        )
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p))

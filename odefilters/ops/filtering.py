@@ -1,0 +1,144 @@
+"""Square-root Kalman filtering/smoothing kernels (the math core, L2).
+
+TPU-native replacement for `/root/reference/src/filtering.jl` and the
+per-interval smoother step of `/root/reference/src/smoothing.jl:31-63`.
+
+Everything here is a pure function over :class:`~odefilters.linalg.Gaussian`
+square-root states; there are no in-place variants (JAX is functional) and
+no Cholesky-vs-QR branching (`filtering.jl:36-47` — we always QR, which is
+branch-free, vmap-safe and maps onto batched Householder on TPU).
+
+All kernels broadcast over leading batch dimensions and are `vmap`-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from odefilters.linalg import (
+    Gaussian,
+    cholesky_psd,
+    gaussian_logpdf_zero,
+    qr_stack2,
+    qr_stack3,
+    tril_factor,
+)
+
+
+def _T(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def predict_mean(m: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """``m_pred = A m`` (`/root/reference/src/filtering.jl:22-25`)."""
+    return jnp.einsum("...ij,...j->...i", A, m)
+
+
+def predict_chol(L: jnp.ndarray, A: jnp.ndarray, QL: jnp.ndarray) -> jnp.ndarray:
+    """Factor of ``A Sigma A^T + Q`` via one QR of the stacked factors.
+
+    Square-root covariance prediction
+    (`/root/reference/src/filtering.jl:33-48`), minus the Cholesky-first
+    fallback: QR of ``[ (A L)^T ; QL^T ]`` is the single always-valid path.
+    """
+    return qr_stack2(A @ L, QL)
+
+
+def predict(x: Gaussian, A: jnp.ndarray, QL: jnp.ndarray) -> Gaussian:
+    """Kalman PREDICT (`/root/reference/src/filtering.jl:17-60`)."""
+    return Gaussian(predict_mean(x.mean, A), predict_chol(x.chol, A, QL))
+
+
+def update(x_pred: Gaussian, z: jnp.ndarray, H: jnp.ndarray) -> tuple[Gaussian, jnp.ndarray]:
+    """Kalman UPDATE with zero measurement noise (R = 0), Joseph form.
+
+    Conditions ``x_pred`` on the observation ``0 = z`` with Jacobian ``H``:
+
+        S = H Sigma H^T,  K = Sigma H^T S^{-1}
+        m_out = m_pred - K z
+        L_out = (I - K H) L_pred      (exact Joseph square root when R = 0)
+
+    Returns ``(x_filt, S_chol)`` where ``S_chol`` is the triangular factor
+    of the innovation covariance (for likelihoods and calibration).
+    Reference: `/root/reference/src/filtering.jl:79-102` (R = 0 asserted at
+    `:81`; here R = 0 is baked into the signature).
+    """
+    L = x_pred.chol
+    Z = H @ L                                  # (..., d, D): factor of S
+    S_chol = tril_factor(_T(Z))                # (..., d, d)
+    # K = Sigma H^T S^-1 = (L Z^T) S^-1, via two triangular solves
+    LZt = L @ _T(Z)                            # (..., D, d)
+    K = cho_solve((S_chol, True), _T(LZt))     # solves S X = (L Z^T)^T
+    K = _T(K)                                  # (..., D, d)
+    m_out = x_pred.mean - jnp.einsum("...ij,...j->...i", K, z)
+    L_out = L - K @ Z                          # (I - K H) L
+    return Gaussian(m_out, L_out), S_chol
+
+
+def update_loglikelihood(z: jnp.ndarray, S_chol: jnp.ndarray) -> jnp.ndarray:
+    """``log N(z; 0, S)`` (`/root/reference/src/perform_step.jl:66`)."""
+    return gaussian_logpdf_zero(z, S_chol)
+
+
+def smoother_gain(x_curr: Gaussian, x_pred: Gaussian, A: jnp.ndarray) -> jnp.ndarray:
+    """RTS gain ``G = Sigma_n A^T (Sigma_pred)^{-1}`` in square-root form.
+
+    ``Sigma_pred`` is supplied via its factor; we form the small triangular
+    solve chain instead of the reference's dense ``inv(P_p)``
+    (`/root/reference/src/filtering.jl:124-137`).
+    """
+    Lp = tril_factor(_T(x_pred.chol))  # ensure triangular for solves
+    C = x_curr.chol @ _T(A @ x_curr.chol)      # Sigma_n A^T
+    # G = C (Lp Lp^T)^-1
+    W = solve_triangular(Lp, _T(C), lower=True)
+    G = _T(solve_triangular(_T(Lp), W, lower=False))
+    return G
+
+
+def smooth_step(
+    x_curr: Gaussian,
+    x_next_smoothed: Gaussian,
+    A: jnp.ndarray,
+    QL: jnp.ndarray,
+) -> tuple[Gaussian, jnp.ndarray]:
+    """One Rauch-Tung-Striebel smoothing step, Joseph/QR square-root form.
+
+    Exactly the math of `/root/reference/src/filtering.jl:119-154`:
+
+        x_pred = predict(x_curr)
+        G      = Sigma_n A^T Sigma_pred^{-1}
+        m_s    = m_n + G (m_{n+1}^S - m_pred)
+        L_s    = qr-factor of [ (I-GA) L_n | G QL | G L_{n+1}^S ]
+
+    Returns ``(x_smoothed, G)``.
+    """
+    x_pred = predict(x_curr, A, QL)
+    G = smoother_gain(x_curr, x_pred, A)
+    m_s = x_curr.mean + jnp.einsum(
+        "...ij,...j->...i", G, x_next_smoothed.mean - x_pred.mean
+    )
+    D = x_curr.mean.shape[-1]
+    I = jnp.eye(D, dtype=x_curr.chol.dtype)
+    L_s = qr_stack3((I - G @ A) @ x_curr.chol, G @ QL, G @ x_next_smoothed.chol)
+    return Gaussian(m_s, L_s), G
+
+
+def condition_on(x: Gaussian, H: jnp.ndarray, data: jnp.ndarray) -> Gaussian:
+    """Exact Kalman conditioning ``x | (H x = data)`` used for state init.
+
+    Reference: ``condition_on!`` at
+    `/root/reference/src/state_initialization.jl:45-53`. Unlike
+    :func:`update`, the innovation covariance here can be exactly singular
+    along already-conditioned directions, so the solve goes through a
+    guarded Cholesky (:func:`~odefilters.linalg.cholesky_psd`).
+    """
+    z = jnp.einsum("...ij,...j->...i", H, x.mean)
+    Z = H @ x.chol
+    S = Z @ _T(Z)
+    S_chol = cholesky_psd(S)
+    LZt = x.chol @ _T(Z)
+    K = _T(cho_solve((S_chol, True), _T(LZt)))
+    m_out = x.mean + jnp.einsum("...ij,...j->...i", K, data - z)
+    L_out = x.chol - K @ Z
+    return Gaussian(m_out, L_out)

@@ -1,0 +1,82 @@
+"""Problem types: the host-framework surface the reference inherits.
+
+The reference gets ``ODEProblem`` / ``ODEFunction`` from SciML's DiffEqBase
+(see SURVEY.md "Host framework"); here they are first-class. The vector
+field uses the reference's calling convention ``f(u, p, t)``
+(`/root/reference/src/perform_step.jl:106,135-138` — OOP form), so a user
+switching over keeps their signature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ODEProblem:
+    """An initial value problem ``u' = f(u, p, t), u(t0) = u0``.
+
+    Equivalent of ``DiffEqBase.ODEProblem`` as used throughout the
+    reference's tests (e.g. `/root/reference/test/correctness.jl:33-34`).
+
+    Attributes:
+        f: vector field ``f(u, p, t) -> du`` (pure, JAX-traceable). Static.
+        u0: initial value, shape ``(d,)``. (Scalar / matrix ``u0`` are
+            rejected, mirroring `/root/reference/src/caches.jl:46-49`.)
+        tspan: ``(t0, t1)``.
+        p: parameters pytree passed through to ``f`` (may be None).
+        jac: optional analytic Jacobian ``jac(u, p, t) -> (d, d)``; when
+            absent, EK1 uses ``jax.jacfwd`` (the ForwardDiff path at
+            `/root/reference/src/perform_step.jl:116-122`). Static.
+        analytic: optional closed-form solution ``analytic(u0, p, t)`` for
+            error analysis (DiffEqBase's ``has_analytic`` path,
+            `/root/reference/src/solution.jl:67-73`). Static.
+    """
+
+    u0: jax.Array
+    tspan: tuple
+    p: Any = None
+    f: Callable = dataclasses.field(metadata=dict(static=True), default=None)
+    jac: Optional[Callable] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
+    analytic: Optional[Callable] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
+
+    def __post_init__(self):
+        u0 = self.u0
+        if hasattr(u0, "ndim") and u0.ndim != 1:
+            raise ValueError(
+                "Problems which are not vector-valued (e.g. u0 is a scalar "
+                "or a matrix) are currently not supported"
+            )
+
+    @property
+    def d(self) -> int:
+        return self.u0.shape[-1]
+
+    @property
+    def dtype(self):
+        return self.u0.dtype
+
+
+def remake(prob: ODEProblem, **changes) -> ODEProblem:
+    """Functional update, like SciML's ``remake``."""
+    return dataclasses.replace(prob, **changes)
+
+
+def ode_problem(f, u0, tspan, p=None, jac=None, analytic=None) -> ODEProblem:
+    """Convenience constructor with array coercion."""
+    u0 = jnp.asarray(u0)
+    if u0.ndim == 0:
+        raise ValueError(
+            "Problems which are not vector-valued (e.g. u0 is a scalar "
+            "or a matrix) are currently not supported"
+        )
+    return ODEProblem(f=f, u0=u0, tspan=tuple(tspan), p=p, jac=jac, analytic=analytic)

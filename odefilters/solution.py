@@ -1,0 +1,216 @@
+"""Probabilistic solution object, dense output, and stats (L4).
+
+TPU-native replacement for `/root/reference/src/solution.jl`. Differences:
+
+- :class:`ProbODESolution` is an immutable pytree with *fixed-capacity*
+  buffers (JAX needs static shapes): valid entries are ``0..n_steps``, the
+  tail is padding (times padded with ``t_end``). It flows through ``jit`` /
+  ``vmap`` (an ensemble of solutions is just a batched solution).
+- Dense output (`solution.jl:139-215`) is a pure function, vectorized over
+  query times with ``vmap`` instead of a Python loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from odefilters import diffusions as diff
+from odefilters.algorithms import AbstractEK
+from odefilters.linalg import Gaussian, scale_rows
+from odefilters.ops.filtering import predict, smooth_step
+from odefilters.priors import ibm, precond_full
+from odefilters.problem import ODEProblem
+
+RETCODE_SUCCESS = 0
+RETCODE_MAXITERS = 1
+RETCODE_UNSTABLE = 2
+RETCODE_NAMES = {0: "Success", 1: "MaxIters", 2: "Unstable"}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DEStats:
+    """Solver statistics (host-provided `destats` in the reference;
+    incremented at `/root/reference/src/perform_step.jl:107,124`)."""
+
+    nf: jax.Array
+    njacs: jax.Array
+    naccept: jax.Array
+    nreject: jax.Array
+
+    @staticmethod
+    def zeros():
+        z = jnp.zeros((), jnp.int32)
+        return DEStats(z, z, z, z)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProbODESolution:
+    """Gaussian posterior over the ODE solution.
+
+    Mirrors ``ProbODESolution`` (`/root/reference/src/solution.jl:5-25`):
+    ``u``/``pu`` are the projected solution (means / Gaussians), ``x_filt``
+    and ``x_smooth`` the full filter/smoother states, ``diffusions`` the
+    per-step calibrated diffusions, plus log-likelihood, stats and retcode.
+    """
+
+    ts: jax.Array             # (N+1,) times, padded with t_end
+    n_steps: jax.Array        # () int32, number of accepted steps
+    u: jax.Array              # (N+1, d) posterior means (smoothed if smooth)
+    pu: Gaussian              # projected solution Gaussians
+    x_filt: Gaussian          # full filter states
+    x_smooth: Gaussian        # full smoother states (== x_filt if not smooth)
+    diffusions: jax.Array     # (N+1,) or (N+1, d); entry k = step k (k >= 1)
+    log_likelihood: jax.Array
+    stats: DEStats
+    retcode: jax.Array        # () int32
+    prob: ODEProblem
+    alg: AbstractEK = dataclasses.field(metadata=dict(static=True))
+
+    # ---- basic views ----
+    @property
+    def d(self) -> int:
+        return self.u.shape[-1]
+
+    @property
+    def q(self) -> int:
+        return self.alg.order
+
+    @property
+    def t(self) -> jax.Array:
+        """Alias matching the reference's ``sol.t``."""
+        return self.ts
+
+    @property
+    def retcode_name(self) -> str:
+        try:
+            return RETCODE_NAMES[int(self.retcode)]
+        except Exception:  # traced / batched
+            return "<traced>"
+
+    def __call__(self, t, smoothed: Optional[bool] = None):
+        """Dense output ``sol(t)`` -> projected Gaussian(s)
+        (`/root/reference/src/solution.jl:211-215`)."""
+        return evaluate(self, t, smoothed=smoothed)
+
+    def states(self, t, smoothed: Optional[bool] = None) -> Gaussian:
+        """Dense output over the full D-dimensional state."""
+        return evaluate_states(self, t, smoothed=smoothed)
+
+    def mean(self):
+        return MeanProbODESolution(self)
+
+
+class MeanProbODESolution:
+    """Point-estimate adapter over the posterior mean, for classic-solver
+    style analysis (`/root/reference/src/solution.jl:95-130`)."""
+
+    def __init__(self, sol: ProbODESolution):
+        self.probsol = sol
+        self.ts = sol.ts
+        self.u = sol.u
+
+    def __call__(self, t):
+        return evaluate(self.probsol, t).mean
+
+
+# --------------------------------------------------------------------------
+# Dense output: the Gaussian ODE filter posterior interpolant
+# --------------------------------------------------------------------------
+
+
+def _interp_model(sol: ProbODESolution):
+    dtype = sol.u.dtype
+    A, QL = ibm(sol.d, sol.q, dtype=dtype)
+    return A, QL
+
+
+def _gaussian_at(g: Gaussian, i) -> Gaussian:
+    return Gaussian(g.mean[i], g.chol[i])
+
+
+def evaluate_states(
+    sol: ProbODESolution, t, smoothed: Optional[bool] = None
+) -> Gaussian:
+    """Posterior over the full state X(t); `solution.jl:165-210`.
+
+    For t strictly inside interval i: precondition with ``h1 = t - t_i``,
+    predict from ``x_filt[i]``; if smoothing, also smooth against
+    ``x_smooth[i+1]`` with ``h2 = t_{i+1} - t``. Exact grid hits return the
+    stored states (`solution.jl:172-176`).
+    """
+    if smoothed is None:
+        smoothed = sol.alg.smooth
+    t_arr = jnp.asarray(t, dtype=sol.ts.dtype)
+    if t_arr.ndim == 0:
+        return _evaluate_one(sol, t_arr, smoothed)
+    return jax.vmap(lambda tv: _evaluate_one(sol, tv, smoothed))(t_arr)
+
+
+def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
+    d, q = sol.d, sol.q
+    A, QL = _interp_model(sol)
+    ts, n = sol.ts, sol.n_steps
+
+    i = jnp.clip(jnp.searchsorted(ts, tval, side="right") - 1, 0, n)
+    exact = ts[i] == tval
+    # interpolation interval index (for exact hits this is unused)
+    ii = jnp.clip(i, 0, n - 1)
+
+    diffusion = jnp.take(sol.diffusions, jnp.minimum(ii + 1, n), axis=0)
+    QLh = diff.apply_diffusion_chol(QL, diffusion, q)
+
+    # Extrapolate from x_filt[ii] over h1 = t - t_ii
+    h1 = jnp.maximum(tval - ts[ii], jnp.finfo(ts.dtype).tiny)
+    p1, p1i = precond_full(h1, d, q)
+    x_prev = _gaussian_at(sol.x_filt, ii)
+    pred = predict(scale_rows(p1, x_prev), A, QLh)
+    pred = scale_rows(p1i, pred)
+
+    if smoothed:
+        # Smooth against x_smooth[ii+1] over h2 = t_{ii+1} - t
+        h2 = jnp.maximum(ts[ii + 1] - tval, jnp.finfo(ts.dtype).tiny)
+        p2, p2i = precond_full(h2, d, q)
+        x_next = _gaussian_at(sol.x_smooth, jnp.minimum(ii + 1, n))
+        sm, _ = smooth_step(
+            scale_rows(p2, pred), scale_rows(p2, x_next), A, QLh
+        )
+        sm = scale_rows(p2i, sm)
+        inside = tval < ts[n]
+        pred = jax.tree.map(
+            lambda a, b: jnp.where(inside, a, b), sm, pred
+        )
+
+    stored = _gaussian_at(sol.x_smooth if smoothed else sol.x_filt, i)
+    return jax.tree.map(lambda a, b: jnp.where(exact, a, b), stored, pred)
+
+
+def evaluate(sol: ProbODESolution, t, smoothed: Optional[bool] = None) -> Gaussian:
+    """Projected dense output: ``SolProj * X(t)`` (`solution.jl:211-215`)."""
+    xs = evaluate_states(sol, t, smoothed=smoothed)
+    d = sol.d
+    return Gaussian(xs.mean[..., :d], xs.chol[..., :d, :])
+
+
+def errors_vs_analytic(sol: ProbODESolution) -> dict:
+    """l2/l-inf/final errors against ``prob.analytic`` when available
+    (DiffEqDevTools-style `appxtrue`, cf. `solution.jl:95-130`)."""
+    if sol.prob.analytic is None:
+        raise ValueError("problem has no analytic solution attached")
+    ref = jax.vmap(lambda t: sol.prob.analytic(sol.prob.u0, sol.prob.p, t))(sol.ts)
+    N1 = sol.ts.shape[0]
+    mask = (jnp.arange(N1) <= sol.n_steps)[:, None]
+    e = jnp.where(mask, sol.u - ref, 0.0)
+    n_valid = (sol.n_steps + 1) * sol.d
+    l2 = jnp.sqrt(jnp.sum(e**2) / n_valid)
+    linf = jnp.max(jnp.abs(e))
+    final = jnp.linalg.norm(
+        jnp.take(sol.u, sol.n_steps, axis=0)
+        - sol.prob.analytic(sol.prob.u0, sol.prob.p, jnp.take(sol.ts, sol.n_steps))
+    )
+    return {"l2": l2, "l∞": linf, "final": final}

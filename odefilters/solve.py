@@ -1,0 +1,377 @@
+"""The solver driver: adaptive PI-controlled loop, fixed-grid scan, and the
+public ``solve`` / ``init`` / ``step`` API.
+
+The reference inherits all of this from OrdinaryDiffEq.jl (SURVEY.md "Host
+framework"): ``__init``/``solve!``, the adaptive PI step-size controller
+(tuned by `/root/reference/src/alg_utils.jl:13-24`), accept/reject, saving,
+and the postamble (`/root/reference/src/integrator_utils.jl`). On TPU we own
+it: the loop is a ``lax.while_loop`` over a pure carry with fixed-capacity
+save buffers, fully ``jit``- and ``vmap``-compatible (an ensemble solve is
+``vmap(solve_impl)``; diverged members simply stop writing).
+
+Controller constants follow OrdinaryDiffEq's PI defaults: gamma = 9/10,
+qmin = 1/5, qmax = 10, qoldinit = 1e-4, with the reference's per-order
+exponents beta1 = 7/(10(q+1)), beta2 = 2/(5(q+1)) (`alg_utils.jl:23-24`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from odefilters import diffusions as diff
+from odefilters.algorithms import AbstractEK
+from odefilters.linalg import Gaussian
+from odefilters.problem import ODEProblem
+from odefilters.smoothing import smooth_all
+from odefilters.solution import (
+    RETCODE_MAXITERS,
+    RETCODE_SUCCESS,
+    RETCODE_UNSTABLE,
+    DEStats,
+    ProbODESolution,
+)
+from odefilters.step import FilterModel, attempt_step, make_model
+from odefilters.taylor import initial_state
+
+GAMMA = 0.9
+QMIN = 0.2
+QMAX = 10.0
+QOLDINIT = 1e-4
+
+
+# --------------------------------------------------------------------------
+# Initial step size (Hairer-style, OrdinaryDiffEq's ode_determine_initdt)
+# --------------------------------------------------------------------------
+
+
+def initial_dt(prob: ODEProblem, order: int, abstol, reltol):
+    f, u0, p = prob.f, prob.u0, prob.p
+    t0, t1 = prob.tspan
+    tdir_span = t1 - t0
+
+    def hnorm(v):
+        return jnp.sqrt(jnp.mean(v * v))
+
+    sc = abstol + jnp.abs(u0) * reltol
+    d0 = hnorm(u0 / sc)
+    f0 = f(u0, p, t0)
+    d1 = hnorm(f0 / sc)
+    dt0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    dt0 = jnp.minimum(dt0, tdir_span)
+    u1 = u0 + dt0 * f0
+    f1 = f(u1, p, t0 + dt0)
+    d2 = hnorm((f1 - f0) / sc) / dt0
+    maxd = jnp.maximum(d1, d2)
+    dt1 = jnp.where(
+        maxd <= 1e-15,
+        jnp.maximum(1e-6, dt0 * 1e-3),
+        (0.01 / maxd) ** (1.0 / (order + 1)),
+    )
+    return jnp.minimum(jnp.minimum(100 * dt0, dt1), tdir_span)
+
+
+# --------------------------------------------------------------------------
+# Adaptive while-loop driver
+# --------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _Carry:
+    t: jax.Array
+    dt: jax.Array
+    x: Gaussian
+    u: jax.Array
+    qold: jax.Array
+    sigma2: jax.Array          # committed global diffusion
+    ll: jax.Array
+    n: jax.Array               # accepted steps so far (== next write index - 1)
+    iters: jax.Array
+    failed: jax.Array
+    stats: DEStats
+    ts_buf: jax.Array
+    u_buf: jax.Array
+    m_buf: jax.Array
+    L_buf: jax.Array
+    diff_buf: jax.Array
+
+
+def _controller_accept(EEst, qold, dt, beta1, beta2):
+    """PI controller, accept branch (OrdinaryDiffEq stepsize_controller!)."""
+    EEst = jnp.maximum(EEst, 1e-35)
+    q11 = EEst**beta1
+    qq = q11 / (qold**beta2)
+    qq = jnp.maximum(1.0 / QMAX, jnp.minimum(1.0 / QMIN, qq / GAMMA))
+    dt_new = dt / qq
+    qold_new = jnp.maximum(EEst, QOLDINIT)
+    return dt_new, qold_new
+
+
+def _controller_reject(EEst, dt, beta1):
+    EEst = jnp.maximum(EEst, 1e-35)
+    q11 = EEst**beta1
+    return dt / jnp.minimum(1.0 / QMIN, q11 / GAMMA)
+
+
+def _adaptive_loop(
+    model: FilterModel,
+    prob: ODEProblem,
+    x0: Gaussian,
+    dt0,
+    abstol,
+    reltol,
+    max_steps: int,
+    maxiters: int,
+    dtmin,
+    linearize_u=None,
+):
+    alg, d = model.alg, model.d
+    D = model.D
+    t0, t1 = prob.tspan
+    dtype = model.dtype
+    N1 = max_steps + 1
+
+    u0 = x0.mean[:d]
+    sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
+
+    ts_buf = jnp.full((N1,), jnp.asarray(t1, dtype), dtype=dtype).at[0].set(t0)
+    u_buf = jnp.zeros((N1, d), dtype).at[0].set(u0)
+    m_buf = jnp.zeros((N1, D), dtype).at[0].set(x0.mean)
+    L_buf = jnp.zeros((N1, D, D), dtype).at[0].set(x0.chol)
+    diff_shape = (N1,) + sigma2_0.shape
+    diff_buf = jnp.ones(diff_shape, dtype)
+
+    carry0 = _Carry(
+        t=jnp.asarray(t0, dtype),
+        dt=jnp.asarray(dt0, dtype),
+        x=x0,
+        u=u0,
+        qold=jnp.asarray(QOLDINIT, dtype),
+        sigma2=sigma2_0,
+        ll=jnp.zeros((), dtype),
+        n=jnp.zeros((), jnp.int32),
+        iters=jnp.zeros((), jnp.int32),
+        failed=jnp.zeros((), bool),
+        stats=DEStats.zeros(),
+        ts_buf=ts_buf,
+        u_buf=u_buf,
+        m_buf=m_buf,
+        L_buf=L_buf,
+        diff_buf=diff_buf,
+    )
+
+    beta1, beta2 = alg.beta1, alg.beta2
+
+    def cond(c: _Carry):
+        return (
+            (c.t < t1)
+            & (~c.failed)
+            & (c.n < max_steps)
+            & (c.iters < maxiters)
+        )
+
+    def body(c: _Carry):
+        reach_end = c.t + c.dt >= t1
+        dt_eff = jnp.where(reach_end, t1 - c.t, c.dt)
+        t_new = jnp.where(reach_end, jnp.asarray(t1, dtype), c.t + dt_eff)
+
+        res = attempt_step(
+            model, c.x, c.u, c.t, dt_eff,
+            c.sigma2, c.n.astype(jnp.int32),
+            abstol, reltol, prob.p, linearize_u,
+        )
+        EEst = jnp.where(jnp.isfinite(res.err_est), res.err_est, 1e10)
+        accept = EEst <= 1.0
+
+        dt_acc, qold_acc = _controller_accept(EEst, c.qold, dt_eff, beta1, beta2)
+        dt_rej = _controller_reject(EEst, dt_eff, beta1)
+        dt_new = jnp.where(accept, dt_acc, dt_rej)
+        failed = dt_new < dtmin
+
+        # Conditional save: on reject, write to the out-of-bounds slot N1,
+        # which scatter-mode "drop" discards (no O(N) select over buffers).
+        k = c.n + 1
+        wi = jnp.where(accept, k, N1)
+        ts_buf = c.ts_buf.at[wi].set(t_new, mode="drop")
+        u_buf = c.u_buf.at[wi].set(res.u_filt, mode="drop")
+        m_buf = c.m_buf.at[wi].set(res.x_filt.mean, mode="drop")
+        L_buf = c.L_buf.at[wi].set(res.x_filt.chol, mode="drop")
+        diff_buf = c.diff_buf.at[wi].set(res.sigma2_global, mode="drop")
+
+        x_new = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), res.x_filt, c.x
+        )
+        st = c.stats
+        stats = DEStats(
+            nf=st.nf + 1,
+            njacs=st.njacs + (1 if alg.is_ek1 else 0),
+            naccept=st.naccept + accept.astype(jnp.int32),
+            nreject=st.nreject + (~accept).astype(jnp.int32),
+        )
+        return _Carry(
+            t=jnp.where(accept, t_new, c.t),
+            dt=dt_new,
+            x=x_new,
+            u=jnp.where(accept, res.u_filt, c.u),
+            qold=jnp.where(accept, qold_acc, c.qold),
+            sigma2=jnp.where(accept, res.sigma2_global, c.sigma2),
+            ll=jnp.where(accept, c.ll + res.log_likelihood, c.ll),
+            n=jnp.where(accept, k, c.n),
+            iters=c.iters + 1,
+            failed=failed & ~accept & ~reach_end | c.failed,
+            stats=stats,
+            ts_buf=ts_buf,
+            u_buf=u_buf,
+            m_buf=m_buf,
+            L_buf=L_buf,
+            diff_buf=diff_buf,
+        )
+
+    c = jax.lax.while_loop(cond, body, carry0)
+
+    retcode = jnp.where(
+        c.t >= t1,
+        RETCODE_SUCCESS,
+        jnp.where(c.failed, RETCODE_UNSTABLE, RETCODE_MAXITERS),
+    ).astype(jnp.int32)
+    return c, retcode
+
+
+# --------------------------------------------------------------------------
+# Post-processing: static recalibration + smoothing + solution assembly
+# (the reference's postamble!, /root/reference/src/integrator_utils.jl:2-30)
+# --------------------------------------------------------------------------
+
+
+def _postprocess(
+    model: FilterModel, prob, ts, x_filt: Gaussian, diffs, n, ll, sigma2_final,
+    stats, retcode,
+) -> ProbODESolution:
+    alg, d, q = model.alg, model.d, model.q
+
+    if alg.is_static_diffusion:
+        # Rescale all filter covs by the final global diffusion and backfill
+        # sol.diffusions (`integrator_utils.jl:4-18`); ll is set to NaN.
+        final = sigma2_final
+        if final.ndim == 0:
+            scale = jnp.sqrt(final)
+            L_cal = x_filt.chol * scale
+        else:
+            rs = jnp.sqrt(jnp.tile(final, q + 1))
+            L_cal = x_filt.chol * rs[None, :, None]
+        x_filt = Gaussian(x_filt.mean, L_cal)
+        diffs = jnp.broadcast_to(final, diffs.shape).astype(diffs.dtype)
+        ll = jnp.asarray(jnp.nan, dtype=model.dtype)
+
+    if alg.smooth:
+        x_out = smooth_all(x_filt, ts, diffs, n, model.A, model.QL, d, q)
+    else:
+        x_out = x_filt
+
+    u = x_out.mean[:, :d]
+    pu = Gaussian(x_out.mean[:, :d], x_out.chol[:, :d, :])
+
+    return ProbODESolution(
+        ts=ts,
+        n_steps=n,
+        u=u,
+        pu=pu,
+        x_filt=x_filt,
+        x_smooth=x_out,
+        diffusions=diffs,
+        log_likelihood=ll,
+        stats=stats,
+        retcode=retcode,
+        prob=prob,
+        alg=alg,
+    )
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "alg", "max_steps", "maxiters", "adaptive", "taylor_method", "_linearize_u",
+    ),
+)
+def _solve_adaptive_jit(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    abstol,
+    reltol,
+    dt0,
+    max_steps: int,
+    maxiters: int,
+    dtmin,
+    adaptive: bool,
+    taylor_method: str,
+    _linearize_u,
+):
+    d = prob.d
+    dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
+    model = make_model(alg, prob.f, prob.jac, d, dtype)
+    x0 = initial_state(
+        prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
+        method=taylor_method,
+    )
+    carry, retcode = _adaptive_loop(
+        model, prob, x0, dt0, abstol, reltol, max_steps, maxiters, dtmin,
+        linearize_u=_linearize_u,
+    )
+    return _postprocess(
+        model, prob, carry.ts_buf, Gaussian(carry.m_buf, carry.L_buf),
+        carry.diff_buf, carry.n, carry.ll, carry.sigma2, carry.stats, retcode,
+    )
+
+
+def solve(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    *,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    dt: Optional[float] = None,
+    adaptive: bool = True,
+    max_steps: int = 4096,
+    maxiters: int = 100_000,
+    dtmin: Optional[float] = None,
+    taylor_method: str = "jvp",
+    _linearize_u=None,
+) -> ProbODESolution:
+    """Solve ``prob`` with a Gaussian ODE filter.
+
+    The entry point matching ``solve(prob, EK1(order=q); abstol, reltol)``
+    (SURVEY.md call stack 3.1). Fully jittable and differentiable
+    (forward-mode through the adaptive loop; use the fixed-grid solver for
+    reverse-mode).
+    """
+    t0, t1 = prob.tspan
+    if not adaptive:
+        if dt is None:
+            # Mirrors the reference's fixed-step-without-dt rejection
+            # (`test/errors.jl:17-20`).
+            raise ValueError("Fixed timestep methods require a choice of dt")
+        from odefilters.fixedgrid import solve_fixed
+
+        return solve_fixed(prob, alg, dt=dt, abstol=abstol, reltol=reltol)
+
+    if dt is None:
+        dt0 = initial_dt(prob, alg.order, abstol, reltol)
+    else:
+        dt0 = jnp.asarray(dt)
+    if dtmin is None:
+        dtmin = 1e-14 * (t1 - t0)
+
+    return _solve_adaptive_jit(
+        prob, alg, abstol, reltol, dt0, int(max_steps), int(maxiters),
+        dtmin, True, taylor_method, _linearize_u,
+    )

@@ -1,0 +1,210 @@
+"""The per-attempt step pipeline (L3): precondition -> predict -> measure ->
+calibrate -> update -> error estimate -> un-precondition.
+
+TPU-native replacement for `/root/reference/src/perform_step.jl:27-158`.
+Differences from the reference (deliberate):
+
+- Pure function: ``attempt_step`` maps (state, t, dt, calibration carry) to
+  a :class:`StepResult`; accept/reject and buffer writes live in the driver
+  (`odefilters/solve.py`), so the same step serves the adaptive while-loop,
+  the fixed-grid scan, and vmapped ensembles.
+- The measurement operator ``H = (E1 - J E0) P^-1`` is never materialized
+  (`perform_step.jl:125-127` builds the (d, D) matrix): since the
+  preconditioner is constant within each derivative block, ``H @ M`` is two
+  block-row slices and one (d, d) matmul — see :func:`_h_mul`.
+- Branch-free: the dynamic-vs-static calibration order
+  (`perform_step.jl:40-62`) is a *static* Python branch on the algorithm
+  config, so each config compiles to straight-line XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve
+
+from odefilters import diffusions as diff
+from odefilters.algorithms import AbstractEK
+from odefilters.linalg import Gaussian, gaussian_logpdf_zero, qr_stack2, tril_factor
+from odefilters.priors import ibm, precond_small
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterModel:
+    """Static per-solve bundle: algorithm config, dimensions, prior constants.
+
+    Equivalent of the constant slots of ``GaussianODEFilterCache``
+    (`/root/reference/src/caches.jl:5-24`): d, q, A, Q, R=0 (implicit),
+    projections (implicit via slicing), preconditioner, diffusion model.
+    """
+
+    alg: AbstractEK
+    d: int
+    q: int
+    f: Callable
+    jac: Optional[Callable]
+    A: jax.Array       # (D, D) preconditioned IBM transition
+    QL: jax.Array      # (D, D) preconditioned process-noise factor
+    dtype: Any
+
+    @property
+    def D(self) -> int:
+        return self.d * (self.q + 1)
+
+
+def make_model(alg: AbstractEK, f, jac, d: int, dtype) -> FilterModel:
+    A, QL = ibm(d, alg.order, dtype=dtype)
+    return FilterModel(alg=alg, d=d, q=alg.order, f=f, jac=jac, A=A, QL=QL, dtype=dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepResult:
+    """Everything the driver needs from one step attempt."""
+
+    x_filt: Gaussian          # un-preconditioned filtered state
+    u_filt: jax.Array         # projected solution value E0 x_filt
+    err_est: jax.Array        # scalar EEst (already abstol/reltol scaled)
+    sigma2_local: jax.Array   # local diffusion (error estimate scale)
+    sigma2_global: jax.Array  # global-diffusion candidate (commit on accept)
+    log_likelihood: jax.Array # log N(z; 0, S) of this attempt
+    z: jax.Array              # innovation (d,)
+    S_chol: jax.Array         # (d, d) innovation factor
+
+
+def _h_mul(M, J, pinv0, pinv1, d: int, is_ek1: bool):
+    """``H @ M`` for ``H = (E1 - J E0) P^-1`` without forming H.
+
+    ``M`` is (D, K); the preconditioner is block-constant so ``P^-1 M``
+    restricted to blocks 0/1 is a scalar row scaling. EK0 drops the
+    Jacobian term (`perform_step.jl:125-127`).
+    """
+    out = pinv1 * M[..., d : 2 * d, :]
+    if is_ek1:
+        out = out - J @ (pinv0 * M[..., :d, :])
+    return out
+
+
+def _h_vec(v, J, pinv0, pinv1, d: int, is_ek1: bool):
+    out = pinv1 * v[..., d : 2 * d]
+    if is_ek1:
+        out = out - jnp.einsum("...ij,...j->...i", J, pinv0 * v[..., :d])
+    return out
+
+
+def attempt_step(
+    model: FilterModel,
+    x: Gaussian,
+    u_prev: jax.Array,
+    t,
+    dt,
+    sigma2_prev: jax.Array,
+    success_count: jax.Array,
+    abstol: float,
+    reltol: float,
+    p_params,
+    linearize_u: Optional[Callable] = None,
+) -> StepResult:
+    """One (not necessarily successful) filter step, `perform_step.jl:27-93`.
+
+    Args:
+        x: current un-preconditioned state.
+        u_prev: last accepted solution value (for the error residual mix,
+            `perform_step.jl:80-82`).
+        sigma2_prev / success_count: running-calibration carry for the
+            static diffusion models.
+        linearize_u: optional ``t -> u`` giving the EK1 linearization point
+            (the IEKS hook, `perform_step.jl:111-113`); defaults to the
+            predicted mean.
+    """
+    alg, d, q = model.alg, model.d, model.q
+    A, QL = model.A, model.QL
+    t_new = t + dt
+
+    # -- precondition (perform_step.jl:36-38) --
+    p_s, pinv_s = precond_small(dt, q)                 # (q+1,) block scalars
+    p_full = jnp.repeat(p_s, d)
+    pinv_full = jnp.repeat(pinv_s, d)
+    m_p = p_full * x.mean
+    L_p = p_full[:, None] * x.chol
+
+    # -- predict mean (filtering.jl:22-25) --
+    m_pred = A @ m_p
+    u_pred = pinv_s[0] * m_pred[:d]
+
+    # -- measure (perform_step.jl:95-132) --
+    du = model.f(u_pred, p_params, t_new)
+    z = pinv_s[1] * m_pred[d : 2 * d] - du
+
+    J = None
+    if alg.is_ek1:
+        u_lin = u_pred if linearize_u is None else linearize_u(t_new)
+        if model.jac is not None:
+            J = model.jac(u_lin, p_params, t_new)
+        else:
+            J = jax.jacfwd(lambda u: model.f(u, p_params, t_new))(u_lin)
+
+    def Hmul(M):
+        return _h_mul(M, J, pinv_s[0], pinv_s[1], d, alg.is_ek1)
+
+    HQL = Hmul(QL)  # (d, D): factor of H Q H^T (used by calibration + errors)
+
+    # -- calibrate + predict covariance --
+    if alg.is_dynamic_diffusion:
+        # Calibrate-then-predict order (perform_step.jl:40-55)
+        if alg.diffusionmodel == "dynamicMV":
+            sigma2 = diff.estimate_dynamic_mv(z, HQL)
+        else:
+            sigma2 = diff.estimate_dynamic(z, HQL)
+        QL_h = diff.apply_diffusion_chol(QL, sigma2, q)
+        L_pred = qr_stack2(A @ L_p, QL_h)
+        Z = Hmul(L_pred)
+        S_chol = tril_factor(jnp.swapaxes(Z, -1, -2))
+        sigma2_local = sigma2
+        sigma2_global = sigma2
+    else:
+        # Vanilla order: predict, measure, calibrate (perform_step.jl:57-62)
+        L_pred = qr_stack2(A @ L_p, QL)
+        Z = Hmul(L_pred)
+        S_chol = tril_factor(jnp.swapaxes(Z, -1, -2))
+        if alg.diffusionmodel == "fixedMV":
+            sigma2_local = diff.estimate_fixed_mv_local(z, S_chol)
+        else:  # fixed, fixedMAP share the z^T S^-1 z / d statistic
+            sigma2_local = diff.estimate_fixed_local(z, S_chol)
+        sigma2_global = diff.running_update(
+            alg.diffusionmodel, sigma2_prev, sigma2_local, success_count, d
+        )
+
+    # -- likelihood (perform_step.jl:66) --
+    ll = gaussian_logpdf_zero(z, S_chol)
+
+    # -- update, Joseph square-root form (filtering.jl:79-91) --
+    LZt = L_pred @ jnp.swapaxes(Z, -1, -2)            # (D, d)
+    K = jnp.swapaxes(cho_solve((S_chol, True), jnp.swapaxes(LZt, -1, -2)), -1, -2)
+    m_filt = m_pred - jnp.einsum("...ij,...j->...i", K, z)
+    L_filt = L_pred - K @ Z
+
+    # -- un-precondition (perform_step.jl:72-75) --
+    x_filt = Gaussian(pinv_full * m_filt, pinv_full[:, None] * L_filt)
+    u_filt = x_filt.mean[:d]
+
+    # -- error estimate (perform_step.jl:78-84, 148-158) --
+    HQ_loc = Hmul(diff.apply_diffusion_chol(QL, sigma2_local, q))
+    err_unscaled = jnp.sqrt(jnp.sum(HQ_loc * HQ_loc, axis=-1))  # sqrt diag
+    scale = abstol + reltol * jnp.maximum(jnp.abs(u_prev), jnp.abs(u_filt))
+    err = dt * err_unscaled / scale
+    EEst = jnp.sqrt(jnp.mean(err * err))  # Hairer norm
+
+    return StepResult(
+        x_filt=x_filt,
+        u_filt=u_filt,
+        err_est=EEst,
+        sigma2_local=sigma2_local,
+        sigma2_global=sigma2_global,
+        log_likelihood=ll,
+        z=z,
+        S_chol=S_chol,
+    )

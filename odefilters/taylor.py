@@ -1,0 +1,114 @@
+"""Exact state initialization via Taylor-mode differentiation.
+
+TPU-native replacement for `/root/reference/src/state_initialization.jl`
+(which uses TaylorSeries.jl). Given the IVP ``u' = f(u, p, t)``, the initial
+filter state over ``X = [u; u'; ...; u^(q)]`` is set exactly from the
+Taylor derivatives of the solution at ``t0``.
+
+Two engines:
+
+- ``method="jvp"`` (default): the recursion ``F_{k+1}(x) = (dF_k/dx) f(x)``
+  evaluated with nested ``jax.jvp`` — exactly the reference's recursion
+  ``df_{o+1} = (d df_o/du) f`` (`state_initialization.jl:33-39`), but via
+  JAX forward-mode instead of a symbolic Taylor polynomial algebra.
+- ``method="jet"``: true Taylor-mode via ``jax.experimental.jet`` — O(q^2)
+  instead of O(2^q) function evaluations; preferred for high orders.
+
+Unlike the reference (which *asserts* the vector field is t-independent,
+`state_initialization.jl:22`), we always lift to the autonomous augmented
+system ``d/dt [u; t] = [f(u, t); 1]``, so time-dependent fields are
+supported.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from odefilters.linalg import Gaussian
+
+
+def _augment(f: Callable, p) -> Callable:
+    """Autonomous augmented field g([u; t]) = [f(u, p, t); 1]."""
+
+    def g(x):
+        u, t = x[:-1], x[-1]
+        du = f(u, p, t)
+        return jnp.concatenate([du, jnp.ones((1,), du.dtype)])
+
+    return g
+
+
+def taylor_coefficients_jvp(
+    f: Callable, u0: jnp.ndarray, p, t0, q: int
+) -> list[jnp.ndarray]:
+    """Derivatives ``[u0, u'(t0), ..., u^(q)(t0)]`` via nested jvp.
+
+    ``F_1 = g`` and ``F_{k+1}(x) = jvp(F_k; x; g(x))`` gives
+    ``d^k x / dt^k = F_k(x0)`` along the flow of ``x' = g(x)``.
+    """
+    g = _augment(f, p)
+    t0 = jnp.asarray(t0, dtype=u0.dtype)
+    x0 = jnp.concatenate([u0, t0[None]])
+    derivs = [u0]
+    Fk = g
+    for _ in range(q):
+        derivs.append(Fk(x0)[:-1])
+        Fk_prev = Fk
+        Fk = lambda x, _F=Fk_prev: jax.jvp(_F, (x,), (g(x),))[1]
+    return derivs
+
+
+def taylor_coefficients_jet(
+    f: Callable, u0: jnp.ndarray, p, t0, q: int
+) -> list[jnp.ndarray]:
+    """Derivatives via ``jax.experimental.jet`` (Taylor-mode, O(q^2)).
+
+    ``jet`` propagates truncated Taylor polynomials with the convention
+    ``x(t) = x0 + sum_k h_k t^k / k!`` (coefficients are derivative values).
+    The ODE recursion: if ``(x1..xk)`` are known solution derivatives, then
+    the output series of ``g`` along that polynomial gives ``x_{k+1} =
+    y_k`` (k-th derivative of ``g(x(t))``).
+    """
+    from jax.experimental import jet as jet_mod
+
+    g = _augment(f, p)
+    t0 = jnp.asarray(t0, dtype=u0.dtype)
+    x0 = jnp.concatenate([u0, t0[None]])
+    if q == 0:
+        return [u0]
+    coeffs = [g(x0)]  # x^(1)
+    for _ in range(q - 1):
+        y0, ys = jet_mod.jet(g, (x0,), (coeffs,))
+        # y_k = d^k/dt^k g(x(t)) = x^(k+1); extend the series by one term
+        coeffs = [y0] + ys
+    return [u0] + [c[:-1] for c in coeffs]
+
+
+def taylor_coefficients(
+    f: Callable, u0: jnp.ndarray, p, t0, q: int, method: str = "jvp"
+) -> list[jnp.ndarray]:
+    if method == "jvp":
+        return taylor_coefficients_jvp(f, u0, p, t0, q)
+    if method == "jet":
+        return taylor_coefficients_jet(f, u0, p, t0, q)
+    raise ValueError(f"unknown taylor method: {method}")
+
+
+def initial_state(
+    f: Callable, u0: jnp.ndarray, p, t0, q: int, method: str = "jvp"
+) -> Gaussian:
+    """Exact initial filter state: mean = stacked derivatives, zero cov.
+
+    The reference conditions a ``N(0, I_D)`` prior on every derivative block
+    0..q (`state_initialization.jl:2-14`); conditioning an identity-cov
+    Gaussian on *all* orthogonal blocks collapses it to a point mass, so we
+    set the result directly. The general mechanism lives in
+    :func:`odefilters.ops.filtering.condition_on`.
+    """
+    derivs = taylor_coefficients(f, u0, p, t0, q, method=method)
+    mean = jnp.concatenate(derivs)
+    D = mean.shape[0]
+    return Gaussian(mean, jnp.zeros((D, D), dtype=mean.dtype))
