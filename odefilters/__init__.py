@@ -24,9 +24,15 @@ from odefilters.problem import ODEProblem, ode_problem, remake
 from odefilters.solution import MeanProbODESolution, ProbODESolution, evaluate
 from odefilters.solve import solve
 from odefilters.fixedgrid import solve_fixed
+from odefilters.kronsolve import KronProbODESolution, solve_fixed_kron
+from odefilters.ieks import solve_ieks
+from odefilters.integrator import Integrator, init
 from odefilters import models
 from odefilters import priors
 from odefilters import taylor
+from odefilters import sampling
+from odefilters import solution
+from odefilters import plotting
 
 __version__ = "0.1.0"
 
@@ -44,6 +50,13 @@ __all__ = [
     "evaluate",
     "solve",
     "solve_fixed",
+    "solve_fixed_kron",
+    "KronProbODESolution",
+    "solve_ieks",
+    "init",
+    "Integrator",
+    "sampling",
+    "plotting",
     "models",
     "priors",
     "taylor",

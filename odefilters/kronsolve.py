@@ -1,0 +1,303 @@
+"""Fixed-grid EK0 solver on the Kronecker fast path, with its own
+smoothing pass and solution type.
+
+Covariance cost is O(q^3) per step independent of d — the backend for the
+large-state Brusselator config and the high-throughput ensemble benchmarks
+(BASELINE.md #4, #5). Math identical to the dense solver; every covariance
+is ``(Lt Lt^T) ⊗ I_d`` throughout (see `odefilters/ops/kron.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from odefilters.algorithms import AbstractEK
+from odefilters.ops.kron import (
+    KronGaussian,
+    KronModel,
+    kron_attempt_step,
+    kron_smooth_step,
+    make_kron_model,
+)
+from odefilters.priors import precond_small
+from odefilters.problem import ODEProblem
+from odefilters.solution import RETCODE_SUCCESS, DEStats
+from odefilters.taylor import taylor_coefficients
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KronProbODESolution:
+    """Posterior for EK0-Kronecker solves.
+
+    Mirrors :class:`odefilters.solution.ProbODESolution` but keeps all
+    covariances in (q+1, q+1) small-factor form — for d ~ 1e4 the dense
+    (N, d, d) projected covariances would be unrepresentable.
+    """
+
+    ts: jax.Array            # (N+1,)
+    n_steps: jax.Array
+    u: jax.Array             # (N+1, d) posterior means
+    u_std: jax.Array         # (N+1, d) posterior marginal stds
+    x_filt: KronGaussian     # stacked
+    x_smooth: KronGaussian
+    diffusions: jax.Array
+    log_likelihood: jax.Array
+    stats: DEStats
+    retcode: jax.Array
+    prob: ODEProblem
+    alg: AbstractEK = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def d(self) -> int:
+        return self.u.shape[-1]
+
+    @property
+    def q(self) -> int:
+        return self.alg.order
+
+    def __call__(self, t):
+        """Dense output: posterior mean/std of u(t) (vectorized over t)."""
+        t_arr = jnp.asarray(t, dtype=self.ts.dtype)
+        if t_arr.ndim == 0:
+            return _evaluate_one(self, t_arr)
+        return jax.vmap(lambda tv: _evaluate_one(self, tv))(t_arr)
+
+
+def _block_std(chol: jax.Array, mean: jax.Array) -> jax.Array:
+    """Marginal std of derivative-block 0 for every dim.
+
+    ``mean`` is (..., q+1, d). The factor is isotropic (same trailing
+    (q+1, q+1), per_dim == False) or per-dimension ((..., d, q+1, q+1)).
+    """
+    d = mean.shape[-1]
+    per_dim = chol.ndim == mean.ndim + 1
+    s = jnp.sqrt(jnp.sum(chol[..., 0, :] ** 2, axis=-1))
+    if per_dim:
+        return s  # (..., d)
+    return jnp.broadcast_to(s[..., None], s.shape + (d,))
+
+
+@partial(jax.jit, static_argnames=("alg", "n_steps", "taylor_method"))
+def _solve_fixed_kron_jit(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    ts: jax.Array,
+    abstol,
+    reltol,
+    n_steps: int,
+    taylor_method: str,
+):
+    from odefilters import diffusions as diff
+
+    d = prob.d
+    q = alg.order
+    dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
+    model = make_kron_model(alg, prob.f, d, dtype)
+
+    derivs = taylor_coefficients(
+        prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], q,
+        method=taylor_method,
+    )
+    m0 = jnp.stack(derivs)  # (q+1, d)
+    if alg.diffusionmodel in ("dynamicMV",):
+        L0 = jnp.zeros((d, q + 1, q + 1), dtype)
+    else:
+        L0 = jnp.zeros((q + 1, q + 1), dtype)
+    x0 = KronGaussian(m0, L0)
+    sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
+
+    def body(carry, inp):
+        x, sigma2, ll, k = carry
+        t, dt = inp
+        res = kron_attempt_step(
+            model, x, x.mean[0], t, dt, sigma2, k, abstol, reltol, prob.p
+        )
+        ll = ll + res.log_likelihood
+        out = (res.x_filt, res.sigma2_global)
+        return (res.x_filt, res.sigma2_global, ll, k + 1), out
+
+    dts = ts[1:] - ts[:-1]
+    init = (x0, sigma2_0, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
+    (_, sigma2_last, ll, _), (xs, sgs) = jax.lax.scan(body, init, (ts[:-1], dts))
+
+    x_filt = KronGaussian(
+        jnp.concatenate([x0.mean[None], xs.mean], axis=0),
+        jnp.concatenate([x0.chol[None], xs.chol], axis=0),
+    )
+    diff_buf = jnp.concatenate([jnp.ones_like(sigma2_0)[None], sgs], axis=0)
+
+    # --- postamble: static recalibration + smoothing ---
+    if alg.is_static_diffusion:
+        final = sigma2_last
+        if final.ndim == 0:
+            x_filt = KronGaussian(x_filt.mean, jnp.sqrt(final) * x_filt.chol)
+        else:
+            # per-dim rescale promotes the factor to (N, d, q+1, q+1)
+            x_filt = KronGaussian(
+                x_filt.mean,
+                jnp.sqrt(final)[None, :, None, None]
+                * x_filt.chol[:, None, :, :],
+            )
+        diff_buf = jnp.broadcast_to(final, diff_buf.shape).astype(diff_buf.dtype)
+        ll = jnp.asarray(jnp.nan, dtype)
+
+    if alg.smooth:
+        x_out = _kron_smooth_all(model, x_filt, ts, diff_buf)
+    else:
+        x_out = x_filt
+
+    n = jnp.asarray(n_steps, jnp.int32)
+    stats = DEStats(
+        nf=n, njacs=jnp.zeros((), jnp.int32), naccept=n,
+        nreject=jnp.zeros((), jnp.int32),
+    )
+    return KronProbODESolution(
+        ts=ts,
+        n_steps=n,
+        u=x_out.mean[:, 0, :],
+        u_std=_block_std(x_out.chol, x_out.mean),
+        x_filt=x_filt,
+        x_smooth=x_out,
+        diffusions=diff_buf,
+        log_likelihood=ll,
+        stats=stats,
+        retcode=jnp.asarray(RETCODE_SUCCESS, jnp.int32),
+        prob=prob,
+        alg=alg,
+    )
+
+
+def _apply_diff_chol(QLt, sigma2):
+    """sqrt(sigma2)-scaled small noise factor; MV promotes to per-dim."""
+    if sigma2.ndim == 0:
+        return jnp.sqrt(sigma2) * QLt
+    return jnp.sqrt(sigma2)[:, None, None] * QLt
+
+
+def _kron_smooth_all(model: KronModel, x_filt: KronGaussian, ts, diffusions):
+    """Backward RTS pass in small-factor form (mirrors
+    `odefilters.smoothing.smooth_all`)."""
+    q = model.q
+    N1 = ts.shape[0]
+    n_steps = N1 - 1  # fixed grid: every row valid
+
+    x_last = KronGaussian(x_filt.mean[n_steps], x_filt.chol[n_steps])
+
+    def sel(pred, a, b):
+        return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+    def body(x_next, i):
+        x_i = KronGaussian(x_filt.mean[i], x_filt.chol[i])
+        dt = ts[i + 1] - ts[i]
+        in_range = (i >= 1) & (i <= n_steps - 1)
+        dt_safe = jnp.where(dt > 0, dt, 1.0)
+        p, p_inv = precond_small(dt_safe, q)
+        sigma2 = jnp.take(diffusions, i + 1, axis=0)
+        QLt_h = _apply_diff_chol(model.QLt, sigma2)
+        xc = KronGaussian(p[:, None] * x_i.mean, _scale_rows(p, x_i.chol))
+        xn = KronGaussian(p[:, None] * x_next.mean, _scale_rows(p, x_next.chol))
+        xs_p, _ = kron_smooth_step(xc, xn, model.At, QLt_h)
+        xs = KronGaussian(
+            p_inv[:, None] * xs_p.mean, _scale_rows(p_inv, xs_p.chol)
+        )
+        out = sel(in_range & (dt > 0), xs, x_i)
+        out = sel(in_range & (dt == 0), x_next, out)
+        carry = sel(in_range, out, x_next)
+        return carry, out
+
+    idxs = jnp.arange(N1 - 2, -1, -1)
+    _, outs_rev = jax.lax.scan(body, x_last, idxs)
+    outs = jax.tree.map(lambda a: jnp.flip(a, axis=0), outs_rev)
+    return KronGaussian(
+        jnp.concatenate([outs.mean, x_filt.mean[-1:]], axis=0),
+        jnp.concatenate([outs.chol, x_filt.chol[-1:]], axis=0),
+    )
+
+
+def _scale_rows(p, chol):
+    if chol.ndim == 2:
+        return p[:, None] * chol
+    return p[None, :, None] * chol
+
+
+def _evaluate_one(sol: KronProbODESolution, tval):
+    """Dense output via small-factor predict/smooth between grid points."""
+    from odefilters.ops.kron import kron_smooth_step
+    from odefilters.linalg import tril_factor
+    from odefilters.priors import ibm_small
+
+    q, d = sol.q, sol.d
+    dtype = sol.ts.dtype
+    At, QLt = ibm_small(q, dtype=dtype)
+    ts, n = sol.ts, sol.n_steps
+
+    i = jnp.clip(jnp.searchsorted(ts, tval, side="right") - 1, 0, n)
+    exact = ts[i] == tval
+    ii = jnp.clip(i, 0, n - 1)
+    sigma2 = jnp.take(sol.diffusions, jnp.minimum(ii + 1, n), axis=0)
+    QLt_h = _apply_diff_chol(QLt, sigma2)
+
+    h1 = jnp.maximum(tval - ts[ii], jnp.finfo(dtype).tiny)
+    p1, p1i = precond_small(h1, q)
+    xf = KronGaussian(sol.x_filt.mean[ii], sol.x_filt.chol[ii])
+    m_p = At @ (p1[:, None] * xf.mean)
+    Lt_p = tril_factor(
+        jnp.concatenate(
+            [
+                jnp.swapaxes(At @ _scale_rows(p1, xf.chol), -1, -2),
+                jnp.swapaxes(QLt_h, -1, -2),
+            ],
+            axis=-2,
+        )
+    )
+    pred = KronGaussian(p1i[:, None] * m_p, _scale_rows(p1i, Lt_p))
+
+    if sol.alg.smooth:
+        h2 = jnp.maximum(ts[ii + 1] - tval, jnp.finfo(dtype).tiny)
+        p2, p2i = precond_small(h2, q)
+        xn = KronGaussian(
+            sol.x_smooth.mean[jnp.minimum(ii + 1, n)],
+            sol.x_smooth.chol[jnp.minimum(ii + 1, n)],
+        )
+        xc = KronGaussian(p2[:, None] * pred.mean, _scale_rows(p2, pred.chol))
+        xn_p = KronGaussian(p2[:, None] * xn.mean, _scale_rows(p2, xn.chol))
+        sm, _ = kron_smooth_step(xc, xn_p, At, QLt_h)
+        sm = KronGaussian(p2i[:, None] * sm.mean, _scale_rows(p2i, sm.chol))
+        inside = tval < ts[n]
+        pred = jax.tree.map(lambda a, b: jnp.where(inside, a, b), sm, pred)
+
+    stored = KronGaussian(
+        (sol.x_smooth if sol.alg.smooth else sol.x_filt).mean[i],
+        (sol.x_smooth if sol.alg.smooth else sol.x_filt).chol[i],
+    )
+    out = jax.tree.map(lambda a, b: jnp.where(exact, a, b), stored, pred)
+    return out.mean[0, :], _block_std(out.chol, out.mean)
+
+
+def solve_fixed_kron(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    *,
+    dt: Optional[float] = None,
+    ts: Optional[jax.Array] = None,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    taylor_method: str = "jvp",
+) -> KronProbODESolution:
+    """Fixed-grid EK0 solve on the Kronecker fast path."""
+    t0, t1 = prob.tspan
+    if ts is None:
+        if dt is None:
+            raise ValueError("Fixed timestep methods require a choice of dt")
+        n = max(int(round(float(t1 - t0) / float(dt))), 1)
+        ts = jnp.linspace(t0, t1, n + 1)
+    ts = jnp.asarray(ts, dtype=jnp.result_type(prob.u0.dtype, jnp.float32))
+    return _solve_fixed_kron_jit(
+        prob, alg, ts, abstol, reltol, ts.shape[0] - 1, taylor_method
+    )

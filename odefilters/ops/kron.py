@@ -1,0 +1,235 @@
+"""EK0 Kronecker fast path: covariance as a (q+1)x(q+1) factor.
+
+With the EK0 measurement ``H = E1 P^-1`` (no Jacobian) and an isotropic
+diffusion, every covariance in the solve stays exactly Kronecker,
+``Sigma = (Lt Lt^T) ⊗ I_d`` — the reference hints at this structure (its
+priors are built as ``kron`` products, `/root/reference/src/priors.jl:8-10`)
+but always carries dense D x D matrices. Carrying only the small factor
+makes the per-step covariance cost O(q^3), *independent of the ODE
+dimension d*, which is what unlocks the ~1e4-state Brusselator config
+(BASELINE.md #4) and makes the ensemble hot loop almost entirely
+element-wise (VPU) work.
+
+State layout: ``mean`` is (q+1, d) (derivative-major, matching the dense
+path's flat D = d(q+1) vector), ``cov_chol`` is (q+1, q+1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from odefilters.algorithms import AbstractEK
+from odefilters.linalg import tril_factor
+from odefilters.priors import ibm_small, precond_small
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KronGaussian:
+    """N(mean.ravel(), (chol chol^T) ⊗ I_d) over the D = d(q+1) state."""
+
+    mean: jax.Array      # (..., q+1, d)
+    chol: jax.Array      # (..., q+1, q+1)
+
+    @property
+    def u(self) -> jax.Array:
+        return self.mean[..., 0, :]
+
+    @property
+    def std_blocks(self) -> jax.Array:
+        """Per-derivative-block marginal std (same for every dim)."""
+        return jnp.sqrt(jnp.sum(self.chol * self.chol, axis=-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class KronModel:
+    alg: AbstractEK
+    d: int
+    q: int
+    f: Callable
+    At: jax.Array        # (q+1, q+1) preconditioned IBM transition
+    QLt: jax.Array       # (q+1, q+1) preconditioned noise factor
+    dtype: Any
+
+
+def make_kron_model(alg: AbstractEK, f, d: int, dtype) -> KronModel:
+    if alg.is_ek1:
+        raise ValueError("the Kronecker fast path requires EK0 structure")
+    At, QLt = ibm_small(alg.order, dtype=dtype)
+    return KronModel(alg=alg, d=d, q=alg.order, f=f, At=At, QLt=QLt, dtype=dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KronStepResult:
+    x_filt: KronGaussian
+    u_filt: jax.Array
+    err_est: jax.Array
+    sigma2_local: jax.Array
+    sigma2_global: jax.Array
+    log_likelihood: jax.Array
+
+
+def kron_attempt_step(
+    model: KronModel,
+    x: KronGaussian,
+    u_prev: jax.Array,
+    t,
+    dt,
+    sigma2_prev: jax.Array,
+    success_count: jax.Array,
+    abstol: float,
+    reltol: float,
+    p_params,
+) -> KronStepResult:
+    """One EK0 step entirely in Kronecker coordinates.
+
+    Math identical to the dense `odefilters.step.attempt_step`
+    (`/root/reference/src/perform_step.jl:27-93`), specialized:
+    ``S = s I_d``, ``K = ktil ⊗ I_d`` — so the only O(d) work is the f
+    evaluation and vector axpys.
+    """
+    from odefilters import diffusions as diff
+
+    alg, d, q = model.alg, model.d, model.q
+    At, QLt = model.At, model.QLt
+    t_new = t + dt
+
+    p_s, pinv_s = precond_small(dt, q)               # (q+1,)
+    m_p = p_s[:, None] * x.mean                      # (q+1, d)
+    Lt_p = p_s[:, None] * x.chol                     # (q+1, q+1)
+
+    m_pred = At @ m_p
+    u_pred = pinv_s[0] * m_pred[0]
+    du = model.f(u_pred, p_params, t_new)
+    z = pinv_s[1] * m_pred[1] - du                   # (d,)
+
+    # H Q H^T = pinv1^2 * (Qt Qt^T)[1,1] * I_d
+    q11 = jnp.sum(QLt[1] * QLt[1])
+    hq = pinv_s[1] ** 2 * q11
+
+    if alg.diffusionmodel == "dynamic":
+        sigma2 = jnp.sum(z * z) / (hq * d)
+        sigma2 = jnp.where(jnp.all(z == 0), 0.0, sigma2)
+        QLt_h = jnp.sqrt(sigma2) * QLt
+        Lt_pred = tril_factor(
+            jnp.concatenate([(At @ Lt_p).T, QLt_h.T], axis=0)
+        )
+        s = pinv_s[1] ** 2 * jnp.sum(Lt_pred[1] * Lt_pred[1])
+        sigma2_local = sigma2
+        sigma2_global = sigma2
+    elif alg.diffusionmodel == "dynamicMV":
+        sigma2 = jnp.maximum(z * z / hq, jnp.finfo(z.dtype).eps)  # (d,)
+        # per-dim covariance factors: (d, q+1, q+1)
+        Lt_p_b = jnp.broadcast_to(Lt_p, (d, q + 1, q + 1))
+        QLt_h = jnp.sqrt(sigma2)[:, None, None] * QLt
+        Lt_pred = tril_factor(
+            jnp.concatenate(
+                [jnp.swapaxes(At @ Lt_p_b, -1, -2), jnp.swapaxes(QLt_h, -1, -2)],
+                axis=-2,
+            )
+        )
+        s = pinv_s[1] ** 2 * jnp.sum(Lt_pred[..., 1, :] ** 2, axis=-1)  # (d,)
+        sigma2_local = sigma2
+        sigma2_global = sigma2
+    else:
+        # static models: predict with sigma^2 = 1, calibrate after
+        Lt_pred = tril_factor(
+            jnp.concatenate([(At @ Lt_p).T, QLt.T], axis=0)
+        )
+        s = pinv_s[1] ** 2 * jnp.sum(Lt_pred[1] * Lt_pred[1])
+        if alg.diffusionmodel == "fixedMV":
+            sigma2_local = z * z / s
+        else:
+            sigma2_local = jnp.sum(z * z) / (s * d)
+            sigma2_local = jnp.where(jnp.all(z == 0), 0.0, sigma2_local)
+        sigma2_global = diff.running_update(
+            alg.diffusionmodel, sigma2_prev, sigma2_local, success_count, d
+        )
+
+    # ---- update: K = ktil ⊗ I_d with ktil = Cpred e1 pinv1 / s ----
+    if alg.diffusionmodel == "dynamicMV":
+        c_col = jnp.einsum("dij,dj->di", Lt_pred, Lt_pred[:, 1, :])  # (d, q+1)
+        ktil = pinv_s[1] * c_col / s[:, None]                        # (d, q+1)
+        m_filt = m_pred - ktil.T * z[None, :]
+        Zrow = pinv_s[1] * Lt_pred[:, 1, :]                          # (d, q+1)
+        Lt_filt = Lt_pred - ktil[:, :, None] * Zrow[:, None, :]
+        ll = -0.5 * (
+            jnp.sum(z * z / s) + jnp.sum(jnp.log(s)) + d * jnp.log(2 * jnp.pi)
+        )
+        err_blocks = jnp.sqrt(sigma2_local * hq)                     # (d,)
+        err_unscaled = err_blocks
+    else:
+        c_col = Lt_pred @ Lt_pred[1]                                 # (q+1,)
+        ktil = pinv_s[1] * c_col / s
+        m_filt = m_pred - ktil[:, None] * z[None, :]
+        Zrow = pinv_s[1] * Lt_pred[1]                                # (q+1,)
+        Lt_filt = Lt_pred - jnp.outer(ktil, Zrow)
+        ll = -0.5 * (
+            jnp.sum(z * z) / s + d * jnp.log(2 * jnp.pi * s)
+        )
+        # scalar (fixed/fixedMAP/dynamic) or per-dim (fixedMV) local scale
+        err_unscaled = jnp.broadcast_to(jnp.sqrt(sigma2_local * hq), (d,))
+
+    x_filt = KronGaussian(pinv_s[:, None] * m_filt, _unprecond_chol(pinv_s, Lt_filt))
+    u_filt = x_filt.mean[..., 0, :]
+
+    scale = abstol + reltol * jnp.maximum(jnp.abs(u_prev), jnp.abs(u_filt))
+    err = dt * err_unscaled / scale
+    EEst = jnp.sqrt(jnp.mean(err * err))
+
+    return KronStepResult(
+        x_filt=x_filt,
+        u_filt=u_filt,
+        err_est=EEst,
+        sigma2_local=sigma2_local,
+        sigma2_global=sigma2_global,
+        log_likelihood=ll,
+    )
+
+
+def _unprecond_chol(pinv_s, Lt):
+    """Row-scale small factor(s) by the inverse preconditioner."""
+    if Lt.ndim == 2:
+        return pinv_s[:, None] * Lt
+    return pinv_s[None, :, None] * Lt
+
+
+def kron_smooth_step(x_curr: KronGaussian, x_next: KronGaussian, At, QLt):
+    """RTS step in Kronecker coordinates (small-matrix analogue of
+    `/root/reference/src/filtering.jl:119-154`): the gain is
+    ``Gt ⊗ I_d``; the mean recursion batches over d."""
+    n = At.shape[-1]
+    Lt = x_curr.chol
+    Lt_pred = tril_factor(
+        jnp.concatenate(
+            [jnp.swapaxes(At @ Lt, -1, -2), jnp.swapaxes(QLt, -1, -2)], axis=-2
+        )
+    )
+    m_pred = At @ x_curr.mean
+    # Gt = Ct At^T (Lp Lp^T)^-1 via triangular solves
+    C_At = Lt @ jnp.swapaxes(At @ Lt, -1, -2)
+    W = jax.scipy.linalg.solve_triangular(Lt_pred, jnp.swapaxes(C_At, -1, -2), lower=True)
+    Gt = jnp.swapaxes(
+        jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(Lt_pred, -1, -2), W, lower=False
+        ),
+        -1, -2,
+    )
+    m_s = x_curr.mean + Gt @ (x_next.mean - m_pred)
+    I = jnp.eye(n, dtype=Lt.dtype)
+    Lt_s = tril_factor(
+        jnp.concatenate(
+            [
+                jnp.swapaxes((I - Gt @ At) @ Lt, -1, -2),
+                jnp.swapaxes(Gt @ QLt, -1, -2),
+                jnp.swapaxes(Gt @ x_next.chol, -1, -2),
+            ],
+            axis=-2,
+        )
+    )
+    return KronGaussian(m_s, Lt_s), Gt

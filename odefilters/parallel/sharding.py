@@ -1,0 +1,102 @@
+"""Ensemble parallelism: vmap over problems, shard over a TPU device mesh.
+
+This is the framework's "distributed communication backend" (the reference
+has none — SURVEY.md §2): per-trajectory solves are embarrassingly
+parallel, so the ensemble axis is sharded across chips with
+``jax.sharding`` and the hot loop needs **zero** collectives; XLA inserts
+the only communication (result gathering) at the output.
+
+The small per-solve matrices (D x D with D = d(q+1)) batch across the
+ensemble axis into large batched GEMM/QR that saturate the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from odefilters.algorithms import AbstractEK
+from odefilters.problem import ODEProblem, remake
+from odefilters.solution import ProbODESolution
+
+ENS_AXIS = "ens"
+
+
+def ensemble_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D device mesh over the ensemble axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (ENS_AXIS,), devices=devices)
+
+
+def _ensemble_solve_fn(prob: ODEProblem, alg: AbstractEK, ts, abstol, reltol):
+    from odefilters.fixedgrid import solve_fixed
+
+    def one(u0, p):
+        return solve_fixed(
+            remake(prob, u0=u0, p=p), alg, ts=ts, abstol=abstol, reltol=reltol
+        )
+
+    return jax.vmap(one)
+
+
+def solve_ensemble(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    u0s: jax.Array,
+    ps: jax.Array,
+    *,
+    ts: jax.Array,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    mesh: Optional[Mesh] = None,
+) -> ProbODESolution:
+    """Solve a batch of IVPs ``(u0s[i], ps[i])`` on a fixed grid ``ts``.
+
+    Returns a *batched* :class:`ProbODESolution` (leading ensemble axis on
+    every array field). With ``mesh``, inputs/outputs are sharded over the
+    ``"ens"`` axis and each chip solves its shard independently.
+    """
+    fn = _ensemble_solve_fn(prob, alg, ts, abstol, reltol)
+    if mesh is None:
+        return jax.jit(fn)(u0s, ps)
+    sh = NamedSharding(mesh, P(ENS_AXIS))
+    u0s = jax.device_put(u0s, sh)
+    ps = jax.device_put(ps, sh)
+    return jax.jit(fn, in_shardings=(sh, sh))(u0s, ps)
+
+
+def solve_ensemble_adaptive(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    u0s: jax.Array,
+    ps: jax.Array,
+    *,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_steps: int = 1024,
+    mesh: Optional[Mesh] = None,
+) -> ProbODESolution:
+    """Adaptive-step ensemble: vmapped while_loop (members that finish
+    early mask out; the batch runs until the slowest member lands)."""
+    from odefilters.solve import solve
+
+    def one(u0, p):
+        return solve(
+            remake(prob, u0=u0, p=p), alg,
+            abstol=abstol, reltol=reltol, max_steps=max_steps,
+        )
+
+    fn = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(fn)(u0s, ps)
+    sh = NamedSharding(mesh, P(ENS_AXIS))
+    u0s = jax.device_put(u0s, sh)
+    ps = jax.device_put(ps, sh)
+    return jax.jit(fn, in_shardings=(sh, sh))(u0s, ps)

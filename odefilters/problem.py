@@ -49,13 +49,9 @@ class ODEProblem:
         metadata=dict(static=True), default=None
     )
 
-    def __post_init__(self):
-        u0 = self.u0
-        if hasattr(u0, "ndim") and u0.ndim != 1:
-            raise ValueError(
-                "Problems which are not vector-valued (e.g. u0 is a scalar "
-                "or a matrix) are currently not supported"
-            )
+    # NOTE: no validation in __post_init__ — JAX reconstructs this pytree
+    # with transformed (e.g. batched) leaves during vmap/jit, where shape
+    # checks must not fire. Validation lives in :func:`ode_problem`.
 
     @property
     def d(self) -> int:

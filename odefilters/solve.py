@@ -118,20 +118,9 @@ def _controller_reject(EEst, dt, beta1):
     return dt / jnp.minimum(1.0 / QMIN, q11 / GAMMA)
 
 
-def _adaptive_loop(
-    model: FilterModel,
-    prob: ODEProblem,
-    x0: Gaussian,
-    dt0,
-    abstol,
-    reltol,
-    max_steps: int,
-    maxiters: int,
-    dtmin,
-    linearize_u=None,
-):
-    alg, d = model.alg, model.d
-    D = model.D
+def _init_carry(model: FilterModel, prob: ODEProblem, x0: Gaussian, dt0,
+                max_steps: int) -> "_Carry":
+    alg, d, D = model.alg, model.d, model.D
     t0, t1 = prob.tspan
     dtype = model.dtype
     N1 = max_steps + 1
@@ -146,7 +135,7 @@ def _adaptive_loop(
     diff_shape = (N1,) + sigma2_0.shape
     diff_buf = jnp.ones(diff_shape, dtype)
 
-    carry0 = _Carry(
+    return _Carry(
         t=jnp.asarray(t0, dtype),
         dt=jnp.asarray(dt0, dtype),
         x=x0,
@@ -165,6 +154,23 @@ def _adaptive_loop(
         diff_buf=diff_buf,
     )
 
+
+def _make_loop_fns(
+    model: FilterModel,
+    prob: ODEProblem,
+    abstol,
+    reltol,
+    max_steps: int,
+    maxiters: int,
+    dtmin,
+    linearize_u=None,
+):
+    """Build the (cond, body) of the adaptive loop; shared by the full
+    while-loop solve and the incremental `init`/`step` integrator API."""
+    alg = model.alg
+    t0, t1 = prob.tspan
+    dtype = model.dtype
+    N1 = max_steps + 1
     beta1, beta2 = alg.beta1, alg.beta2
 
     def cond(c: _Carry):
@@ -232,6 +238,26 @@ def _adaptive_loop(
             diff_buf=diff_buf,
         )
 
+    return cond, body
+
+
+def _adaptive_loop(
+    model: FilterModel,
+    prob: ODEProblem,
+    x0: Gaussian,
+    dt0,
+    abstol,
+    reltol,
+    max_steps: int,
+    maxiters: int,
+    dtmin,
+    linearize_u=None,
+):
+    t1 = prob.tspan[1]
+    carry0 = _init_carry(model, prob, x0, dt0, max_steps)
+    cond, body = _make_loop_fns(
+        model, prob, abstol, reltol, max_steps, maxiters, dtmin, linearize_u
+    )
     c = jax.lax.while_loop(cond, body, carry0)
 
     retcode = jnp.where(
@@ -300,7 +326,7 @@ def _postprocess(
 @partial(
     jax.jit,
     static_argnames=(
-        "alg", "max_steps", "maxiters", "adaptive", "taylor_method", "_linearize_u",
+        "alg", "max_steps", "maxiters", "adaptive", "taylor_method",
     ),
 )
 def _solve_adaptive_jit(
@@ -314,8 +340,19 @@ def _solve_adaptive_jit(
     dtmin,
     adaptive: bool,
     taylor_method: str,
-    _linearize_u,
+    linearize_sol,
 ):
+    # IEKS hook: linearize the EK1 measurement at the previous smoothed
+    # posterior mean (`perform_step.jl:111-113`). linearize_sol is a
+    # dynamic pytree so IEKS iterations do not recompile.
+    if linearize_sol is None:
+        _linearize_u = None
+    else:
+        from odefilters.solution import evaluate
+
+        def _linearize_u(t):
+            return evaluate(linearize_sol, t).mean
+
     d = prob.d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_model(alg, prob.f, prob.jac, d, dtype)
@@ -345,7 +382,7 @@ def solve(
     maxiters: int = 100_000,
     dtmin: Optional[float] = None,
     taylor_method: str = "jvp",
-    _linearize_u=None,
+    linearize_sol=None,
 ) -> ProbODESolution:
     """Solve ``prob`` with a Gaussian ODE filter.
 
@@ -373,5 +410,5 @@ def solve(
 
     return _solve_adaptive_jit(
         prob, alg, abstol, reltol, dt0, int(max_steps), int(maxiters),
-        dtmin, True, taylor_method, _linearize_u,
+        dtmin, True, taylor_method, linearize_sol,
     )

@@ -1,0 +1,87 @@
+"""Smoothing behavior (`/root/reference/test/smoothing.jl`) and
+diffusion-model integration tests (`/root/reference/test/diffusions.jl`)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+import odefilters as odf
+
+
+def oracle(prob, ts):
+    r = solve_ivp(
+        lambda t, y: np.asarray(prob.f(y, prob.p, t)),
+        prob.tspan,
+        np.asarray(prob.u0),
+        t_eval=np.asarray(ts),
+        rtol=1e-12,
+        atol=1e-12,
+        method="LSODA",
+    )
+    return r.y.T
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+
+
+def test_smoothing_improves_or_matches(prob):
+    """Smoothed trajectory error <= ~2x filtered; endpoints equal, interior
+    differs (test/smoothing.jl:13-48)."""
+    sol = odf.solve_fixed(prob, odf.EK1(order=3), dt=0.05)
+    n = int(sol.n_steps)
+    ts = np.asarray(sol.ts[: n + 1])
+    ref = oracle(prob, ts)
+    filt = np.asarray(sol.x_filt.mean[: n + 1, :2])
+    smth = np.asarray(sol.x_smooth.mean[: n + 1, :2])
+    err_f = np.abs(filt - ref).sum()
+    err_s = np.abs(smth - ref).sum()
+    assert err_s <= 2 * err_f
+    # endpoints identical
+    np.testing.assert_allclose(filt[n], smth[n], rtol=1e-12)
+    np.testing.assert_allclose(filt[0], smth[0], rtol=1e-12)
+    # interior differs
+    assert np.abs(filt[1:n] - smth[1:n]).max() > 0
+
+
+@pytest.mark.parametrize(
+    "Alg,diffusion",
+    [
+        (odf.EK0, "dynamic"),
+        (odf.EK0, "dynamicMV"),
+        (odf.EK0, "fixed"),
+        (odf.EK0, "fixedMV"),
+        (odf.EK0, "fixedMAP"),
+    ],
+)
+def test_diffusion_models_solve_accurately(prob, Alg, diffusion):
+    """Each diffusion model solves FHN on a fine fixed grid to oracle
+    accuracy (test/diffusions.jl:8-37, dt there 1e-4; 2e-3 here —
+    single-core CI budget)."""
+    sol = odf.solve_fixed(prob, Alg(order=3, diffusionmodel=diffusion), dt=2e-3)
+    n = int(sol.n_steps)
+    ref = oracle(prob, np.asarray(sol.ts[: n + 1]))
+    np.testing.assert_allclose(
+        np.asarray(sol.u[: n + 1]), ref, rtol=1e-5, atol=1e-7
+    )
+
+
+def test_static_diffusion_recalibration(prob):
+    """Static models: sol.diffusions all equal the final estimate and ll is
+    NaN (integrator_utils.jl:4-18)."""
+    sol = odf.solve(prob, odf.EK0(order=3, diffusionmodel="fixed"),
+                    abstol=1e-8, reltol=1e-6)
+    n = int(sol.n_steps)
+    d = np.asarray(sol.diffusions[: n + 1])
+    assert np.allclose(d, d[0])
+    assert np.isnan(float(sol.log_likelihood))
+
+
+def test_dynamic_diffusions_vary(prob):
+    sol = odf.solve(prob, odf.EK0(order=3), abstol=1e-8, reltol=1e-6)
+    n = int(sol.n_steps)
+    d = np.asarray(sol.diffusions[1 : n + 1])
+    assert d.std() > 0
+    assert np.isfinite(float(sol.log_likelihood))
