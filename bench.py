@@ -46,9 +46,13 @@ def main():
     u0s = prob.u0 + 0.1 * jax.random.normal(key, (B, 2), dtype)
     ps = jnp.broadcast_to(prob.p, (B, 4)).astype(dtype)
 
+    from odefilters.kronsolve import solve_fixed_kron
+
     def run(u0s, ps):
-        sol = solve_ensemble(prob, alg, u0s, ps, ts=ts)
-        return sol.u
+        def one(u0, p):
+            sol = solve_fixed_kron(odf.remake(prob, u0=u0, p=p), alg, ts=ts)
+            return sol.u
+        return jax.vmap(one)(u0s, ps)
 
     t_tpu = _timeit(jax.jit(run), u0s, ps)
     solves_per_sec = B / t_tpu
@@ -59,10 +63,10 @@ def main():
         prob_c = odf.remake(prob)
         ts_c = jnp.linspace(tspan[0], tspan[1], N_STEPS + 1, dtype=dtype)
 
+        from odefilters.kronsolve import solve_fixed_kron as sfk
+
         def run_one(u0, p):
-            sol = odf.solve_fixed(
-                odf.remake(prob_c, u0=u0, p=p), alg, ts=ts_c
-            )
+            sol = sfk(odf.remake(prob_c, u0=u0, p=p), alg, ts=ts_c)
             return sol.u
 
         t_cpu = _timeit(

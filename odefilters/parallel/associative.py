@@ -1,0 +1,326 @@
+"""Time-parallel fixed-grid ODE filtering/smoothing via associative scans.
+
+The reference's hot loop is inherently sequential in time
+(`/root/reference/src/perform_step.jl:27`, backward pass
+`/root/reference/src/smoothing.jl:12-27`). On TPU we replace both with
+``lax.associative_scan`` over Sarkka-style conditional-Gaussian elements
+(S. Sarkka, A. F. Garcia-Fernandez, "Temporal Parallelization of Bayesian
+Smoothers", IEEE TAC 2021; see PAPERS.md), turning N sequential small-matrix
+steps into log2(N) rounds of large batched (N, D, D) matmuls that saturate
+the MXU.
+
+Because the measurement linearization point of an ODE filter depends on the
+(unknown) solution, the parallel solver is *iterated* (parallel IEKS, cf.
+Bosch et al., "Parallel-in-time probabilistic numerical ODE solvers"):
+
+    1. initialize a trajectory guess u_k (constant u0, or a coarse solve)
+    2. linearize the measurement  0 = E1 x - f(u) at u_k:
+       H_k = E1 - J_k E0,  y_k = f(u_k) - J_k u_k   (EK0: J_k = 0)
+    3. parallel-filter + parallel-smooth (associative scans)
+    4. u_k <- smoothed means; repeat.
+
+Calibration uses the global (static) MLE: covariances are rescaled by
+sigma^2 = (1/Nd) sum z_k^T S_k^-1 z_k after the last sweep, matching the
+reference's `FixedDiffusion` + postamble recalibration semantics
+(`/root/reference/src/diffusions.jl:11-36`,
+`/root/reference/src/integrator_utils.jl:4-18`).
+
+This backend works in plain covariance (not square-root) form: the
+associative combination needs matrix inverses either way, and on a fixed
+preconditioned grid f32/f64 conditioning is benign. Verified against the
+sequential square-root path in the test suite.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from odefilters.algorithms import AbstractEK
+from odefilters.priors import ibm, precond_full
+from odefilters.problem import ODEProblem
+from odefilters.taylor import taylor_coefficients
+
+
+def _T(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _solve(A, B):
+    """A^{-1} B for PSD-ish A (batched)."""
+    return jnp.linalg.solve(A, B)
+
+
+# --------------------------------------------------------------------------
+# Parallel Kalman filter (Sarkka & Garcia-Fernandez 2021, Lemmas 7-8)
+# --------------------------------------------------------------------------
+
+
+def _filter_element_first(m0, P0, F, Q, H, y):
+    """Element e_1: prior pushed through the first transition + update."""
+    m_pred = F @ m0
+    P_pred = F @ P0 @ _T(F) + Q
+    S = H @ P_pred @ _T(H)
+    K = _T(_solve(S, H @ P_pred))          # P_pred H^T S^-1
+    A = jnp.zeros_like(P_pred)
+    b = m_pred + K @ (y - H @ m_pred)
+    C = P_pred - K @ S @ _T(K)
+    eta = jnp.zeros_like(m0)
+    J = jnp.zeros_like(P_pred)
+    return A, b, C, eta, J
+
+
+def _filter_elements_rest(F, Q, H, y):
+    """Generic elements e_k, k >= 2 (batched over the time axis)."""
+    S = H @ Q @ _T(H)                      # R = 0
+    K = _T(_solve(S, H @ Q))               # Q H^T S^-1
+    I = jnp.eye(F.shape[-1], dtype=F.dtype)
+    IKH = I - K @ H
+    A = IKH @ F
+    b = (K @ y[..., None])[..., 0]
+    C = IKH @ Q
+    HtSi = _T(H) @ _solve(S, jnp.eye(S.shape[-1], dtype=F.dtype))
+    eta = (_T(F) @ HtSi @ y[..., None])[..., 0]
+    J = _T(F) @ HtSi @ H @ F
+    return A, b, C, eta, J
+
+
+def _filter_combine(ei, ej):
+    """Associative combination of filtering elements (paper eq. (10))."""
+    Ai, bi, Ci, etai, Ji = ei
+    Aj, bj, Cj, etaj, Jj = ej
+    D = Ai.shape[-1]
+    I = jnp.eye(D, dtype=Ai.dtype)
+    # (I + Ci Jj)^-1 applied from the right of Aj: use solves
+    M = I + Ci @ Jj
+    AjE = _T(_solve(_T(M), _T(Aj)))        # Aj (I + Ci Jj)^-1
+    A = AjE @ Ai
+    b = (AjE @ (bi[..., None] + Ci @ etaj[..., None]))[..., 0] + bj
+    C = AjE @ Ci @ _T(Aj) + Cj
+    N = I + Jj @ Ci
+    AtiE = _T(_solve(_T(N), Ai))           # Ai^T (I + Jj Ci)^-1
+    eta = (AtiE @ (etaj[..., None] - Jj @ bi[..., None]))[..., 0] + etai
+    J = AtiE @ Jj @ Ai + Ji
+    return A, b, C, eta, J
+
+
+def parallel_filter(m0, P0, F, Q, H, ys):
+    """All-time filtered means/covs in O(log N) depth.
+
+    Args are batched over time on axis 0 (F, Q may be broadcast from
+    constants); returns ``(ms, Ps)`` with shape (N, D) / (N, D, D) for the
+    N *post-transition* states x_1..x_N.
+    """
+    N = ys.shape[0]
+    D = m0.shape[-1]
+    F_ = jnp.broadcast_to(F, (N, D, D))
+    Q_ = jnp.broadcast_to(Q, (N, D, D))
+    e_rest = _filter_elements_rest(F_, Q_, H, ys)
+    e1 = _filter_element_first(m0, P0, F_[0], Q_[0], H[0], ys[0])
+    elems = tuple(
+        jnp.concatenate([a[None], rest[1:]], axis=0)
+        for a, rest in zip(e1, e_rest)
+    )
+    A, b, C, eta, J = jax.lax.associative_scan(_filter_combine, elems)
+    return b, C
+
+
+# --------------------------------------------------------------------------
+# Parallel RTS smoother (paper, Section IV)
+# --------------------------------------------------------------------------
+
+
+def _smooth_combine(suffix, elem):
+    """Associative combination for the reversed smoothing scan.
+
+    The smoothed state obeys the affine recursion
+    ``x^s_k = g_k + E_k x^s_{k+1}``; combining element k with the already-
+    combined suffix (k+1..N) composes the maps with k's gain outermost.
+    Under ``associative_scan(..., reverse=True)`` the first argument is the
+    later-in-time suffix.
+    """
+    Ea, ga, La = suffix
+    Eb, gb, Lb = elem
+    E = Eb @ Ea
+    g = gb + (Eb @ ga[..., None])[..., 0]
+    L = Lb + Eb @ La @ _T(Eb)
+    return E, g, L
+
+
+def parallel_smoother(ms, Ps, F, Q):
+    """Smoothed means/covs from filtered ones, in O(log N) depth."""
+    N, D = ms.shape
+    F_ = jnp.broadcast_to(F, (N - 1, D, D))
+    Q_ = jnp.broadcast_to(Q, (N - 1, D, D))
+    # gains for k = 0..N-2 (toward k+1)
+    P_pred = F_ @ Ps[:-1] @ _T(F_) + Q_
+    G = _T(_solve(P_pred, F_ @ Ps[:-1]))   # P_k F^T P_pred^-1
+    g = ms[:-1] - (G @ (F_ @ ms[:-1][..., None]))[..., 0]
+    L = Ps[:-1] - G @ F_ @ Ps[:-1]
+    # last element: identity-free terminal
+    E_last = jnp.zeros((1, D, D), dtype=ms.dtype)
+    g_last = ms[-1:][...]
+    L_last = Ps[-1:][...]
+    E = jnp.concatenate([G, E_last], axis=0)
+    gs = jnp.concatenate([g, g_last], axis=0)
+    Ls = jnp.concatenate([L, L_last], axis=0)
+    Er, gr, Lr = jax.lax.associative_scan(
+        _smooth_combine, (E, gs, Ls), reverse=True
+    )
+    return gr, Lr
+
+
+# --------------------------------------------------------------------------
+# The iterated parallel ODE filter/smoother
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("alg", "n_steps", "iterations", "taylor_method"))
+def _solve_parallel_jit(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    ts: jax.Array,
+    n_steps: int,
+    iterations: int,
+    taylor_method: str,
+    u_init=None,
+):
+    d, q = prob.d, alg.order
+    D = d * (q + 1)
+    dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
+    N = n_steps
+
+    # Uniform-grid preconditioned coordinates: constant A, Q across steps.
+    h = (ts[-1] - ts[0]) / N
+    A, QL = ibm(d, q, dtype=dtype)
+    Qm = QL @ QL.T
+    p_full, pinv_full = precond_full(h, d, q)
+
+    derivs = taylor_coefficients(
+        prob.f, prob.u0.astype(dtype), prob.p, ts[0], q, method=taylor_method
+    )
+    m0 = p_full * jnp.concatenate(derivs)      # preconditioned init
+    P0 = jnp.zeros((D, D), dtype)
+
+    E0 = jnp.zeros((d, D), dtype).at[:, :d].set(jnp.eye(d, dtype=dtype))
+    E1 = jnp.zeros((d, D), dtype).at[:, d : 2 * d].set(jnp.eye(d, dtype=dtype))
+    E0p = E0 * pinv_full[None, :]              # E0 P^-1
+    E1p = E1 * pinv_full[None, :]
+
+    f_v = jax.vmap(lambda u, t: prob.f(u, prob.p, t))
+    jac_v = (
+        jax.vmap(lambda u, t: prob.jac(u, prob.p, t))
+        if prob.jac is not None
+        else jax.vmap(lambda u, t: jax.jacfwd(lambda uu: prob.f(uu, prob.p, t))(u))
+    )
+
+    t_meas = ts[1:]
+
+    def build_elements(u_lin):
+        fu = f_v(u_lin, t_meas)                            # (N, d)
+        if alg.is_ek1:
+            J = jac_v(u_lin, t_meas)                       # (N, d, d)
+            H = E1p[None] - J @ E0p[None]
+            y = fu - (J @ u_lin[..., None])[..., 0]
+        else:
+            H = jnp.broadcast_to(E1p, (N, d, D))
+            y = fu
+        return H, y
+
+    if u_init is None:
+        u_guess = jnp.broadcast_to(prob.u0.astype(dtype), (N, d))
+    else:
+        u_guess = u_init.astype(dtype)
+
+    def sweep(u_lin, _):
+        H, y = build_elements(u_lin)
+        ms, Ps = parallel_filter(m0, P0, A, Qm, H, y)
+        ms_s, Ps_s = parallel_smoother(
+            jnp.concatenate([m0[None], ms], axis=0),
+            jnp.concatenate([P0[None], Ps], axis=0),
+            A, Qm,
+        )
+        u_new = pinv_full[None, :d] * ms_s[1:, :d]
+        return u_new, None
+
+    u_lin, _ = jax.lax.scan(sweep, u_guess, None, length=max(iterations - 1, 0))
+
+    # Final sweep keeps the full posterior + calibration statistics.
+    H, y = build_elements(u_lin)
+    ms, Ps = parallel_filter(m0, P0, A, Qm, H, y)
+    ms_all = jnp.concatenate([m0[None], ms], axis=0)
+    Ps_all = jnp.concatenate([P0[None], Ps], axis=0)
+    ms_s, Ps_s = parallel_smoother(ms_all, Ps_all, A, Qm)
+
+    # Global MLE diffusion from the innovations of the final linearization:
+    # z_k = H x_pred - y, S_k = H P_pred H^T (sigma^2=1 coordinates).
+    m_pred = (A[None] @ ms_all[:-1][..., None])[..., 0]
+    P_pred = A[None] @ Ps_all[:-1] @ _T(A)[None] + Qm[None]
+    z = (H @ m_pred[..., None])[..., 0] - y
+    S = H @ P_pred @ _T(H)
+    sigma2 = jnp.mean(
+        jnp.sum(z * jnp.linalg.solve(S, z[..., None])[..., 0], axis=-1)
+    ) / d
+
+    Ps_cal = sigma2 * Ps_s
+    # back to unpreconditioned coordinates
+    mean_out = pinv_full[None, :] * ms_s
+    cov_out = pinv_full[None, :, None] * Ps_cal * pinv_full[None, None, :]
+    u = mean_out[:, :d]
+    u_std = jnp.sqrt(
+        jnp.clip(jnp.diagonal(cov_out, axis1=-2, axis2=-1)[:, :d], 0.0)
+    )
+    return u, u_std, mean_out, cov_out, sigma2
+
+
+def solve_fixed_parallel(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    *,
+    dt: Optional[float] = None,
+    ts: Optional[jax.Array] = None,
+    iterations: int = 4,
+    taylor_method: str = "jvp",
+    warm_start: int = 0,
+):
+    """Time-parallel fixed-grid solve (uniform grid).
+
+    Returns ``(u, u_std, state_means, state_covs, sigma2)`` — posterior
+    means/stds at the grid, full smoothed states, and the calibrated global
+    diffusion. Select this backend for long fixed grids where log-depth
+    beats the sequential scan.
+    """
+    t0, t1 = prob.tspan
+    if ts is None:
+        if dt is None:
+            raise ValueError("solve_fixed_parallel requires dt or ts")
+        n = max(int(round(float(t1 - t0) / float(dt))), 1)
+        ts = jnp.linspace(t0, t1, n + 1)
+    ts = jnp.asarray(ts, dtype=jnp.result_type(prob.u0.dtype, jnp.float32))
+
+    u_init = None
+    if warm_start:
+        # Warm-start the linearization trajectory from a cheap sequential
+        # EK0-Kronecker solve on a `warm_start`-times-coarser grid,
+        # linearly interpolated onto the fine grid. Cuts the Picard-type
+        # EK0 iteration count from ~30 to a handful.
+        from odefilters.algorithms import EK0
+        from odefilters.kronsolve import solve_fixed_kron
+
+        ts_c = ts[:: int(warm_start)]
+        ts_c = jnp.concatenate([ts_c, ts[-1:]]) if ts_c[-1] != ts[-1] else ts_c
+        coarse = solve_fixed_kron(
+            prob, EK0(order=min(alg.order, 3), smooth=True), ts=ts_c
+        )
+        u_init = jax.vmap(
+            lambda tv: jnp.stack(
+                [jnp.interp(tv, ts_c, coarse.u[:, i]) for i in range(prob.d)]
+            )
+        )(ts[1:])
+
+    return _solve_parallel_jit(
+        prob, alg, ts, ts.shape[0] - 1, int(iterations), taylor_method, u_init
+    )

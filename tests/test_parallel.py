@@ -1,0 +1,122 @@
+"""Time-parallel associative-scan filtering/smoothing and ensemble
+sharding tests (the reference has no parallel subsystem to mirror;
+SURVEY.md §2 'Parallelism & communication' defines the requirements)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import odefilters as odf
+from odefilters.parallel.associative import (
+    parallel_filter,
+    parallel_smoother,
+    solve_fixed_parallel,
+)
+
+
+def _sequential_kf(m0, P0, F, Q, H, y):
+    ms, Ps = [], []
+    m, P = np.asarray(m0), np.asarray(P0)
+    for k in range(y.shape[0]):
+        m = F @ m
+        P = F @ P @ F.T + Q
+        S = H[k] @ P @ H[k].T
+        K = P @ H[k].T @ np.linalg.inv(S)
+        m = m + K @ (y[k] - H[k] @ m)
+        P = P - K @ S @ K.T
+        ms.append(m.copy())
+        Ps.append(P.copy())
+    return np.array(ms), np.array(Ps)
+
+
+def test_parallel_filter_matches_sequential_kf(rng):
+    D, d, N = 4, 2, 16
+    F = rng.standard_normal((D, D)) * 0.4 + np.eye(D) * 0.5
+    Q = (lambda M: M @ M.T + 0.1 * np.eye(D))(rng.standard_normal((D, D)) * 0.3)
+    H = rng.standard_normal((N, d, D))
+    y = rng.standard_normal((N, d))
+    m0 = rng.standard_normal(D)
+    P0 = (lambda M: M @ M.T)(rng.standard_normal((D, D)) * 0.2)
+
+    ms_ref, Ps_ref = _sequential_kf(m0, P0, F, Q, H, y)
+    ms, Ps = parallel_filter(
+        jnp.asarray(m0), jnp.asarray(P0), jnp.asarray(F), jnp.asarray(Q),
+        jnp.asarray(H), jnp.asarray(y),
+    )
+    np.testing.assert_allclose(ms, ms_ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(Ps, Ps_ref, rtol=1e-9, atol=1e-11)
+
+    # sequential RTS reference
+    ms_all = np.concatenate([m0[None], ms_ref])
+    Ps_all = np.concatenate([P0[None], Ps_ref])
+    ms_s, Ps_s = ms_all.copy(), Ps_all.copy()
+    for k in range(N - 1, -1, -1):
+        Pp = F @ Ps_all[k] @ F.T + Q
+        G = Ps_all[k] @ F.T @ np.linalg.inv(Pp)
+        ms_s[k] = ms_all[k] + G @ (ms_s[k + 1] - F @ ms_all[k])
+        Ps_s[k] = Ps_all[k] + G @ (Ps_s[k + 1] - Pp) @ G.T
+
+    msp, Psp = parallel_smoother(
+        jnp.concatenate([jnp.asarray(m0)[None], ms]),
+        jnp.concatenate([jnp.asarray(P0)[None], Ps]),
+        jnp.asarray(F), jnp.asarray(Q),
+    )
+    np.testing.assert_allclose(msp, ms_s, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(Psp, Ps_s, rtol=1e-9, atol=1e-11)
+
+
+def test_parallel_ek1_matches_sequential(rng):
+    """Converged parallel IEKS == sequential EK1(fixed) on a fixed grid."""
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    sd = odf.solve_fixed(prob, odf.EK1(order=3, diffusionmodel="fixed"), dt=0.04)
+    u, u_std, _, _, s2 = solve_fixed_parallel(
+        prob, odf.EK1(order=3), dt=0.04, iterations=8
+    )
+    n = int(sd.n_steps)
+    np.testing.assert_allclose(u, sd.u[: n + 1], rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(u_std, sd.pu.std[: n + 1], rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(float(s2), float(sd.diffusions[n]), rtol=0.05)
+
+
+def test_parallel_ek0_converges(rng):
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    sd = odf.solve_fixed(prob, odf.EK0(order=2, diffusionmodel="fixed"), dt=0.02)
+    u, *_ = solve_fixed_parallel(prob, odf.EK0(order=2), dt=0.02, iterations=25)
+    n = int(sd.n_steps)
+    np.testing.assert_allclose(u, sd.u[: n + 1], rtol=1e-4, atol=1e-5)
+
+
+def test_ensemble_sharded_over_mesh(rng):
+    """8-virtual-device mesh: ensemble sharded over 'ens', results match the
+    unsharded vmap bit-for-bit."""
+    from odefilters.parallel.sharding import ensemble_mesh, solve_ensemble
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 0.5))
+    assert len(jax.devices()) == 8
+    mesh = ensemble_mesh(8)
+    B = 16
+    u0s = jnp.asarray(
+        prob.u0 + 0.05 * rng.standard_normal((B, 2)), dtype=jnp.float64
+    )
+    ps = jnp.broadcast_to(prob.p, (B, 4))
+    ts = jnp.linspace(0.0, 0.5, 17)
+    alg = odf.EK1(order=2)
+    sol_sharded = solve_ensemble(prob, alg, u0s, ps, ts=ts, mesh=mesh)
+    sol_local = solve_ensemble(prob, alg, u0s, ps, ts=ts)
+    np.testing.assert_allclose(sol_sharded.u, sol_local.u, rtol=1e-12)
+    assert sol_sharded.u.shape == (B, 17, 2)
+    # each member actually solved (finite + distinct)
+    assert np.all(np.isfinite(np.asarray(sol_sharded.u)))
+    assert np.std(np.asarray(sol_sharded.u[:, -1, 0])) > 0
+
+
+def test_kron_matches_dense():
+    """EK0 Kronecker fast path == dense path to roundoff."""
+    from odefilters.kronsolve import solve_fixed_kron
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    sk = solve_fixed_kron(prob, odf.EK0(order=3), dt=0.05)
+    sd = odf.solve_fixed(prob, odf.EK0(order=3), dt=0.05)
+    np.testing.assert_allclose(sk.u, sd.u, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(sk.u_std, sd.pu.std, rtol=1e-8, atol=1e-12)
