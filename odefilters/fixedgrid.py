@@ -26,8 +26,7 @@ from odefilters.step import attempt_step, make_model
 from odefilters.taylor import initial_state
 
 
-@partial(jax.jit, static_argnames=("alg", "n_steps", "taylor_method", "calibrate_errors"))
-def _solve_fixed_jit(
+def _solve_fixed_impl(
     prob: ODEProblem,
     alg: AbstractEK,
     ts: jax.Array,
@@ -82,6 +81,10 @@ def _solve_fixed_jit(
     return _postprocess(
         model, prob, ts, x_filt, diff_buf, n, ll, sigma2_last, stats, retcode
     )
+
+
+_solve_fixed_jit = partial(jax.jit, static_argnames=(
+    "alg", "n_steps", "taylor_method", "calibrate_errors"))(_solve_fixed_impl)
 
 
 def solve_fixed(

@@ -17,7 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
 
 from odefilters.algorithms import AbstractEK
 from odefilters.problem import ODEProblem, remake
@@ -32,15 +32,23 @@ def ensemble_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return jax.make_mesh((len(devices),), (ENS_AXIS,), devices=devices)
+    # AxisType.Auto keeps classic GSPMD propagation; jax.make_mesh defaults
+    # to Explicit axes (sharding-in-types), which forces every
+    # scalar-broadcast op in the solver to name its sharding.
+    import numpy as _np
+
+    return Mesh(_np.asarray(devices), (ENS_AXIS,), axis_types=(AxisType.Auto,))
 
 
 def _ensemble_solve_fn(prob: ODEProblem, alg: AbstractEK, ts, abstol, reltol):
-    from odefilters.fixedgrid import solve_fixed
+    # The un-jitted impl: nesting jit under a sharded outer jit confuses
+    # axis-name resolution; the outer jit compiles the whole thing anyway.
+    from odefilters.fixedgrid import _solve_fixed_impl
 
     def one(u0, p):
-        return solve_fixed(
-            remake(prob, u0=u0, p=p), alg, ts=ts, abstol=abstol, reltol=reltol
+        return _solve_fixed_impl(
+            remake(prob, u0=u0, p=p), alg, ts, abstol, reltol,
+            ts.shape[0] - 1, "jvp", True,
         )
 
     return jax.vmap(one)
@@ -66,10 +74,13 @@ def solve_ensemble(
     fn = _ensemble_solve_fn(prob, alg, ts, abstol, reltol)
     if mesh is None:
         return jax.jit(fn)(u0s, ps)
+    # Committed sharded inputs drive GSPMD partitioning; passing explicit
+    # in_shardings would also constrain trace-time sharding propagation,
+    # which chokes on scalar-broadcast ops inside the solver.
     sh = NamedSharding(mesh, P(ENS_AXIS))
     u0s = jax.device_put(u0s, sh)
     ps = jax.device_put(ps, sh)
-    return jax.jit(fn, in_shardings=(sh, sh))(u0s, ps)
+    return jax.jit(fn)(u0s, ps)
 
 
 def solve_ensemble_adaptive(
@@ -85,18 +96,24 @@ def solve_ensemble_adaptive(
 ) -> ProbODESolution:
     """Adaptive-step ensemble: vmapped while_loop (members that finish
     early mask out; the batch runs until the slowest member lands)."""
-    from odefilters.solve import solve
+    from odefilters.solve import _solve_adaptive_impl, initial_dt
 
     def one(u0, p):
-        return solve(
-            remake(prob, u0=u0, p=p), alg,
-            abstol=abstol, reltol=reltol, max_steps=max_steps,
+        pr = remake(prob, u0=u0, p=p)
+        dt0 = initial_dt(pr, alg.order, abstol, reltol)
+        t0, t1 = pr.tspan
+        return _solve_adaptive_impl(
+            pr, alg, abstol, reltol, dt0, max_steps, 100_000,
+            1e-14 * (t1 - t0), True, "jvp", None,
         )
 
     fn = jax.vmap(one)
     if mesh is None:
         return jax.jit(fn)(u0s, ps)
+    # Committed sharded inputs drive GSPMD partitioning; passing explicit
+    # in_shardings would also constrain trace-time sharding propagation,
+    # which chokes on scalar-broadcast ops inside the solver.
     sh = NamedSharding(mesh, P(ENS_AXIS))
     u0s = jax.device_put(u0s, sh)
     ps = jax.device_put(ps, sh)
-    return jax.jit(fn, in_shardings=(sh, sh))(u0s, ps)
+    return jax.jit(fn)(u0s, ps)

@@ -164,6 +164,8 @@ def _make_loop_fns(
     maxiters: int,
     dtmin,
     linearize_u=None,
+    callback=None,
+    tstops=None,
 ):
     """Build the (cond, body) of the adaptive loop; shared by the full
     while-loop solve and the incremental `init`/`step` integrator API."""
@@ -182,8 +184,14 @@ def _make_loop_fns(
         )
 
     def body(c: _Carry):
-        reach_end = c.t + c.dt >= t1
-        dt_eff = jnp.where(reach_end, t1 - c.t, c.dt)
+        dt_want = c.dt
+        if tstops is not None:
+            # land exactly on the next tstop (host-framework tstops
+            # semantics; needed for discontinuous forcing)
+            nxt = tstops[jnp.searchsorted(tstops, c.t, side="right")]
+            dt_want = jnp.minimum(dt_want, nxt - c.t)
+        reach_end = c.t + dt_want >= t1
+        dt_eff = jnp.where(reach_end, t1 - c.t, dt_want)
         t_new = jnp.where(reach_end, jnp.asarray(t1, dtype), c.t + dt_eff)
 
         res = attempt_step(
@@ -209,8 +217,27 @@ def _make_loop_fns(
         L_buf = c.L_buf.at[wi].set(res.x_filt.chol, mode="drop")
         diff_buf = c.diff_buf.at[wi].set(res.sigma2_global, mode="drop")
 
+        x_next = res.x_filt
+        u_next = res.u_filt
+        if callback is not None:
+            # Fire after an accepted step; save the post-affect state as a
+            # duplicate-time row (dt == 0), mirroring the host framework.
+            fired = accept & callback.condition(res.u_filt, t_new, prob.p)
+            x_aff = callback.affect(res.x_filt, t_new, prob.p)
+            wi2 = jnp.where(fired, k + 1, N1)
+            ts_buf = ts_buf.at[wi2].set(t_new, mode="drop")
+            u_buf = u_buf.at[wi2].set(x_aff.mean[..., : model.d], mode="drop")
+            m_buf = m_buf.at[wi2].set(x_aff.mean, mode="drop")
+            L_buf = L_buf.at[wi2].set(x_aff.chol, mode="drop")
+            diff_buf = diff_buf.at[wi2].set(res.sigma2_global, mode="drop")
+            x_next = jax.tree.map(
+                lambda a, b: jnp.where(fired, a, b), x_aff, res.x_filt
+            )
+            u_next = jnp.where(fired, x_aff.mean[..., : model.d], res.u_filt)
+            k = jnp.where(fired, k + 1, k)
+
         x_new = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), res.x_filt, c.x
+            lambda a, b: jnp.where(accept, a, b), x_next, c.x
         )
         st = c.stats
         stats = DEStats(
@@ -223,7 +250,7 @@ def _make_loop_fns(
             t=jnp.where(accept, t_new, c.t),
             dt=dt_new,
             x=x_new,
-            u=jnp.where(accept, res.u_filt, c.u),
+            u=jnp.where(accept, u_next, c.u),
             qold=jnp.where(accept, qold_acc, c.qold),
             sigma2=jnp.where(accept, res.sigma2_global, c.sigma2),
             ll=jnp.where(accept, c.ll + res.log_likelihood, c.ll),
@@ -252,11 +279,14 @@ def _adaptive_loop(
     maxiters: int,
     dtmin,
     linearize_u=None,
+    callback=None,
+    tstops=None,
 ):
     t1 = prob.tspan[1]
     carry0 = _init_carry(model, prob, x0, dt0, max_steps)
     cond, body = _make_loop_fns(
-        model, prob, abstol, reltol, max_steps, maxiters, dtmin, linearize_u
+        model, prob, abstol, reltol, max_steps, maxiters, dtmin, linearize_u,
+        callback, tstops,
     )
     c = jax.lax.while_loop(cond, body, carry0)
 
@@ -323,13 +353,7 @@ def _postprocess(
 # --------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "alg", "max_steps", "maxiters", "adaptive", "taylor_method",
-    ),
-)
-def _solve_adaptive_jit(
+def _solve_adaptive_impl(
     prob: ODEProblem,
     alg: AbstractEK,
     abstol,
@@ -341,6 +365,8 @@ def _solve_adaptive_jit(
     adaptive: bool,
     taylor_method: str,
     linearize_sol,
+    callback=None,
+    tstops=None,
 ):
     # IEKS hook: linearize the EK1 measurement at the previous smoothed
     # posterior mean (`perform_step.jl:111-113`). linearize_sol is a
@@ -362,12 +388,20 @@ def _solve_adaptive_jit(
     )
     carry, retcode = _adaptive_loop(
         model, prob, x0, dt0, abstol, reltol, max_steps, maxiters, dtmin,
-        linearize_u=_linearize_u,
+        linearize_u=_linearize_u, callback=callback, tstops=tstops,
     )
     return _postprocess(
         model, prob, carry.ts_buf, Gaussian(carry.m_buf, carry.L_buf),
         carry.diff_buf, carry.n, carry.ll, carry.sigma2, carry.stats, retcode,
     )
+
+
+_solve_adaptive_jit = partial(
+    jax.jit,
+    static_argnames=(
+        "alg", "max_steps", "maxiters", "adaptive", "taylor_method", "callback",
+    ),
+)(_solve_adaptive_impl)
 
 
 def solve(
@@ -383,6 +417,8 @@ def solve(
     dtmin: Optional[float] = None,
     taylor_method: str = "jvp",
     linearize_sol=None,
+    callback=None,
+    tstops=None,
 ) -> ProbODESolution:
     """Solve ``prob`` with a Gaussian ODE filter.
 
@@ -408,7 +444,13 @@ def solve(
     if dtmin is None:
         dtmin = 1e-14 * (t1 - t0)
 
+    if tstops is not None:
+        # pad with t1 so the searchsorted lookup always lands in-bounds
+        tstops = jnp.sort(jnp.concatenate(
+            [jnp.asarray(tstops, dtype=jnp.result_type(prob.u0.dtype, jnp.float32)).ravel(),
+             jnp.asarray([t1, t1])]
+        ))
     return _solve_adaptive_jit(
         prob, alg, abstol, reltol, dt0, int(max_steps), int(maxiters),
-        dtmin, True, taylor_method, linearize_sol,
+        dtmin, True, taylor_method, linearize_sol, callback, tstops,
     )

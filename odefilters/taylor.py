@@ -49,13 +49,20 @@ def taylor_coefficients_jvp(
     ``F_1 = g`` and ``F_{k+1}(x) = jvp(F_k; x; g(x))`` gives
     ``d^k x / dt^k = F_k(x0)`` along the flow of ``x' = g(x)``.
     """
-    g = _augment(f, p)
+    # The augmented autonomous system is handled as a (u, t) pytree rather
+    # than a concatenated vector: concatenation of a batched state with a
+    # scalar constant trips sharding propagation under sharded vmap.
     t0 = jnp.asarray(t0, dtype=u0.dtype)
-    x0 = jnp.concatenate([u0, t0[None]])
+
+    def g(ut):
+        u, t = ut
+        return f(u, p, t), jnp.ones_like(t)
+
+    x0 = (u0, t0)
     derivs = [u0]
     Fk = g
     for _ in range(q):
-        derivs.append(Fk(x0)[:-1])
+        derivs.append(Fk(x0)[0])
         Fk_prev = Fk
         Fk = lambda x, _F=Fk_prev: jax.jvp(_F, (x,), (g(x),))[1]
     return derivs
