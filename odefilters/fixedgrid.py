@@ -26,7 +26,14 @@ from odefilters.step import attempt_step, make_model
 from odefilters.taylor import initial_state
 
 
-def _solve_fixed_impl(
+def _solve_fixed_impl(*args, **kwargs):
+    from odefilters.linalg import highest_precision
+
+    with highest_precision():
+        return _solve_fixed_impl_inner(*args, **kwargs)
+
+
+def _solve_fixed_impl_inner(
     prob: ODEProblem,
     alg: AbstractEK,
     ts: jax.Array,
@@ -83,8 +90,12 @@ def _solve_fixed_impl(
     )
 
 
-_solve_fixed_jit = partial(jax.jit, static_argnames=(
-    "alg", "n_steps", "taylor_method", "calibrate_errors"))(_solve_fixed_impl)
+@partial(jax.jit, static_argnames=("alg", "n_steps", "taylor_method", "calibrate_errors"))
+def _solve_fixed_jit(prob, alg, ts, abstol, reltol, n_steps, taylor_method,
+                     calibrate_errors):
+    return _solve_fixed_impl(
+        prob, alg, ts, abstol, reltol, n_steps, taylor_method, calibrate_errors
+    )
 
 
 def solve_fixed(

@@ -84,7 +84,16 @@ def _block_std(chol: jax.Array, mean: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("alg", "n_steps", "taylor_method"))
-def _solve_fixed_kron_jit(
+def _solve_fixed_kron_jit(prob, alg, ts, abstol, reltol, n_steps, taylor_method):
+    from odefilters.linalg import highest_precision
+
+    with highest_precision():
+        return _solve_fixed_kron_jit_inner(
+            prob, alg, ts, abstol, reltol, n_steps, taylor_method
+        )
+
+
+def _solve_fixed_kron_jit_inner(
     prob: ODEProblem,
     alg: AbstractEK,
     ts: jax.Array,

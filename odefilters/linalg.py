@@ -182,3 +182,16 @@ def assert_nonnegative_diagonal(chol: jax.Array) -> jax.Array:
     numerically but kept for API parity with the reference's sanitizer.
     """
     return jnp.sum(chol * chol, axis=-1)
+
+
+def highest_precision():
+    """Context: full-f32 matmuls on TPU.
+
+    TPU XLA lowers f32 matmuls to bf16 MXU passes by default, which wrecks
+    solver accuracy (observed ~0.27 trajectory error on FHN vs ~2e-6 with
+    full precision). Every solver entry point runs under this context; the
+    Pallas kernels are unaffected (pure VPU code).
+    """
+    import jax
+
+    return jax.default_matmul_precision("highest")

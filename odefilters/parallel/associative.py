@@ -179,7 +179,17 @@ def parallel_smoother(ms, Ps, F, Q):
 
 
 @partial(jax.jit, static_argnames=("alg", "n_steps", "iterations", "taylor_method"))
-def _solve_parallel_jit(
+def _solve_parallel_jit(prob, alg, ts, n_steps, iterations, taylor_method,
+                        u_init=None):
+    from odefilters.linalg import highest_precision
+
+    with highest_precision():
+        return _solve_parallel_jit_inner(
+            prob, alg, ts, n_steps, iterations, taylor_method, u_init
+        )
+
+
+def _solve_parallel_jit_inner(
     prob: ODEProblem,
     alg: AbstractEK,
     ts: jax.Array,

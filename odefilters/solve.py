@@ -353,7 +353,14 @@ def _postprocess(
 # --------------------------------------------------------------------------
 
 
-def _solve_adaptive_impl(
+def _solve_adaptive_impl(*args, **kwargs):
+    from odefilters.linalg import highest_precision
+
+    with highest_precision():
+        return _solve_adaptive_impl_inner(*args, **kwargs)
+
+
+def _solve_adaptive_impl_inner(
     prob: ODEProblem,
     alg: AbstractEK,
     abstol,
@@ -396,12 +403,19 @@ def _solve_adaptive_impl(
     )
 
 
-_solve_adaptive_jit = partial(
+@partial(
     jax.jit,
     static_argnames=(
         "alg", "max_steps", "maxiters", "adaptive", "taylor_method", "callback",
     ),
-)(_solve_adaptive_impl)
+)
+def _solve_adaptive_jit(prob, alg, abstol, reltol, dt0, max_steps, maxiters,
+                        dtmin, adaptive, taylor_method, linearize_sol,
+                        callback=None, tstops=None):
+    return _solve_adaptive_impl(
+        prob, alg, abstol, reltol, dt0, max_steps, maxiters, dtmin, adaptive,
+        taylor_method, linearize_sol, callback, tstops,
+    )
 
 
 def solve(

@@ -1,0 +1,124 @@
+"""Pallas fused kernel (interpret mode on CPU), callbacks, serialization,
+work-precision harness, and gradient golden tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import odefilters as odf
+
+
+def test_pallas_ek0_matches_kron_interpret():
+    """The fused Pallas EK0 kernel reproduces the XLA Kronecker path to
+    roundoff (covariance vs square-root form, f64, interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.kronsolve import solve_fixed_kron
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, T = pk.BLOCK, 40
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        us, stds = pk.solve_ensemble_ek0_pallas(
+            prob.f, u0s, ps, prob.tspan, T, q=3
+        )
+    ts = jnp.linspace(0.0, 2.0, T + 1)
+    for idx in [0, 17]:
+        sk = solve_fixed_kron(
+            odf.remake(prob, u0=u0s[idx], p=ps[idx]),
+            odf.EK0(order=3, smooth=False), ts=ts,
+        )
+        np.testing.assert_allclose(us[:, :, idx], sk.u, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(
+            stds[:, idx], sk.u_std[:, 0], rtol=1e-8, atol=1e-12
+        )
+
+
+def test_callback_impulse_with_tstop():
+    """DiscreteCallback + tstops: event lands exactly, post-affect state
+    saved as a dt==0 duplicate (test/specific_problems.jl:69-111 analogue)."""
+    from odefilters.callbacks import DiscreteCallback
+    from odefilters.ops.filtering import condition_on
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+
+    def cond_fn(u, t, p):
+        return t == 1.0
+
+    def affect(x, t, p):
+        D = x.mean.shape[-1]
+        H = jnp.zeros((1, D)).at[0, 1].set(1.0)
+        return condition_on(x, H, jnp.array([0.25]))
+
+    cb = DiscreteCallback(cond_fn, affect)
+    sol = odf.solve(
+        prob, odf.EK1(order=3), abstol=1e-8, reltol=1e-6,
+        callback=cb, tstops=jnp.array([1.0]),
+    )
+    n = int(sol.n_steps)
+    ts = np.asarray(sol.ts[: n + 1])
+    i = int(np.searchsorted(ts, 1.0))
+    assert ts[i] == 1.0 and ts[i + 1] == 1.0  # duplicate saved
+    # post-affect value survives (smoothing copies across dt==0 rows)
+    np.testing.assert_allclose(float(sol.u[i + 1, 1]), 0.25, atol=1e-8)
+    assert np.all(np.isfinite(np.asarray(sol.u[: n + 1])))
+    assert sol.retcode_name == "Success"
+
+
+def test_solution_save_load(tmp_path):
+    from odefilters.utils.serialization import load_solution, save_solution
+
+    prob = odf.models.logistic()
+    sol = odf.solve(prob, odf.EK0(order=2), abstol=1e-8, reltol=1e-6)
+    path = str(tmp_path / "sol.npz")
+    save_solution(path, sol)
+    sol2 = load_solution(path, prob)
+    np.testing.assert_allclose(sol2.u, sol.u)
+    np.testing.assert_allclose(sol2.ts, sol.ts)
+    assert sol2.alg == sol.alg
+    # dense output works on the reloaded solution
+    g = sol2(jnp.asarray(1.5))
+    np.testing.assert_allclose(g.mean, sol(jnp.asarray(1.5)).mean)
+
+
+def test_work_precision_monotone():
+    from odefilters.workprecision import work_precision
+
+    prob = odf.models.logistic()
+    wp = work_precision(
+        prob, odf.EK1(order=3),
+        tols=((1e-4, 1e-2), (1e-8, 1e-6)), timing_iters=1,
+    )
+    errs = [p.error_l2 for p in wp.points]
+    steps = [p.n_steps for p in wp.points]
+    assert errs[1] < errs[0]
+    assert steps[1] > steps[0]
+
+
+def test_grad_golden_finite_differences():
+    """jax gradients through the solver vs central finite differences
+    (the ForwardDiff golden test, test/specific_problems.jl:141-156)."""
+    prob = odf.models.logistic(u0=(0.1,), p=(2.0,), tspan=(0.0, 1.0))
+
+    def loss(p):
+        sol = odf.solve_fixed(odf.remake(prob, p=p), odf.EK1(order=2), dt=0.05)
+        return sol.u[-1, 0]
+
+    g = jax.grad(loss)(prob.p)
+    eps = 1e-6
+    fd = (loss(prob.p + eps) - loss(prob.p - eps)) / (2 * eps)
+    np.testing.assert_allclose(g[0], fd, rtol=1e-5)
+
+
+def test_remake_with_jac():
+    from odefilters.jacobians import remake_with_jac
+
+    prob = remake_with_jac(odf.models.logistic())
+    J = prob.jac(jnp.asarray([0.3]), prob.p, 0.0)
+    np.testing.assert_allclose(J, [[float(prob.p[0]) * (1 - 2 * 0.3)]], rtol=1e-12)
+    sol = odf.solve(prob, odf.EK1(order=2), abstol=1e-8, reltol=1e-6)
+    assert sol.retcode_name == "Success"
