@@ -1,0 +1,184 @@
+"""Run the full BASELINE.md benchmark config set; write benchmarks/results.json.
+
+Configs (BASELINE.md / BASELINE.json):
+  1. FitzHugh-Nagumo, EK0(1), abstol=1e-1 reltol=1e-2 (README example)
+  2. Lotka-Volterra, EK1(3), adaptive + dynamic diffusion
+  3. Van der Pol stiff (mu=1e5), EK1(5) + smoothing + sampling
+  4. Brusselator 2D (~1e4 states), EK0 Kronecker
+  5. 8192-member FHN ensemble, fixed grid (fused Pallas kernel +
+     time-parallel associative-scan smoother variant)
+
+Accuracy oracles are pure-numpy scipy solves (never route the oracle RHS
+through the remote TPU). Usage: python benchmarks/run_all.py [--quick]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    return float(jnp.sum(x))
+
+
+def _time(fn, *args, iters=5):
+    _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _np_rhs(prob):
+    import odefilters as odf  # noqa
+
+    cpu = jax.devices("cpu")[0]
+    p_np = np.asarray(prob.p, dtype=np.float64)
+
+    def f(t, y):
+        with jax.default_device(cpu):
+            return np.asarray(prob.f(jnp.asarray(y), jnp.asarray(p_np), t))
+
+    return f
+
+
+def oracle(prob, ts, stiff=False):
+    from scipy.integrate import solve_ivp
+
+    kwargs = {}
+    if stiff and prob.jac is not None:
+        cpu = jax.devices("cpu")[0]
+
+        def jac(t, y):
+            with jax.default_device(cpu):
+                return np.asarray(prob.jac(jnp.asarray(y), prob.p, t))
+
+        kwargs["jac"] = jac
+    r = solve_ivp(
+        _np_rhs(prob), prob.tspan, np.asarray(prob.u0, dtype=np.float64),
+        t_eval=np.asarray(ts, dtype=np.float64), rtol=1e-12, atol=1e-12,
+        method="BDF" if stiff else "LSODA", **kwargs,
+    )
+    return r.y.T
+
+
+def main(quick=False):
+    import odefilters as odf
+    from odefilters import sampling
+    from odefilters.kronsolve import solve_fixed_kron
+    from odefilters.ops import pallas_kernels as pk
+
+    cpu = jax.devices("cpu")[0]
+    results = {}
+
+    # ---------------- config 1: FHN EK0(1) README example ----------------
+    with jax.default_device(cpu):
+        prob = odf.models.fitzhugh_nagumo()
+        t = _time(
+            lambda: odf.solve(prob, odf.EK0(order=1), abstol=1e-1, reltol=1e-2).u,
+            iters=3,
+        )
+        sol = odf.solve(prob, odf.EK0(order=1), abstol=1e-1, reltol=1e-2)
+        n = int(sol.n_steps)
+        err = np.abs(
+            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1])
+        ).max()
+        results["fhn_ek0_1"] = {
+            "steps": n, "runtime_s": t, "max_error": float(err),
+            "steps_per_sec": n / t,
+        }
+
+    # ---------------- config 2: Lotka-Volterra EK1(3) adaptive -----------
+    with jax.default_device(cpu):
+        prob = odf.models.lotka_volterra()
+        alg = odf.EK1(order=3)
+        t = _time(lambda: odf.solve(prob, alg, abstol=1e-8, reltol=1e-6).u, iters=3)
+        sol = odf.solve(prob, alg, abstol=1e-8, reltol=1e-6)
+        n = int(sol.n_steps)
+        err = np.abs(
+            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1])
+        ).max()
+        results["lv_ek1_3"] = {
+            "steps": n, "runtime_s": t, "max_error": float(err),
+            "steps_per_sec": n / t,
+        }
+
+    # ------------- config 3: stiff VdP EK1(5)+smooth+sampling ------------
+    with jax.default_device(cpu):
+        prob = odf.models.van_der_pol(mu=1e5, tspan=(0.0, 0.5))
+        alg = odf.EK1(order=5)
+        sol = odf.solve(prob, alg, abstol=1e-7, reltol=1e-5, max_steps=8192)
+        n = int(sol.n_steps)
+        err = np.abs(
+            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1], stiff=True)
+        ).max()
+        t = _time(
+            lambda: odf.solve(prob, alg, abstol=1e-7, reltol=1e-5, max_steps=8192).u,
+            iters=2,
+        )
+        samp = sampling.sample(jax.random.PRNGKey(0), sol, 10)
+        results["vdp_stiff_ek1_5"] = {
+            "steps": n, "runtime_s": t, "max_error": float(err),
+            "steps_per_sec": n / t,
+            "samples_finite": bool(np.isfinite(np.asarray(samp)).all()),
+        }
+
+    # ------------- config 4: Brusselator 2D, EK0 Kronecker ---------------
+    with jax.default_device(cpu):
+        N = 16 if quick else 70
+        prob = odf.models.brusselator_2d(N=N, tspan=(0.0, 0.01))
+        dt = 1e-5
+        t = _time(
+            lambda: solve_fixed_kron(prob, odf.EK0(order=3), dt=dt).u, iters=2
+        )
+        sol = solve_fixed_kron(prob, odf.EK0(order=3), dt=dt)
+        results["brusselator_2d"] = {
+            "d_states": prob.d, "steps": int(sol.n_steps), "runtime_s": t,
+            "steps_per_sec": int(sol.n_steps) / t,
+            "finite": bool(np.isfinite(np.asarray(sol.u)).all()),
+        }
+
+    # ------- config 5: 8192 FHN ensemble (Pallas kernel, on TPU) ---------
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
+    B, T = 8192, 500
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.1 * jax.random.normal(key, (B, 2))).astype(jnp.float32)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float32)
+
+    @jax.jit
+    def run(u0s, ps):
+        us, stds = pk.solve_ensemble_ek0_pallas(prob.f, u0s, ps, prob.tspan, T, q=3)
+        return us[-1].sum() + stds[-1].sum()
+
+    t = _time(run, u0s, ps, iters=10)
+    results["ensemble_8192_pallas"] = {
+        "B": B, "grid_steps": T, "runtime_s": t,
+        "solves_per_sec": B / t, "filter_steps_per_sec": B * T / t,
+        "device": str(jax.devices()[0]),
+    }
+
+    # time-parallel associative-scan smoother variant (same config, 1 solve)
+    from odefilters.parallel.associative import solve_fixed_parallel
+
+    with jax.default_device(cpu):
+        prob_c = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
+        t = _time(
+            lambda: solve_fixed_parallel(prob_c, odf.EK1(order=3), dt=0.04,
+                                         iterations=4)[0],
+            iters=2,
+        )
+        results["parallel_assoc_scan_ek1"] = {"grid_steps": 500, "runtime_s": t}
+
+    out = json.dumps(results, indent=2)
+    print(out)
+    with open("benchmarks/results.json", "w") as fh:
+        fh.write(out)
+
+
+if __name__ == "__main__":
+    main(quick="--quick" in sys.argv)

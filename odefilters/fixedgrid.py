@@ -47,11 +47,20 @@ def _solve_fixed_impl_inner(
 
     d = prob.d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
-    model = make_model(alg, prob.f, prob.jac, d, dtype)
-    x0 = initial_state(
-        prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
-        method=taylor_method,
-    )
+    model = make_model(alg, prob.f, prob.jac, d, dtype,
+                       second_order=prob.second_order)
+    if prob.second_order:
+        from odefilters.taylor import initial_state_2nd
+
+        u0_full = prob.u0.astype(dtype)
+        x0 = initial_state_2nd(
+            prob.f, u0_full[:d], u0_full[d:], prob.p, prob.tspan[0], alg.order
+        )
+    else:
+        x0 = initial_state(
+            prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
+            method=taylor_method,
+        )
     from odefilters import diffusions as diff
 
     sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
@@ -60,7 +69,8 @@ def _solve_fixed_impl_inner(
         x, sigma2, ll, k = carry
         t, dt = inp
         res = attempt_step(
-            model, x, x.mean[:d], t, dt, sigma2, k, abstol, reltol, prob.p
+            model, x, x.mean[: model.sol_d], t, dt, sigma2, k, abstol,
+            reltol, prob.p,
         )
         ll = ll + res.log_likelihood
         out = (res.x_filt.mean, res.x_filt.chol, res.u_filt, res.sigma2_global)

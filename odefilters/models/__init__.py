@@ -1,4 +1,5 @@
 from odefilters.models.library import (
+    pendulum_2nd,
     brusselator_2d,
     exponential_decay,
     fitzhugh_nagumo,
@@ -10,6 +11,7 @@ from odefilters.models.library import (
 )
 
 __all__ = [
+    "pendulum_2nd",
     "brusselator_2d",
     "exponential_decay",
     "fitzhugh_nagumo",

@@ -149,3 +149,15 @@ def seir(
         )
 
     return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p))
+
+
+def pendulum_2nd(u0=(1.5,), du0=(0.0,), g_l: float = 9.81, tspan=(0.0, 3.0)):
+    """Nonlinear pendulum as a *second-order* problem u'' = -(g/l) sin(u)
+    (the reference marks SecondOrderODEProblem broken,
+    `test/specific_problems.jl:114-125`; supported here)."""
+    from odefilters.problem import ode_problem_2nd
+
+    def f(du, u, p, t):
+        return -p * jnp.sin(u)
+
+    return ode_problem_2nd(f, u0, du0, tspan, p=jnp.asarray(g_l))

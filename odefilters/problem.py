@@ -48,6 +48,9 @@ class ODEProblem:
     analytic: Optional[Callable] = dataclasses.field(
         metadata=dict(static=True), default=None
     )
+    second_order: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     # NOTE: no validation in __post_init__ — JAX reconstructs this pytree
     # with transformed (e.g. batched) leaves during vmap/jit, where shape
@@ -55,7 +58,10 @@ class ODEProblem:
 
     @property
     def d(self) -> int:
-        return self.u0.shape[-1]
+        """Dimension of the ODE state u (for 2nd-order problems, u0 holds
+        the stacked [u0; du0], so d is half its length)."""
+        n = self.u0.shape[-1]
+        return n // 2 if self.second_order else n
 
     @property
     def dtype(self):
@@ -76,3 +82,30 @@ def ode_problem(f, u0, tspan, p=None, jac=None, analytic=None) -> ODEProblem:
             "or a matrix) are currently not supported"
         )
     return ODEProblem(f=f, u0=u0, tspan=tuple(tspan), p=p, jac=jac, analytic=analytic)
+
+
+def ode_problem_2nd(f, u0, du0, tspan, p=None, jac_u=None, jac_du=None) -> ODEProblem:
+    """A second-order IVP ``u'' = f(du, u, p, t)``.
+
+    The reference marks `SecondOrderODEProblem` broken
+    (`/root/reference/test/specific_problems.jl:114-125`) though its
+    solution projection already anticipates it (`caches.jl:66`); here it is
+    fully supported. The filter measures the *second* derivative block:
+    ``z = E2 x - f(E1 x, E0 x)``, EK1 linearization
+    ``H = (E2 - J_du E1 - J_u E0) P^-1``. Solver order must be >= 2.
+
+    ``f(du, u, p, t) -> (d,)`` (SciML argument convention). Solutions carry
+    the stacked ``[u; du]`` like the reference's ``[Proj(0); Proj(1)]``
+    projection.
+    """
+    u0 = jnp.asarray(u0)
+    du0 = jnp.asarray(du0)
+    if u0.ndim != 1 or du0.shape != u0.shape:
+        raise ValueError("u0 and du0 must be equal-length vectors")
+    jac = None
+    if jac_u is not None or jac_du is not None:
+        jac = (jac_u, jac_du)
+    return ODEProblem(
+        f=f, u0=jnp.concatenate([u0, du0]), tspan=tuple(tspan), p=p,
+        jac=jac, second_order=True,
+    )

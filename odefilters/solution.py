@@ -124,9 +124,15 @@ class MeanProbODESolution:
 # --------------------------------------------------------------------------
 
 
+def _state_dim(sol: ProbODESolution) -> int:
+    """ODE dimension d from the full state (sol.d is the *projected*
+    dimension, which is 2d for second-order problems)."""
+    return sol.x_filt.mean.shape[-1] // (sol.q + 1)
+
+
 def _interp_model(sol: ProbODESolution):
     dtype = sol.u.dtype
-    A, QL = ibm(sol.d, sol.q, dtype=dtype)
+    A, QL = ibm(_state_dim(sol), sol.q, dtype=dtype)
     return A, QL
 
 
@@ -153,7 +159,7 @@ def evaluate_states(
 
 
 def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
-    d, q = sol.d, sol.q
+    d, q = _state_dim(sol), sol.q
     A, QL = _interp_model(sol)
     ts, n = sol.ts, sol.n_steps
 

@@ -50,7 +50,17 @@ QOLDINIT = 1e-4
 
 
 def initial_dt(prob: ODEProblem, order: int, abstol, reltol):
-    f, u0, p = prob.f, prob.u0, prob.p
+    u0, p = prob.u0, prob.p
+    if prob.second_order:
+        # first-order companion system y = [u; du] for the dt heuristic
+        dd = prob.d
+        f2 = prob.f
+
+        def f(y, p, t):
+            return jnp.concatenate([y[dd:], f2(y[dd:], y[:dd], p, t)])
+
+    else:
+        f = prob.f
     t0, t1 = prob.tspan
     tdir_span = t1 - t0
 
@@ -121,15 +131,16 @@ def _controller_reject(EEst, dt, beta1):
 def _init_carry(model: FilterModel, prob: ODEProblem, x0: Gaussian, dt0,
                 max_steps: int) -> "_Carry":
     alg, d, D = model.alg, model.d, model.D
+    sol_d = model.sol_d
     t0, t1 = prob.tspan
     dtype = model.dtype
     N1 = max_steps + 1
 
-    u0 = x0.mean[:d]
+    u0 = x0.mean[:sol_d]
     sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
 
     ts_buf = jnp.full((N1,), jnp.asarray(t1, dtype), dtype=dtype).at[0].set(t0)
-    u_buf = jnp.zeros((N1, d), dtype).at[0].set(u0)
+    u_buf = jnp.zeros((N1, sol_d), dtype).at[0].set(u0)
     m_buf = jnp.zeros((N1, D), dtype).at[0].set(x0.mean)
     L_buf = jnp.zeros((N1, D, D), dtype).at[0].set(x0.chol)
     diff_shape = (N1,) + sigma2_0.shape
@@ -226,14 +237,14 @@ def _make_loop_fns(
             x_aff = callback.affect(res.x_filt, t_new, prob.p)
             wi2 = jnp.where(fired, k + 1, N1)
             ts_buf = ts_buf.at[wi2].set(t_new, mode="drop")
-            u_buf = u_buf.at[wi2].set(x_aff.mean[..., : model.d], mode="drop")
+            u_buf = u_buf.at[wi2].set(x_aff.mean[..., : model.sol_d], mode="drop")
             m_buf = m_buf.at[wi2].set(x_aff.mean, mode="drop")
             L_buf = L_buf.at[wi2].set(x_aff.chol, mode="drop")
             diff_buf = diff_buf.at[wi2].set(res.sigma2_global, mode="drop")
             x_next = jax.tree.map(
                 lambda a, b: jnp.where(fired, a, b), x_aff, res.x_filt
             )
-            u_next = jnp.where(fired, x_aff.mean[..., : model.d], res.u_filt)
+            u_next = jnp.where(fired, x_aff.mean[..., : model.sol_d], res.u_filt)
             k = jnp.where(fired, k + 1, k)
 
         x_new = jax.tree.map(
@@ -329,8 +340,9 @@ def _postprocess(
     else:
         x_out = x_filt
 
-    u = x_out.mean[:, :d]
-    pu = Gaussian(x_out.mean[:, :d], x_out.chol[:, :d, :])
+    sol_d = model.sol_d
+    u = x_out.mean[:, :sol_d]
+    pu = Gaussian(x_out.mean[:, :sol_d], x_out.chol[:, :sol_d, :])
 
     return ProbODESolution(
         ts=ts,
@@ -388,11 +400,20 @@ def _solve_adaptive_impl_inner(
 
     d = prob.d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
-    model = make_model(alg, prob.f, prob.jac, d, dtype)
-    x0 = initial_state(
-        prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
-        method=taylor_method,
-    )
+    model = make_model(alg, prob.f, prob.jac, d, dtype,
+                       second_order=prob.second_order)
+    if prob.second_order:
+        from odefilters.taylor import initial_state_2nd
+
+        u0_full = prob.u0.astype(dtype)
+        x0 = initial_state_2nd(
+            prob.f, u0_full[:d], u0_full[d:], prob.p, prob.tspan[0], alg.order
+        )
+    else:
+        x0 = initial_state(
+            prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
+            method=taylor_method,
+        )
     carry, retcode = _adaptive_loop(
         model, prob, x0, dt0, abstol, reltol, max_steps, maxiters, dtmin,
         linearize_u=_linearize_u, callback=callback, tstops=tstops,

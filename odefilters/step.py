@@ -49,15 +49,26 @@ class FilterModel:
     A: jax.Array       # (D, D) preconditioned IBM transition
     QL: jax.Array      # (D, D) preconditioned process-noise factor
     dtype: Any
+    second_order: bool = False
 
     @property
     def D(self) -> int:
         return self.d * (self.q + 1)
 
+    @property
+    def sol_d(self) -> int:
+        """Dimension of the projected solution: [u] or [u; du]
+        (the reference's SolProj 2nd-order branch, `caches.jl:66`)."""
+        return 2 * self.d if self.second_order else self.d
 
-def make_model(alg: AbstractEK, f, jac, d: int, dtype) -> FilterModel:
+
+def make_model(alg: AbstractEK, f, jac, d: int, dtype,
+               second_order: bool = False) -> FilterModel:
+    if second_order and alg.order < 2:
+        raise ValueError("second-order problems need solver order >= 2")
     A, QL = ibm(d, alg.order, dtype=dtype)
-    return FilterModel(alg=alg, d=d, q=alg.order, f=f, jac=jac, A=A, QL=QL, dtype=dtype)
+    return FilterModel(alg=alg, d=d, q=alg.order, f=f, jac=jac, A=A, QL=QL,
+                       dtype=dtype, second_order=second_order)
 
 
 @jax.tree_util.register_dataclass
@@ -136,19 +147,53 @@ def attempt_step(
     u_pred = pinv_s[0] * m_pred[:d]
 
     # -- measure (perform_step.jl:95-132) --
-    du = model.f(u_pred, p_params, t_new)
-    z = pinv_s[1] * m_pred[d : 2 * d] - du
+    if model.second_order:
+        # z = E2 x - f(E1 x, E0 x); the reference's broken
+        # SecondOrderODEProblem path, implemented (specific_problems.jl:114).
+        du_pred = pinv_s[1] * m_pred[d : 2 * d]
+        ddu = model.f(du_pred, u_pred, p_params, t_new)
+        z = pinv_s[2] * m_pred[2 * d : 3 * d] - ddu
+        J_u = J_du = None
+        if alg.is_ek1:
+            if isinstance(model.jac, tuple) and model.jac[0] is not None:
+                jac_u, jac_du = model.jac
+                J_u = jac_u(du_pred, u_pred, p_params, t_new)
+                J_du = (
+                    jac_du(du_pred, u_pred, p_params, t_new)
+                    if jac_du is not None
+                    else jax.jacfwd(
+                        lambda dv: model.f(dv, u_pred, p_params, t_new)
+                    )(du_pred)
+                )
+            else:
+                J_du = jax.jacfwd(
+                    lambda dv: model.f(dv, u_pred, p_params, t_new)
+                )(du_pred)
+                J_u = jax.jacfwd(
+                    lambda uv: model.f(du_pred, uv, p_params, t_new)
+                )(u_pred)
 
-    J = None
-    if alg.is_ek1:
-        u_lin = u_pred if linearize_u is None else linearize_u(t_new)
-        if model.jac is not None:
-            J = model.jac(u_lin, p_params, t_new)
-        else:
-            J = jax.jacfwd(lambda u: model.f(u, p_params, t_new))(u_lin)
+        def Hmul(M):
+            out = pinv_s[2] * M[..., 2 * d : 3 * d, :]
+            if alg.is_ek1:
+                out = out - J_du @ (pinv_s[1] * M[..., d : 2 * d, :])
+                out = out - J_u @ (pinv_s[0] * M[..., :d, :])
+            return out
 
-    def Hmul(M):
-        return _h_mul(M, J, pinv_s[0], pinv_s[1], d, alg.is_ek1)
+    else:
+        du = model.f(u_pred, p_params, t_new)
+        z = pinv_s[1] * m_pred[d : 2 * d] - du
+
+        J = None
+        if alg.is_ek1:
+            u_lin = u_pred if linearize_u is None else linearize_u(t_new)
+            if model.jac is not None:
+                J = model.jac(u_lin, p_params, t_new)
+            else:
+                J = jax.jacfwd(lambda u: model.f(u, p_params, t_new))(u_lin)
+
+        def Hmul(M):
+            return _h_mul(M, J, pinv_s[0], pinv_s[1], d, alg.is_ek1)
 
     HQL = Hmul(QL)  # (d, D): factor of H Q H^T (used by calibration + errors)
 
@@ -189,12 +234,14 @@ def attempt_step(
 
     # -- un-precondition (perform_step.jl:72-75) --
     x_filt = Gaussian(pinv_full * m_filt, pinv_full[:, None] * L_filt)
-    u_filt = x_filt.mean[:d]
+    u_filt = x_filt.mean[: model.sol_d]
 
     # -- error estimate (perform_step.jl:78-84, 148-158) --
     HQ_loc = Hmul(diff.apply_diffusion_chol(QL, sigma2_local, q))
     err_unscaled = jnp.sqrt(jnp.sum(HQ_loc * HQ_loc, axis=-1))  # sqrt diag
-    scale = abstol + reltol * jnp.maximum(jnp.abs(u_prev), jnp.abs(u_filt))
+    scale = abstol + reltol * jnp.maximum(
+        jnp.abs(u_prev[:d]), jnp.abs(u_filt[:d])
+    )
     err = dt * err_unscaled / scale
     EEst = jnp.sqrt(jnp.mean(err * err))  # Hairer norm
 

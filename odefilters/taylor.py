@@ -119,3 +119,38 @@ def initial_state(
     mean = jnp.concatenate(derivs)
     D = mean.shape[0]
     return Gaussian(mean, jnp.zeros((D, D), dtype=mean.dtype))
+
+
+def taylor_coefficients_2nd(
+    f: Callable, u0: jnp.ndarray, du0: jnp.ndarray, p, t0, q: int
+) -> list[jnp.ndarray]:
+    """Derivatives ``[u0, u', ..., u^(q)]`` for ``u'' = f(du, u, p, t)``.
+
+    Runs the jvp recursion on the first-order augmentation
+    ``(u, du, t)' = (du, f(du, u, t), 1)`` and reads off the u-component.
+    """
+    t0 = jnp.asarray(t0, dtype=u0.dtype)
+
+    def g(x):
+        u, du, t = x
+        return du, f(du, u, p, t), jnp.ones_like(t)
+
+    x0 = (u0, du0, t0)
+    derivs = [u0]
+    Fk = g
+    for _ in range(q):
+        derivs.append(Fk(x0)[0])
+        Fk_prev = Fk
+        Fk = lambda x, _F=Fk_prev: jax.jvp(_F, (x,), (g(x),))[1]
+    return derivs
+
+
+def initial_state_2nd(
+    f: Callable, u0: jnp.ndarray, du0: jnp.ndarray, p, t0, q: int
+) -> Gaussian:
+    """Exact init for second-order problems (mean = stacked derivatives,
+    zero covariance)."""
+    derivs = taylor_coefficients_2nd(f, u0, du0, p, t0, q)
+    mean = jnp.concatenate(derivs)
+    D = mean.shape[0]
+    return Gaussian(mean, jnp.zeros((D, D), dtype=mean.dtype))

@@ -122,3 +122,40 @@ def test_remake_with_jac():
     np.testing.assert_allclose(J, [[float(prob.p[0]) * (1 - 2 * 0.3)]], rtol=1e-12)
     sol = odf.solve(prob, odf.EK1(order=2), abstol=1e-8, reltol=1e-6)
     assert sol.retcode_name == "Success"
+
+
+def test_second_order_harmonic_oscillator():
+    """u'' = -w^2 u solved directly as a 2nd-order problem — the feature the
+    reference marks @test_broken (specific_problems.jl:114-125)."""
+    from odefilters.problem import ode_problem_2nd
+
+    omega = 2.0
+
+    def f2(du, u, p, t):
+        return -(p**2) * u
+
+    prob = ode_problem_2nd(f2, u0=[1.0], du0=[0.0], tspan=(0.0, 3.0), p=omega)
+    sol = odf.solve(prob, odf.EK1(order=4), abstol=1e-9, reltol=1e-7)
+    n = int(sol.n_steps)
+    ts = np.asarray(sol.ts[: n + 1])
+    np.testing.assert_allclose(
+        sol.u[: n + 1, 0], np.cos(omega * ts), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        sol.u[: n + 1, 1], -omega * np.sin(omega * ts), atol=1e-6
+    )
+    # dense output carries [u, du]
+    g = sol(jnp.asarray(1.234))
+    np.testing.assert_allclose(g.mean[0], np.cos(omega * 1.234), atol=1e-7)
+    np.testing.assert_allclose(g.mean[1], -omega * np.sin(omega * 1.234), atol=1e-6)
+
+
+def test_second_order_pendulum_ek0():
+    prob = odf.models.pendulum_2nd(tspan=(0.0, 2.0))
+    sol = odf.solve(prob, odf.EK0(order=3), abstol=1e-8, reltol=1e-6)
+    assert sol.retcode_name == "Success"
+    n = int(sol.n_steps)
+    # energy approximately conserved: E = du^2/2 - g/l cos(u)
+    u, du = np.asarray(sol.u[: n + 1, 0]), np.asarray(sol.u[: n + 1, 1])
+    E = du**2 / 2 - 9.81 * np.cos(u)
+    assert np.abs(E - E[0]).max() < 1e-4
