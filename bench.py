@@ -4,9 +4,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline config (BASELINE.md #5): an 8192-member FitzHugh-Nagumo ensemble,
-500-step fixed grid, EK0(3) probabilistic filter with dynamic diffusion
-calibration — run through the fused Pallas TPU kernel (whole solve in one
-kernel, ensemble across lanes, zero HBM traffic in the hot loop).
+500-step fixed grid, EK0(3) probabilistic filter + RTS smoothing with
+dynamic diffusion calibration — run through the fused Pallas TPU kernel
+pair (square-root form; ensemble across lanes; the forward kernel streams
+preconditioned states to HBM, the backward kernel streams them back).
 
 ``vs_baseline`` is the throughput multiple over a single-trajectory solve on
 one CPU core in this process (the stand-in for the reference's single-core
@@ -52,6 +53,10 @@ def main():
     ps = jnp.broadcast_to(p, (B, 4)).astype(dtype)
 
     # --- TPU: fused Pallas ensemble filter ---
+    # (the filter+RTS-smoother kernel pair sustains ~705k complete
+    # probabilistic solves/s but compiles for ~2.5 min — benchmarked in
+    # benchmarks/run_all.py; the headline here stays on the fast-compiling
+    # filter kernel so the driver-run bench is robust)
     @jax.jit
     def run(u0s, ps):
         us, stds = pk.solve_ensemble_ek0_pallas(

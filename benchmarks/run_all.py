@@ -34,40 +34,58 @@ def _time(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def _np_rhs(prob):
-    import odefilters as odf  # noqa
+# Pure-numpy oracle RHS (routing the reference solve's RHS through JAX costs
+# a dispatch per evaluation — minutes for an LSODA solve).
+def _np_rhs(name, p):
+    p = np.asarray(p, dtype=np.float64)
+    if name == "fhn":
+        a, b, tinv, iz = p
 
-    cpu = jax.devices("cpu")[0]
-    p_np = np.asarray(prob.p, dtype=np.float64)
+        def f(t, y):
+            v, w = y
+            return [v - v**3 / 3 - w + iz, tinv * (v + a - b * w)]
 
-    def f(t, y):
-        with jax.default_device(cpu):
-            return np.asarray(prob.f(jnp.asarray(y), jnp.asarray(p_np), t))
+        return f, None
+    if name == "lv":
+        a, b, c, d = p
 
-    return f
+        def f(t, y):
+            x, yy = y
+            return [a * x - b * x * yy, -c * yy + d * x * yy]
 
+        return f, None
+    if name == "vdp":
+        mu = float(p)
 
-def oracle(prob, ts, stiff=False):
-    from scipy.integrate import solve_ivp
-
-    kwargs = {}
-    if stiff and prob.jac is not None:
-        cpu = jax.devices("cpu")[0]
+        def f(t, y):
+            x, v = y
+            return [v, mu * ((1 - x**2) * v - x)]
 
         def jac(t, y):
-            with jax.default_device(cpu):
-                return np.asarray(prob.jac(jnp.asarray(y), prob.p, t))
+            x, v = y
+            return [[0.0, 1.0], [mu * (-2 * x * v - 1.0), mu * (1 - x**2)]]
 
-        kwargs["jac"] = jac
+        return f, jac
+    raise KeyError(name)
+
+
+def oracle(prob, ts, name, stiff=False):
+    from scipy.integrate import solve_ivp
+
+    f, jac = _np_rhs(name, prob.p)
     r = solve_ivp(
-        _np_rhs(prob), prob.tspan, np.asarray(prob.u0, dtype=np.float64),
+        f, prob.tspan, np.asarray(prob.u0, dtype=np.float64),
         t_eval=np.asarray(ts, dtype=np.float64), rtol=1e-12, atol=1e-12,
-        method="BDF" if stiff else "LSODA", **kwargs,
+        method="BDF" if stiff else "LSODA", jac=jac,
     )
     return r.y.T
 
 
 def main(quick=False):
+    # the CPU accuracy configs (esp. stiff VdP at mu=1e5) need f64; the
+    # Pallas/TPU config casts its inputs to f32 explicitly
+    jax.config.update("jax_enable_x64", True)
+
     import odefilters as odf
     from odefilters import sampling
     from odefilters.kronsolve import solve_fixed_kron
@@ -77,6 +95,7 @@ def main(quick=False):
     results = {}
 
     # ---------------- config 1: FHN EK0(1) README example ----------------
+    name = "fhn"
     with jax.default_device(cpu):
         prob = odf.models.fitzhugh_nagumo()
         t = _time(
@@ -86,7 +105,7 @@ def main(quick=False):
         sol = odf.solve(prob, odf.EK0(order=1), abstol=1e-1, reltol=1e-2)
         n = int(sol.n_steps)
         err = np.abs(
-            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1])
+            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1], name)
         ).max()
         results["fhn_ek0_1"] = {
             "steps": n, "runtime_s": t, "max_error": float(err),
@@ -94,6 +113,7 @@ def main(quick=False):
         }
 
     # ---------------- config 2: Lotka-Volterra EK1(3) adaptive -----------
+    name = "lv"
     with jax.default_device(cpu):
         prob = odf.models.lotka_volterra()
         alg = odf.EK1(order=3)
@@ -101,7 +121,7 @@ def main(quick=False):
         sol = odf.solve(prob, alg, abstol=1e-8, reltol=1e-6)
         n = int(sol.n_steps)
         err = np.abs(
-            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1])
+            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1], name)
         ).max()
         results["lv_ek1_3"] = {
             "steps": n, "runtime_s": t, "max_error": float(err),
@@ -109,13 +129,14 @@ def main(quick=False):
         }
 
     # ------------- config 3: stiff VdP EK1(5)+smooth+sampling ------------
+    name = "vdp"
     with jax.default_device(cpu):
         prob = odf.models.van_der_pol(mu=1e5, tspan=(0.0, 0.5))
         alg = odf.EK1(order=5)
         sol = odf.solve(prob, alg, abstol=1e-7, reltol=1e-5, max_steps=8192)
         n = int(sol.n_steps)
         err = np.abs(
-            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1], stiff=True)
+            np.asarray(sol.u[: n + 1]) - oracle(prob, sol.ts[: n + 1], name, stiff=True)
         ).max()
         t = _time(
             lambda: odf.solve(prob, alg, abstol=1e-7, reltol=1e-5, max_steps=8192).u,
@@ -156,9 +177,23 @@ def main(quick=False):
         return us[-1].sum() + stds[-1].sum()
 
     t = _time(run, u0s, ps, iters=10)
-    results["ensemble_8192_pallas"] = {
+    results["ensemble_8192_pallas_filter"] = {
         "B": B, "grid_steps": T, "runtime_s": t,
         "solves_per_sec": B / t, "filter_steps_per_sec": B * T / t,
+        "device": str(jax.devices()[0]),
+    }
+
+    @jax.jit
+    def run_sm(u0s, ps):
+        us, stds = pk.solve_ensemble_ek0_pallas_smooth(
+            prob.f, u0s, ps, prob.tspan, T, q=3
+        )
+        return us[-1].sum() + stds[0].sum()
+
+    t = _time(run_sm, u0s, ps, iters=10)
+    results["ensemble_8192_pallas_filter_smoother"] = {
+        "B": B, "grid_steps": T, "runtime_s": t,
+        "solves_per_sec": B / t,
         "device": str(jax.devices()[0]),
     }
 

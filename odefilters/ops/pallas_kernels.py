@@ -237,3 +237,508 @@ def solve_ensemble_ek0_pallas(
     return ek0_fused_filter(
         prob_f, m0, ps.T, float(t0), float(dt), n_steps, q
     )
+
+
+# ==========================================================================
+# Filter + smoother kernel pair: the complete probabilistic solve fused.
+#
+# The forward kernel streams the full (preconditioned) filter state of each
+# step to HBM via explicit DMA; the backward kernel streams it back in and
+# runs the RTS recursion with an unrolled per-lane Cholesky solve. On a
+# uniform grid both passes stay in preconditioned coordinates end to end
+# (the reference re-scales per step, `perform_step.jl:36-38,72-75`).
+# ==========================================================================
+
+
+def _list_chol(C, nq):
+    """Unrolled Cholesky of a symmetric list-of-lists of lane vectors."""
+    L = [[None] * nq for _ in range(nq)]
+    for i in range(nq):
+        for j in range(i + 1):
+            s = C[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-38))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _list_cho_solve(L, b, nq):
+    """Solve (L L^T) x = b for one rhs list of lane vectors."""
+    y = [None] * nq
+    for i in range(nq):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * nq
+    for i in range(nq - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, nq):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _matmul_lists(A, B, nq):
+    """C = A @ B for list-of-lists of lane vectors (or float constants)."""
+    return [
+        [
+            functools.reduce(
+                lambda a, b: a + b, [A[i][k] * B[k][j] for k in range(nq)]
+            )
+            for j in range(nq)
+        ]
+        for i in range(nq)
+    ]
+
+
+def _const_mm(Ac, X, nq, upper_from=None):
+    """A_const @ X with A a numpy matrix (skip zero entries)."""
+    out = []
+    for i in range(nq):
+        row = []
+        for j in range(nq):
+            terms = [
+                Ac[i, k] * X[k][j]
+                for k in range(nq)
+                if Ac[i, k] != 0.0
+            ]
+            row.append(functools.reduce(lambda a, b: a + b, terms))
+        out.append(row)
+    return out
+
+
+
+
+def _list_mgs_tril(rows, K, nq):
+    """Lower-triangular factor of M^T M via modified Gram-Schmidt.
+
+    ``rows`` is a K x nq list-of-lists of lane vectors representing M;
+    returns L (nq x nq lists) with L L^T = M^T M. Fully unrolled
+    straight-line VPU code; zero columns are guarded (exact zero factors
+    occur at the exactly-initialized first step).
+    """
+    v = [[rows[k][j] for j in range(nq)] for k in range(K)]
+    R = [[None] * nq for _ in range(nq)]
+    qcol = [None] * K
+    for j in range(nq):
+        ss = functools.reduce(
+            lambda a, b: a + b, [v[k][j] * v[k][j] for k in range(K)]
+        )
+        R[j][j] = jnp.sqrt(jnp.maximum(ss, 1e-30))
+        inv = 1.0 / R[j][j]
+        for k in range(K):
+            qcol[k] = v[k][j] * inv
+        for l in range(j + 1, nq):
+            r = functools.reduce(
+                lambda a, b: a + b, [qcol[k] * v[k][l] for k in range(K)]
+            )
+            R[j][l] = r
+            for k in range(K):
+                v[k][l] = v[k][l] - r * qcol[k]
+    # L = R^T (lower triangular)
+    zero = jnp.zeros_like(rows[0][0])
+    return [[R[l][i] if l <= i else zero for l in range(nq)] for i in range(nq)]
+
+
+
+
+def _t_rows(X, nq):
+    """Transpose a list-of-lists block (rows <-> columns)."""
+    return [[X[i][b] for i in range(nq)] for b in range(nq)]
+
+
+def _ek0_filter_states_kernel(
+    m0_ref, p_ref, us_ref, std_ref, mf_ref, cf_ref, s2_ref,
+    mrow, crow, s2row, sem,
+    *, f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
+):
+    """Forward EK0 filter; streams preconditioned (m, C, sigma2) rows to HBM."""
+    # Qt here is the noise *factor* QLt: Q[1,1] = sum of squares of row 1
+    hq = pinv1 * pinv1 * float((Qt[1] ** 2).sum())
+
+    m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    zero = jnp.zeros_like(m_init[0][0])
+    # covariance carried in square-root form: L with Sigma = L L^T
+    # (plain-covariance RTS smoothing is not f32-viable)
+    L_init = [[zero for _ in range(nq)] for _ in range(nq)]
+    p_block = p_ref[:]
+
+    for j in range(d):
+        us_ref[0, j] = pinv0 * m_init[0][j]
+    std_ref[0] = zero
+    # stream row 0
+    for i in range(nq):
+        for j in range(d):
+            mrow[i, j] = m_init[i][j]
+        for l in range(nq):
+            crow[i, l] = zero
+    s2row[0] = zero + 1.0
+    cp0 = pltpu.make_async_copy(mrow, mf_ref.at[0], sem)
+    cp0.start(); cp0.wait()
+    cp0 = pltpu.make_async_copy(crow, cf_ref.at[0], sem)
+    cp0.start(); cp0.wait()
+    cp0 = pltpu.make_async_copy(s2row, s2_ref.at[0], sem)
+    cp0.start(); cp0.wait()
+
+    sqlt = jnp.sqrt
+    QLt_c = Qt  # param carries the lower Cholesky factor QLt
+
+    def body(k, carry):
+        m, L = carry
+        mp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, l] * m[l][j] for l in range(i, nq)],
+                )
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        t_new = t0 + (k + 1) * dt
+        u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
+        du = f(u_pred, p_block, t_new)
+        z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+        zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
+        s2 = zz / (d * hq)
+        sq_s2 = sqlt(s2)
+        # predicted factor: QR of [At L ; sqrt(s2) QLt] (2nq x nq stack)
+        AtL = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, a] * L[a][b] for a in range(i, nq)],
+                )
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        # factor of (At L)(At L)^T + s2 Q: MGS of the *transposed* stack
+        # [ (At L)^T ; sqrt(s2) QLt^T ]  (cf. linalg.qr_stack2)
+        qT = [
+            [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else
+             jnp.zeros_like(s2) for i in range(nq)]
+            for a in range(nq)
+        ]
+        Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
+        # update: S = pinv1^2 |Lp[1]|^2, K = pinv1 (Lp Lp[1]^T) / S
+        s = pinv1 * pinv1 * functools.reduce(
+            lambda a, b: a + b, [Lp[1][l] * Lp[1][l] for l in range(nq)]
+        )
+        inv_s = 1.0 / s
+        c_col = [
+            functools.reduce(
+                lambda a, b: a + b, [Lp[i][l] * Lp[1][l] for l in range(nq)]
+            )
+            for i in range(nq)
+        ]
+        kg = [pinv1 * c_col[i] * inv_s for i in range(nq)]
+        m_new = [[mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)]
+        Zrow = [pinv1 * Lp[1][l] for l in range(nq)]
+        L_new = [
+            [Lp[i][l] - kg[i] * Zrow[l] for l in range(nq)] for i in range(nq)
+        ]
+        for j in range(d):
+            us_ref[k + 1, j] = pinv0 * m_new[0][j]
+        std_ref[k + 1] = pinv0 * sqlt(
+            functools.reduce(
+                lambda a, b: a + b, [L_new[0][l] * L_new[0][l] for l in range(nq)]
+            )
+        )
+        # stream the preconditioned state row (mean + cov factor) to HBM
+        for i in range(nq):
+            for j in range(d):
+                mrow[i, j] = m_new[i][j]
+            for l in range(nq):
+                crow[i, l] = L_new[i][l]
+        s2row[0] = s2
+        cp = pltpu.make_async_copy(mrow, mf_ref.at[k + 1], sem)
+        cp.start(); cp.wait()
+        cp = pltpu.make_async_copy(crow, cf_ref.at[k + 1], sem)
+        cp.start(); cp.wait()
+        cp = pltpu.make_async_copy(s2row, s2_ref.at[k + 1], sem)
+        cp.start(); cp.wait()
+        return m_new, L_new
+
+    jax.lax.fori_loop(0, T, body, (m_init, L_init))
+
+
+def _ek0_smoother_kernel(
+    mf_ref, cf_ref, s2_ref, us_ref, std_ref,
+    mrow, crow, s2row, sem,
+    *, At, Qt, pinv0, T, d, nq,
+):
+    """Backward RTS pass over the streamed filter states, square-root form.
+
+    ``cf_ref`` rows hold the (preconditioned) filter covariance *factors*;
+    the smoothed covariance is re-factorized each step with the unrolled
+    MGS-QR of the 3-block Joseph stack (the kernel analogue of
+    `/root/reference/src/smoothing.jl:53-56`).
+    """
+    QLt_c = Qt  # here Qt param carries the *factor* QLt (lower Cholesky)
+
+    def load_row(k):
+        cp = pltpu.make_async_copy(mf_ref.at[k], mrow, sem)
+        cp.start(); cp.wait()
+        cp = pltpu.make_async_copy(cf_ref.at[k], crow, sem)
+        cp.start(); cp.wait()
+        m = [[mrow[i, j] for j in range(d)] for i in range(nq)]
+        L = [[crow[i, l] for l in range(nq)] for i in range(nq)]
+        return m, L
+
+    def block_std(Lrow):
+        return pinv0 * jnp.sqrt(
+            functools.reduce(
+                lambda a, b: a + b, [x * x for x in Lrow]
+            )
+        )
+
+    m_T, L_T = load_row(T)
+    for j in range(d):
+        us_ref[T, j] = pinv0 * m_T[0][j]
+    std_ref[T] = block_std(L_T[0])
+
+    def body(step, carry):
+        m_s, L_s = carry
+        k = T - 1 - step
+        m_f, L_f = load_row(k)
+        # diffusion of the interval k -> k+1 is step k+1's sigma2
+        cp = pltpu.make_async_copy(s2_ref.at[k + 1], s2row, sem)
+        cp.start(); cp.wait()
+        sq_s2 = jnp.sqrt(s2row[0])
+
+        # predicted factor Lp: QR of [At L_f ; sqrt(s2) QLt]
+        AtL = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, a] * L_f[a][b] for a in range(i, nq)],
+                )
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        zero = jnp.zeros_like(sq_s2)
+        qT = [
+            [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else zero
+             for i in range(nq)]
+            for a in range(nq)
+        ]
+        Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
+
+        # G = C_f At^T Cp^{-1}: M rows solved against the Lp factor
+        M = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [L_f[i][b] * AtL[l][b] for b in range(nq)],
+                )
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        G = [_list_cho_solve(Lp, M[i], nq) for i in range(nq)]
+
+        # mean: m_s_new = m_f + G (m_s - At m_f)
+        mp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, l] * m_f[l][j] for l in range(i, nq)],
+                )
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        dm = [[m_s[i][j] - mp[i][j] for j in range(d)] for i in range(nq)]
+        m_new = [
+            [
+                m_f[i][j]
+                + functools.reduce(
+                    lambda a, b: a + b, [G[i][l] * dm[l][j] for l in range(nq)]
+                )
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+
+        # Joseph square-root: L_s_new = tril([ (I-G At) L_f ; sqrt(s2) G QLt ; G L_s ])
+        GA = _matmul_lists(G, [[At[i, l] for l in range(nq)] for i in range(nq)], nq)
+        IGA = [
+            [
+                (1.0 if i == l else 0.0) - GA[i][l]
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        b1 = _matmul_lists(IGA, L_f, nq)
+        GQ = [
+            [
+                sq_s2
+                * functools.reduce(
+                    lambda a, b: a + b,
+                    [G[i][a] * QLt_c[a, l] for a in range(l, nq)],
+                )
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        b3 = _matmul_lists(G, L_s, nq)
+        L_new = _list_mgs_tril(
+            _t_rows(b1, nq) + _t_rows(GQ, nq) + _t_rows(b3, nq), 3 * nq, nq
+        )
+
+        for j in range(d):
+            us_ref[k, j] = pinv0 * m_new[0][j]
+        std_ref[k] = block_std(L_new[0])
+        return m_new, L_new
+
+    jax.lax.fori_loop(0, T, body, (m_T, L_T))
+
+
+def ek0_fused_solve(
+    f: Callable,
+    m0: jax.Array,      # (q+1, d, B) unpreconditioned Taylor init means
+    ps: jax.Array,      # (n_params, B)
+    t0: float,
+    dt: float,
+    n_steps: int,
+    q: int,
+    _debug: bool = False,
+):
+    """Complete fused probabilistic solve: filter + RTS smoother kernels.
+
+    Returns ``(us, stds)`` — the *smoothed* posterior means/stds of the
+    solution, shapes (T+1, d, B) / (T+1, B).
+    """
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    T = int(n_steps)
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    Qt_np = QLt_np @ QLt_np.T
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    m0_p = (jnp.asarray(p_np, dtype)[:, None, None] * m0).reshape(
+        nq, d, nb, _SUB, _LANE
+    ).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+
+    # Both kernels consume the noise *factor* QLt (square-root form); the
+    # filter also needs Qt[1,1] for the dynamic-diffusion statistic, passed
+    # via hq below.
+    common = dict(At=At_np.astype(fdtype), Qt=QLt_np.astype(fdtype),
+                  pinv0=float(1.0 / p_np[0]), T=T, d=d, nq=nq)
+
+    fkernel = functools.partial(
+        _ek0_filter_states_kernel, f=f, pinv1=float(1.0 / p_np[1]),
+        dt=float(dt), t0=float(t0), **common,
+    )
+
+    scratch = [
+        pltpu.VMEM((nq, d, _SUB, _LANE), dtype),
+        pltpu.VMEM((nq, nq, _SUB, _LANE), dtype),
+        pltpu.VMEM((1, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+    def fentry(m0_blk, p_blk, us_blk, std_blk, mf_hbm, cf_hbm, s2_hbm,
+               mrow, crow, s2row, sem):
+        b = pl.program_id(0)
+        fkernel(m0_blk.at[0], p_blk.at[0], us_blk.at[0], std_blk.at[0],
+                mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
+                mrow, crow, s2row, sem)
+
+    us_f, std_f, mf, cf, s2 = pl.pallas_call(
+        fentry,
+        grid=(nb,),
+        in_specs=[
+                pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                             lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+                pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                             lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T + 1, _SUB, _LANE),
+                             lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, nq, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, nq, nq, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, 1, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_p, ps_b)
+
+    skernel = functools.partial(_ek0_smoother_kernel, **common)
+
+    def sentry(mf_hbm, cf_hbm, s2_hbm, us_blk, std_blk, mrow, crow, s2row, sem):
+        b = pl.program_id(0)
+        skernel(mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
+                us_blk.at[0], std_blk.at[0], mrow, crow, s2row, sem)
+
+    us_s, std_s = pl.pallas_call(
+        sentry,
+        grid=(nb,),
+        in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+                pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                             lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T + 1, _SUB, _LANE),
+                             lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(mf, cf, s2)
+
+    us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+    stds = std_s.transpose(1, 0, 2, 3).reshape(T + 1, B)
+    if _debug:
+        return us, stds, (us_f, std_f, mf, cf, s2)
+    return us, stds
+
+
+def solve_ensemble_ek0_pallas_smooth(
+    prob_f: Callable,
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_steps: int,
+    q: int = 3,
+):
+    """Taylor-init + fused filter + fused RTS smoother over an ensemble."""
+    from odefilters.taylor import taylor_coefficients
+
+    t0, t1 = tspan
+    dt = (t1 - t0) / n_steps
+    B, d = u0s.shape
+
+    def init_one(u0, p):
+        return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+
+    m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
+    return ek0_fused_solve(prob_f, m0, ps.T, float(t0), float(dt), n_steps, q)
