@@ -220,3 +220,30 @@ def errors_vs_analytic(sol: ProbODESolution) -> dict:
         - sol.prob.analytic(sol.prob.u0, sol.prob.p, jnp.take(sol.ts, sol.n_steps))
     )
     return {"l2": l2, "l∞": linf, "final": final}
+
+
+def compact_saveat(sol: ProbODESolution, ts_save: jax.Array) -> ProbODESolution:
+    """Re-sample a solution onto the ``saveat`` grid (host-framework
+    `saveat` semantics): the returned solution's grid *is* ``ts_save``,
+    with states from the dense posterior. ``ts_save`` must lie within the
+    solved span and be sorted."""
+    ts_save = jnp.asarray(ts_save, dtype=sol.ts.dtype)
+    xs = evaluate_states(sol, ts_save)
+    n = ts_save.shape[0] - 1
+    sol_d = sol.d
+    u = xs.mean[:, :sol_d]
+    pu = Gaussian(xs.mean[:, :sol_d], xs.chol[:, :sol_d, :])
+    idx = jnp.clip(
+        jnp.searchsorted(sol.ts, ts_save, side="right"), 1, sol.n_steps
+    )
+    diffs = jnp.take(sol.diffusions, idx, axis=0)
+    return dataclasses.replace(
+        sol,
+        ts=ts_save,
+        n_steps=jnp.asarray(n, jnp.int32),
+        u=u,
+        pu=pu,
+        x_filt=xs,
+        x_smooth=xs,
+        diffusions=diffs,
+    )

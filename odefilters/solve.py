@@ -454,6 +454,7 @@ def solve(
     linearize_sol=None,
     callback=None,
     tstops=None,
+    saveat=None,
 ) -> ProbODESolution:
     """Solve ``prob`` with a Gaussian ODE filter.
 
@@ -485,7 +486,12 @@ def solve(
             [jnp.asarray(tstops, dtype=jnp.result_type(prob.u0.dtype, jnp.float32)).ravel(),
              jnp.asarray([t1, t1])]
         ))
-    return _solve_adaptive_jit(
+    sol = _solve_adaptive_jit(
         prob, alg, abstol, reltol, dt0, int(max_steps), int(maxiters),
         dtmin, True, taylor_method, linearize_sol, callback, tstops,
     )
+    if saveat is not None:
+        from odefilters.solution import compact_saveat
+
+        sol = compact_saveat(sol, jnp.asarray(saveat))
+    return sol

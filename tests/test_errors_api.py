@@ -81,3 +81,20 @@ def test_state_dimension_via_init():
         integ = odf.init(prob, odf.EK0(order=q))
         assert integ.x.mean.shape == (2 * (q + 1),)
         assert integ.x.chol.shape == (2 * (q + 1), 2 * (q + 1))
+
+
+def test_saveat():
+    """saveat returns the solution on the requested grid (host-framework
+    saveat semantics)."""
+    prob = odf.models.logistic()
+    sv = jnp.linspace(0.0, 3.0, 7)
+    sol = odf.solve(prob, odf.EK1(order=3), abstol=1e-9, reltol=1e-7, saveat=sv)
+    assert sol.u.shape == (7, 1)
+    np.testing.assert_allclose(sol.ts, sv)
+    ref = np.stack([np.asarray(prob.analytic(prob.u0, prob.p, t)) for t in sv])
+    np.testing.assert_allclose(np.asarray(sol.u), ref, atol=1e-6)
+    # dense output still works on the compacted solution
+    g = sol(jnp.asarray(1.3))
+    np.testing.assert_allclose(
+        g.mean, prob.analytic(prob.u0, prob.p, 1.3), atol=1e-5
+    )
