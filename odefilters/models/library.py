@@ -29,7 +29,13 @@ def fitzhugh_nagumo(
     def jac(u, p, t):
         a, b, tinv, izero = p
         v = u[0]
-        return jnp.array([[1 - v**2, -1.0], [tinv, -tinv * b]])
+        o = jnp.ones_like(v)
+        # built with stack/broadcast so it vectorizes over trailing batch
+        # dims (required by the fused Pallas EK1 kernel)
+        return jnp.stack([
+            jnp.stack([1 - v**2, -o]),
+            jnp.stack([tinv * o, -tinv * b * o]),
+        ])
 
     return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
 
@@ -48,7 +54,10 @@ def lotka_volterra(
     def jac(u, p, t):
         a, b, c, d = p
         x, y = u[0], u[1]
-        return jnp.array([[a - b * y, -b * x], [d * y, -c + d * x]])
+        return jnp.stack([
+            jnp.stack([a - b * y, -b * x]),
+            jnp.stack([d * y, -c + d * x]),
+        ])
 
     return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
 
@@ -101,7 +110,11 @@ def van_der_pol(u0=(2.0, 0.0), mu=1e5, tspan=(0.0, 2.0)) -> ODEProblem:
 
     def jac(u, p, t):
         x, v = u[0], u[1]
-        return jnp.array([[0.0, 1.0], [p * (-2 * x * v - 1.0), p * (1 - x**2)]])
+        o = jnp.ones_like(x)
+        return jnp.stack([
+            jnp.stack([0.0 * o, o]),
+            jnp.stack([p * (-2 * x * v - 1.0), p * (1 - x**2)]),
+        ])
 
     return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(mu), jac=jac)
 

@@ -742,3 +742,460 @@ def solve_ensemble_ek0_pallas_smooth(
 
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
     return ek0_fused_solve(prob_f, m0, ps.T, float(t0), float(dt), n_steps, q)
+
+
+# ==========================================================================
+# EK1 fused kernel pair: full D x D square-root extended Kalman filtering
+# inside the kernel (D = d(q+1)). EK1 breaks the Kronecker structure, so
+# the covariance factor is carried as a dense D x D list-of-lists of lane
+# vectors; the IBM transition A = At (x) I_d stays block-sparse and is
+# unrolled with its zeros skipped. The user's analytic Jacobian is traced
+# into the kernel alongside the vector field.
+# ==========================================================================
+
+
+def _kron_upper(At, d, nq):
+    """A = At ⊗ I_d as a dense numpy (D, D) (upper block-triangular)."""
+    return np.kron(At, np.eye(d))
+
+
+def _ek1_filter_states_kernel(
+    m0_ref, p_ref, us_ref, std_ref, mf_ref, cf_ref, s2_ref,
+    mrow, crow, s2row, sem,
+    *, f, jac, At, QLt, pinv0, pinv1, T, dt, t0, d, nq,
+):
+    """Forward EK1 filter (dynamic diffusion), streaming sqrt states."""
+    D = d * nq
+    Af = np.kron(At, np.eye(d))          # (D, D) floats
+    QLf = np.kron(QLt, np.eye(d))        # (D, D) lower floats
+    # H Q H^T needs H QL; Q row-block 1 columns: constant part E1 QL
+    m_init = [m0_ref[i // d, i % d] for i in range(D)]
+    zero = jnp.zeros_like(m_init[0])
+    L_init = [[zero for _ in range(D)] for _ in range(D)]
+    p_block = p_ref[:]
+
+    for j in range(d):
+        us_ref[0, j] = pinv0 * m_init[j]
+    std_ref[0] = zero
+    for i in range(nq):
+        for j in range(d):
+            mrow[i, j] = m_init[i * d + j]
+        for l in range(D):
+            crow[i * d: (i + 1) * d, l] = jnp.stack(
+                [zero for _ in range(d)]
+            ) if False else crow[i * d: (i + 1) * d, l]
+    # simpler: zero-fill crow wholesale
+    crow[...] = jnp.zeros_like(crow)
+    s2row[0] = zero + 1.0
+    for cparg in [(mrow, mf_ref.at[0]), (crow, cf_ref.at[0]), (s2row, s2_ref.at[0])]:
+        cp = pltpu.make_async_copy(cparg[0], cparg[1], sem)
+        cp.start(); cp.wait()
+
+    def Amul_vec(m):
+        return [
+            functools.reduce(
+                lambda a, b: a + b,
+                [Af[r, c] * m[c] for c in range(D) if Af[r, c] != 0.0],
+            )
+            for r in range(D)
+        ]
+
+    def Amul_mat(L):
+        return [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [Af[r, c] * L[c][k] for c in range(D) if Af[r, c] != 0.0],
+                )
+                for k in range(D)
+            ]
+            for r in range(D)
+        ]
+
+    def body(k, carry):
+        m, L = carry
+        mp = Amul_vec(m)
+        t_new = t0 + (k + 1) * dt
+        u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
+        du = f(u_pred, p_block, t_new)
+        J = jac(u_pred, p_block, t_new)          # (d, d, 8, 128)
+        z = [pinv1 * mp[d + a] - du[a] for a in range(d)]
+
+        def Hmul_cols(M, K):
+            # H M for H = (E1 - J E0) P^-1; M is D x K lists
+            out = []
+            for a in range(d):
+                row = []
+                for kk in range(K):
+                    v = pinv1 * M[d + a][kk]
+                    for b in range(d):
+                        v = v - J[a, b] * (pinv0 * M[b][kk])
+                    row.append(v)
+                out.append(row)
+            return out
+
+        # dynamic diffusion: s2 = z^T (H Q H^T)^-1 z / d, with HQ = Hmul(QLf)
+        QL_lists = [[jnp.zeros_like(zero) if QLf[r, c] == 0.0 else
+                     QLf[r, c] + zero for c in range(D)] for r in range(D)]
+        HQ = Hmul_cols(QL_lists, D)              # d x D
+        Sq = [
+            [
+                functools.reduce(
+                    lambda x, y: x + y, [HQ[a][c] * HQ[b][c] for c in range(D)]
+                )
+                for b in range(d)
+            ]
+            for a in range(d)
+        ]
+        Lq = _list_chol(Sq, d)
+        w = _list_cho_solve(Lq, z, d)
+        s2 = functools.reduce(
+            lambda x, y: x + y, [z[a] * w[a] for a in range(d)]
+        ) / d
+        sq_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
+
+        # predicted factor: MGS of [ (A L)^T ; sqrt(s2) QLf^T ]  (2D x D)
+        AL = Amul_mat(L)
+        qT = [
+            [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else zero
+             for r in range(D)]
+            for c in range(D)
+        ]
+        Lp = _list_mgs_tril(_t_rows(AL, D) + qT, 2 * D, D)
+
+        # update: Z = H Lp (d x D), S = Z Z^T, K = Lp Z^T S^-1
+        Z = Hmul_cols(Lp, D)
+        S = [
+            [
+                functools.reduce(
+                    lambda x, y: x + y, [Z[a][c] * Z[b][c] for c in range(D)]
+                )
+                for b in range(d)
+            ]
+            for a in range(d)
+        ]
+        Ls = _list_chol(S, d)
+        # K rows: K[r] = (Lp Z^T)[r, :] S^-1
+        LpZt = [
+            [
+                functools.reduce(
+                    lambda x, y: x + y, [Lp[r][c] * Z[a][c] for c in range(D)]
+                )
+                for a in range(d)
+            ]
+            for r in range(D)
+        ]
+        Kg = [_list_cho_solve(Ls, LpZt[r], d) for r in range(D)]
+        m_new = [
+            mp[r]
+            - functools.reduce(
+                lambda x, y: x + y, [Kg[r][a] * z[a] for a in range(d)]
+            )
+            for r in range(D)
+        ]
+        L_new = [
+            [
+                Lp[r][c]
+                - functools.reduce(
+                    lambda x, y: x + y, [Kg[r][a] * Z[a][c] for a in range(d)]
+                )
+                for c in range(D)
+            ]
+            for r in range(D)
+        ]
+
+        for j in range(d):
+            us_ref[k + 1, j] = pinv0 * m_new[j]
+        std_ref[k + 1] = pinv0 * jnp.sqrt(
+            functools.reduce(
+                lambda x, y: x + y, [L_new[0][c] * L_new[0][c] for c in range(D)]
+            )
+        )
+        for i in range(nq):
+            for j in range(d):
+                mrow[i, j] = m_new[i * d + j]
+        for r in range(D):
+            for c in range(D):
+                crow[r, c] = L_new[r][c]
+        s2row[0] = s2
+        for cpa in [(mrow, mf_ref.at[k + 1]), (crow, cf_ref.at[k + 1]),
+                    (s2row, s2_ref.at[k + 1])]:
+            cp = pltpu.make_async_copy(cpa[0], cpa[1], sem)
+            cp.start(); cp.wait()
+        return m_new, L_new
+
+    jax.lax.fori_loop(0, T, body, (m_init, L_init))
+
+
+def _ekd_smoother_kernel(
+    mf_ref, cf_ref, s2_ref, us_ref, std_ref,
+    mrow, crow, s2row, sem,
+    *, At, QLt, pinv0, T, d, nq,
+):
+    """Backward RTS pass over D x D sqrt states (EK1 or any dense-factor
+    filter); algorithm-agnostic — smoothing never touches H."""
+    D = d * nq
+    Af = np.kron(At, np.eye(d))
+    QLf = np.kron(QLt, np.eye(d))
+
+    def load_row(k):
+        for cpa in [(mf_ref.at[k], mrow), (cf_ref.at[k], crow)]:
+            cp = pltpu.make_async_copy(cpa[0], cpa[1], sem)
+            cp.start(); cp.wait()
+        m = [mrow[i // d, i % d] for i in range(D)]
+        L = [[crow[r, c] for c in range(D)] for r in range(D)]
+        return m, L
+
+    def block_std(Lrow):
+        return pinv0 * jnp.sqrt(
+            functools.reduce(lambda a, b: a + b, [x * x for x in Lrow])
+        )
+
+    m_T, L_T = load_row(T)
+    for j in range(d):
+        us_ref[T, j] = pinv0 * m_T[j]
+    std_ref[T] = block_std(L_T[0])
+
+    def Amul_vec(m):
+        return [
+            functools.reduce(
+                lambda a, b: a + b,
+                [Af[r, c] * m[c] for c in range(D) if Af[r, c] != 0.0],
+            )
+            for r in range(D)
+        ]
+
+    def body(step, carry):
+        m_s, L_s = carry
+        k = T - 1 - step
+        m_f, L_f = load_row(k)
+        cp = pltpu.make_async_copy(s2_ref.at[k + 1], s2row, sem)
+        cp.start(); cp.wait()
+        sq_s2 = jnp.sqrt(s2row[0])
+        zero = jnp.zeros_like(sq_s2)
+
+        AL = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [Af[r, c] * L_f[c][kk] for c in range(D) if Af[r, c] != 0.0],
+                )
+                for kk in range(D)
+            ]
+            for r in range(D)
+        ]
+        qT = [
+            [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else zero
+             for r in range(D)]
+            for c in range(D)
+        ]
+        Lp = _list_mgs_tril(_t_rows(AL, D) + qT, 2 * D, D)
+
+        # G = C_f A^T Cp^-1 with C_f A^T = L_f (A L_f)^T
+        M = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [L_f[r][b] * AL[l][b] for b in range(D)],
+                )
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        G = [_list_cho_solve(Lp, M[r], D) for r in range(D)]
+
+        mp = Amul_vec(m_f)
+        dm = [m_s[r] - mp[r] for r in range(D)]
+        m_new = [
+            m_f[r]
+            + functools.reduce(
+                lambda a, b: a + b, [G[r][l] * dm[l] for l in range(D)]
+            )
+            for r in range(D)
+        ]
+
+        GA = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [G[r][c] * Af[c, l] for c in range(D) if Af[c, l] != 0.0],
+                )
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        IGA = [
+            [(1.0 if r == l else 0.0) - GA[r][l] for l in range(D)]
+            for r in range(D)
+        ]
+        b1 = _matmul_lists(IGA, L_f, D)
+        GQ = [
+            [
+                sq_s2
+                * functools.reduce(
+                    lambda a, b: a + b,
+                    [G[r][c] * QLf[c, l] for c in range(D) if QLf[c, l] != 0.0],
+                )
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        b3 = _matmul_lists(G, L_s, D)
+        L_new = _list_mgs_tril(
+            _t_rows(b1, D) + _t_rows(GQ, D) + _t_rows(b3, D), 3 * D, D
+        )
+
+        for j in range(d):
+            us_ref[k, j] = pinv0 * m_new[j]
+        std_ref[k] = block_std(L_new[0])
+        return m_new, L_new
+
+    jax.lax.fori_loop(0, T, body, (m_T, L_T))
+
+
+def ek1_fused_solve(
+    f: Callable,
+    jac: Callable,
+    m0: jax.Array,      # (q+1, d, B)
+    ps: jax.Array,      # (n_params, B)
+    t0: float,
+    dt: float,
+    n_steps: int,
+    q: int,
+    smooth: bool = True,
+):
+    """Fused EK1 solve (dynamic diffusion) over an ensemble: the full
+    D x D square-root extended Kalman filter (+ optional RTS smoother)
+    inside Pallas kernels. ``jac(u, p, t) -> (d, d[, batch...])`` must be
+    index-and-stack style like ``f``."""
+    nq = q + 1
+    _, d, B = m0.shape
+    D = d * nq
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    T = int(n_steps)
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    m0_p = (jnp.asarray(p_np, dtype)[:, None, None] * m0).reshape(
+        nq, d, nb, _SUB, _LANE
+    ).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+
+    common = dict(At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+                  pinv0=float(1.0 / p_np[0]), T=T, d=d, nq=nq)
+    fkernel = functools.partial(
+        _ek1_filter_states_kernel, f=f, jac=jac,
+        pinv1=float(1.0 / p_np[1]), dt=float(dt), t0=float(t0), **common,
+    )
+
+    scratch = [
+        pltpu.VMEM((nq, d, _SUB, _LANE), dtype),
+        pltpu.VMEM((D, D, _SUB, _LANE), dtype),
+        pltpu.VMEM((1, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+    def fentry(m0_blk, p_blk, us_blk, std_blk, mf_hbm, cf_hbm, s2_hbm,
+               mrow, crow, s2row, sem):
+        b = pl.program_id(0)
+        fkernel(m0_blk.at[0], p_blk.at[0], us_blk.at[0], std_blk.at[0],
+                mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
+                mrow, crow, s2row, sem)
+
+    us_f, std_f, mf, cf, s2 = pl.pallas_call(
+        fentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T + 1, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, nq, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, D, D, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, 1, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_p, ps_b)
+
+    if not smooth:
+        us = us_f.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+        stds = std_f.transpose(1, 0, 2, 3).reshape(T + 1, B)
+        return us, stds
+
+    skernel = functools.partial(_ekd_smoother_kernel, **common)
+
+    def sentry(mf_hbm, cf_hbm, s2_hbm, us_blk, std_blk, mrow, crow, s2row, sem):
+        b = pl.program_id(0)
+        skernel(mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
+                us_blk.at[0], std_blk.at[0], mrow, crow, s2row, sem)
+
+    us_s, std_s = pl.pallas_call(
+        sentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T + 1, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(mf, cf, s2)
+
+    us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+    stds = std_s.transpose(1, 0, 2, 3).reshape(T + 1, B)
+    return us, stds
+
+
+def solve_ensemble_ek1_pallas(
+    prob_f: Callable,
+    prob_jac: Callable,
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_steps: int,
+    q: int = 3,
+    smooth: bool = True,
+):
+    """Taylor-init + fused EK1 filter(+smoother) over an ensemble."""
+    from odefilters.taylor import taylor_coefficients
+
+    t0, t1 = tspan
+    dt = (t1 - t0) / n_steps
+    B, d = u0s.shape
+
+    def init_one(u0, p):
+        return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+
+    m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
+    return ek1_fused_solve(
+        prob_f, prob_jac, m0, ps.T, float(t0), float(dt), n_steps, q,
+        smooth=smooth,
+    )

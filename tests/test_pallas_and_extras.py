@@ -159,3 +159,43 @@ def test_second_order_pendulum_ek0():
     u, du = np.asarray(sol.u[: n + 1, 0]), np.asarray(sol.u[: n + 1, 1])
     E = du**2 / 2 - 9.81 * np.cos(u)
     assert np.abs(E - E[0]).max() < 1e-4
+
+
+def test_pallas_ek1_matches_xla_interpret():
+    """Fused EK1 kernel (full DxD sqrt EKF in-kernel) == dense XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, T = pk.BLOCK, 30
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        us, stds = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, T, q=3, smooth=True
+        )
+    ts = jnp.linspace(0.0, 2.0, T + 1)
+    sd = odf.solve_fixed(prob, odf.EK1(order=3), ts=ts)
+    np.testing.assert_allclose(us[:, :, 0], sd.u, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(stds[:, 0], sd.pu.std[:, 0], rtol=1e-6, atol=1e-10)
+
+
+def test_pallas_ek0_smooth_matches_kron_interpret():
+    """Fused filter+smoother kernel pair == sequential Kronecker path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.kronsolve import solve_fixed_kron
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, T = pk.BLOCK, 30
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        us, stds = pk.solve_ensemble_ek0_pallas_smooth(
+            prob.f, u0s, ps, prob.tspan, T, q=3
+        )
+    sk = solve_fixed_kron(prob, odf.EK0(order=3), ts=jnp.linspace(0.0, 2.0, T + 1))
+    np.testing.assert_allclose(us[:, :, 0], sk.u, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(stds[:, 0], sk.u_std[:, 0], rtol=1e-7, atol=1e-12)
