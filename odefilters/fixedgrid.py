@@ -116,7 +116,7 @@ def solve_fixed(
     ts: Optional[jax.Array] = None,
     abstol: float = 1e-6,
     reltol: float = 1e-3,
-    taylor_method: str = "jvp",
+    taylor_method: str = "auto",
 ) -> ProbODESolution:
     """Fixed-grid solve: supply either a step size ``dt`` or a grid ``ts``.
 

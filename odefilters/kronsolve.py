@@ -297,7 +297,7 @@ def solve_fixed_kron(
     ts: Optional[jax.Array] = None,
     abstol: float = 1e-6,
     reltol: float = 1e-3,
-    taylor_method: str = "jvp",
+    taylor_method: str = "auto",
 ) -> KronProbODESolution:
     """Fixed-grid EK0 solve on the Kronecker fast path."""
     t0, t1 = prob.tspan

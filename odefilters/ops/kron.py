@@ -220,7 +220,13 @@ def kron_smooth_step(x_curr: KronGaussian, x_next: KronGaussian, At, QLt):
         ),
         -1, -2,
     )
-    m_s = x_curr.mean + Gt @ (x_next.mean - m_pred)
+    dm = x_next.mean - m_pred                      # (q+1, d)
+    if Gt.ndim == 3:
+        # per-dimension gains (MV diffusions): column i of the mean uses
+        # its own (q+1, q+1) gain
+        m_s = x_curr.mean + jnp.einsum("ijk,ki->ji", Gt, dm)
+    else:
+        m_s = x_curr.mean + Gt @ dm
     I = jnp.eye(n, dtype=Lt.dtype)
     Lt_s = tril_factor(
         jnp.concatenate(

@@ -73,7 +73,11 @@ def _ek0_kernel(
             for i in range(nq)
         ]
         # -- measure --
-        t_new = t0 + (k + 1) * dt
+        _dt = zero.dtype
+        t_new = (
+            jnp.asarray(t0, _dt)
+            + (k + 1).astype(_dt) * jnp.asarray(dt, _dt)
+        )
         u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
         du = f(u_pred, p_block, t_new)
         z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
@@ -399,7 +403,11 @@ def _ek0_filter_states_kernel(
             ]
             for i in range(nq)
         ]
-        t_new = t0 + (k + 1) * dt
+        _dt = zero.dtype
+        t_new = (
+            jnp.asarray(t0, _dt)
+            + (k + 1).astype(_dt) * jnp.asarray(dt, _dt)
+        )
         u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
         du = f(u_pred, p_block, t_new)
         z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
@@ -815,7 +823,11 @@ def _ek1_filter_states_kernel(
     def body(k, carry):
         m, L = carry
         mp = Amul_vec(m)
-        t_new = t0 + (k + 1) * dt
+        _dt = zero.dtype
+        t_new = (
+            jnp.asarray(t0, _dt)
+            + (k + 1).astype(_dt) * jnp.asarray(dt, _dt)
+        )
         u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
         du = f(u_pred, p_block, t_new)
         J = jac(u_pred, p_block, t_new)          # (d, d, 8, 128)

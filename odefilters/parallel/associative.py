@@ -293,7 +293,7 @@ def solve_fixed_parallel(
     dt: Optional[float] = None,
     ts: Optional[jax.Array] = None,
     iterations: int = 4,
-    taylor_method: str = "jvp",
+    taylor_method: str = "auto",
     warm_start: int = 0,
 ):
     """Time-parallel fixed-grid solve (uniform grid).

@@ -48,7 +48,7 @@ def _ensemble_solve_fn(prob: ODEProblem, alg: AbstractEK, ts, abstol, reltol):
     def one(u0, p):
         return _solve_fixed_impl(
             remake(prob, u0=u0, p=p), alg, ts, abstol, reltol,
-            ts.shape[0] - 1, "jvp", True,
+            ts.shape[0] - 1, "auto", True,
         )
 
     return jax.vmap(one)
@@ -104,7 +104,7 @@ def solve_ensemble_adaptive(
         t0, t1 = pr.tspan
         return _solve_adaptive_impl(
             pr, alg, abstol, reltol, dt0, max_steps, 100_000,
-            1e-14 * (t1 - t0), True, "jvp", None,
+            1e-14 * (t1 - t0), True, "auto", None,
         )
 
     fn = jax.vmap(one)

@@ -450,7 +450,7 @@ def solve(
     max_steps: int = 4096,
     maxiters: int = 100_000,
     dtmin: Optional[float] = None,
-    taylor_method: str = "jvp",
+    taylor_method: str = "auto",
     linearize_sol=None,
     callback=None,
     tstops=None,

@@ -95,8 +95,12 @@ def taylor_coefficients_jet(
 
 
 def taylor_coefficients(
-    f: Callable, u0: jnp.ndarray, p, t0, q: int, method: str = "jvp"
+    f: Callable, u0: jnp.ndarray, p, t0, q: int, method: str = "auto"
 ) -> list[jnp.ndarray]:
+    if method == "auto":
+        # nested jvp costs O(2^q) trace-time f evaluations; true Taylor
+        # mode (jet) is O(q^2) and wins for high orders
+        method = "jet" if q > 5 else "jvp"
     if method == "jvp":
         return taylor_coefficients_jvp(f, u0, p, t0, q)
     if method == "jet":
@@ -105,7 +109,7 @@ def taylor_coefficients(
 
 
 def initial_state(
-    f: Callable, u0: jnp.ndarray, p, t0, q: int, method: str = "jvp"
+    f: Callable, u0: jnp.ndarray, p, t0, q: int, method: str = "auto"
 ) -> Gaussian:
     """Exact initial filter state: mean = stacked derivatives, zero cov.
 

@@ -120,3 +120,17 @@ def test_kron_matches_dense():
     sd = odf.solve_fixed(prob, odf.EK0(order=3), dt=0.05)
     np.testing.assert_allclose(sk.u, sd.u, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(sk.u_std, sd.pu.std, rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.parametrize("diffusion", ["fixed", "fixedMV", "dynamicMV"])
+def test_kron_diffusion_variants_match_dense(diffusion):
+    """Kron fast path matches the dense path for MV/static diffusions too
+    (per-dim factor promotion + per-dim smoothing)."""
+    from odefilters.kronsolve import solve_fixed_kron
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    alg = odf.EK0(order=2, diffusionmodel=diffusion)
+    sk = solve_fixed_kron(prob, alg, dt=0.05)
+    sd = odf.solve_fixed(prob, alg, dt=0.05)
+    np.testing.assert_allclose(sk.u, sd.u, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(sk.u_std, sd.pu.std, rtol=1e-7, atol=1e-11)
