@@ -40,6 +40,23 @@ BLOCK = 1024
 _SUB, _LANE = 8, 128
 
 
+def _no_x64(fn):
+    """Trace the kernel wrapper with 32-bit default types.
+
+    The global x64 flag makes every Python int/float constant trace as a
+    64-bit value, which Mosaic cannot lower; the kernels are 32/64-bit
+    clean by dtype of their array inputs.
+    """
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _ek0_kernel(
     m0_ref, p_ref, us_ref, std_ref, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
@@ -74,9 +91,9 @@ def _ek0_kernel(
         ]
         # -- measure --
         _dt = zero.dtype
-        t_new = (
-            jnp.asarray(t0, _dt)
-            + (k + 1).astype(_dt) * jnp.asarray(dt, _dt)
+        k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
+        t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
+            k.astype(_dt) + jnp.asarray(1.0, _dt)
         )
         u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
         du = f(u_pred, p_block, t_new)
@@ -119,13 +136,14 @@ def _ek0_kernel(
         ]
         # -- save the projected solution row --
         for j in range(d):
-            us_ref[k + 1, j] = pinv0 * m_new[0][j]
-        std_ref[k + 1] = pinv0 * jnp.sqrt(jnp.maximum(C_new[0][0], 0.0))
+            us_ref[k1, j] = pinv0 * m_new[0][j]
+        std_ref[k1] = pinv0 * jnp.sqrt(jnp.maximum(C_new[0][0], 0.0))
         return m_new, C_new
 
-    jax.lax.fori_loop(0, T, body, (m_init, C_init))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, C_init))
 
 
+@_no_x64
 def ek0_fused_filter(
     f: Callable,
     m0: jax.Array,      # (q+1, d, B) unpreconditioned Taylor init means
@@ -196,7 +214,7 @@ def ek0_fused_filter(
 
     def kernel_entry(m0_blk, p_blk, us_blk, std_blk):
         kernel(
-            m0_blk.at[0], p_blk.at[0], us_blk.at[0], std_blk.at[0]
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)], us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)]
         )
 
     us, stds = pl.pallas_call(
@@ -381,11 +399,11 @@ def _ek0_filter_states_kernel(
         for l in range(nq):
             crow[i, l] = zero
     s2row[0] = zero + 1.0
-    cp0 = pltpu.make_async_copy(mrow, mf_ref.at[0], sem)
+    cp0 = pltpu.make_async_copy(mrow, mf_ref.at[jnp.int32(0)], sem)
     cp0.start(); cp0.wait()
-    cp0 = pltpu.make_async_copy(crow, cf_ref.at[0], sem)
+    cp0 = pltpu.make_async_copy(crow, cf_ref.at[jnp.int32(0)], sem)
     cp0.start(); cp0.wait()
-    cp0 = pltpu.make_async_copy(s2row, s2_ref.at[0], sem)
+    cp0 = pltpu.make_async_copy(s2row, s2_ref.at[jnp.int32(0)], sem)
     cp0.start(); cp0.wait()
 
     sqlt = jnp.sqrt
@@ -404,9 +422,9 @@ def _ek0_filter_states_kernel(
             for i in range(nq)
         ]
         _dt = zero.dtype
-        t_new = (
-            jnp.asarray(t0, _dt)
-            + (k + 1).astype(_dt) * jnp.asarray(dt, _dt)
+        k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
+        t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
+            k.astype(_dt) + jnp.asarray(1.0, _dt)
         )
         u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
         du = f(u_pred, p_block, t_new)
@@ -451,8 +469,8 @@ def _ek0_filter_states_kernel(
             [Lp[i][l] - kg[i] * Zrow[l] for l in range(nq)] for i in range(nq)
         ]
         for j in range(d):
-            us_ref[k + 1, j] = pinv0 * m_new[0][j]
-        std_ref[k + 1] = pinv0 * sqlt(
+            us_ref[k1, j] = pinv0 * m_new[0][j]
+        std_ref[k1] = pinv0 * sqlt(
             functools.reduce(
                 lambda a, b: a + b, [L_new[0][l] * L_new[0][l] for l in range(nq)]
             )
@@ -464,15 +482,15 @@ def _ek0_filter_states_kernel(
             for l in range(nq):
                 crow[i, l] = L_new[i][l]
         s2row[0] = s2
-        cp = pltpu.make_async_copy(mrow, mf_ref.at[k + 1], sem)
+        cp = pltpu.make_async_copy(mrow, mf_ref.at[k1], sem)
         cp.start(); cp.wait()
-        cp = pltpu.make_async_copy(crow, cf_ref.at[k + 1], sem)
+        cp = pltpu.make_async_copy(crow, cf_ref.at[k1], sem)
         cp.start(); cp.wait()
-        cp = pltpu.make_async_copy(s2row, s2_ref.at[k + 1], sem)
+        cp = pltpu.make_async_copy(s2row, s2_ref.at[k1], sem)
         cp.start(); cp.wait()
         return m_new, L_new
 
-    jax.lax.fori_loop(0, T, body, (m_init, L_init))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, L_init))
 
 
 def _ek0_smoother_kernel(
@@ -512,10 +530,10 @@ def _ek0_smoother_kernel(
 
     def body(step, carry):
         m_s, L_s = carry
-        k = T - 1 - step
+        k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
         m_f, L_f = load_row(k)
         # diffusion of the interval k -> k+1 is step k+1's sigma2
-        cp = pltpu.make_async_copy(s2_ref.at[k + 1], s2row, sem)
+        cp = pltpu.make_async_copy(s2_ref.at[k + jnp.ones((), k.dtype)], s2row, sem)
         cp.start(); cp.wait()
         sq_s2 = jnp.sqrt(s2row[0])
 
@@ -605,9 +623,10 @@ def _ek0_smoother_kernel(
         std_ref[k] = block_std(L_new[0])
         return m_new, L_new
 
-    jax.lax.fori_loop(0, T, body, (m_T, L_T))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T))
 
 
+@_no_x64
 def ek0_fused_solve(
     f: Callable,
     m0: jax.Array,      # (q+1, d, B) unpreconditioned Taylor init means
@@ -663,7 +682,7 @@ def ek0_fused_solve(
     def fentry(m0_blk, p_blk, us_blk, std_blk, mf_hbm, cf_hbm, s2_hbm,
                mrow, crow, s2row, sem):
         b = pl.program_id(0)
-        fkernel(m0_blk.at[0], p_blk.at[0], us_blk.at[0], std_blk.at[0],
+        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)], us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
                 mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
                 mrow, crow, s2row, sem)
 
@@ -700,7 +719,7 @@ def ek0_fused_solve(
     def sentry(mf_hbm, cf_hbm, s2_hbm, us_blk, std_blk, mrow, crow, s2row, sem):
         b = pl.program_id(0)
         skernel(mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
-                us_blk.at[0], std_blk.at[0], mrow, crow, s2row, sem)
+                us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)], mrow, crow, s2row, sem)
 
     us_s, std_s = pl.pallas_call(
         sentry,
@@ -795,7 +814,7 @@ def _ek1_filter_states_kernel(
     # simpler: zero-fill crow wholesale
     crow[...] = jnp.zeros_like(crow)
     s2row[0] = zero + 1.0
-    for cparg in [(mrow, mf_ref.at[0]), (crow, cf_ref.at[0]), (s2row, s2_ref.at[0])]:
+    for cparg in [(mrow, mf_ref.at[jnp.int32(0)]), (crow, cf_ref.at[jnp.int32(0)]), (s2row, s2_ref.at[jnp.int32(0)])]:
         cp = pltpu.make_async_copy(cparg[0], cparg[1], sem)
         cp.start(); cp.wait()
 
@@ -824,9 +843,9 @@ def _ek1_filter_states_kernel(
         m, L = carry
         mp = Amul_vec(m)
         _dt = zero.dtype
-        t_new = (
-            jnp.asarray(t0, _dt)
-            + (k + 1).astype(_dt) * jnp.asarray(dt, _dt)
+        k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
+        t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
+            k.astype(_dt) + jnp.asarray(1.0, _dt)
         )
         u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
         du = f(u_pred, p_block, t_new)
@@ -917,8 +936,8 @@ def _ek1_filter_states_kernel(
         ]
 
         for j in range(d):
-            us_ref[k + 1, j] = pinv0 * m_new[j]
-        std_ref[k + 1] = pinv0 * jnp.sqrt(
+            us_ref[k1, j] = pinv0 * m_new[j]
+        std_ref[k1] = pinv0 * jnp.sqrt(
             functools.reduce(
                 lambda x, y: x + y, [L_new[0][c] * L_new[0][c] for c in range(D)]
             )
@@ -930,13 +949,13 @@ def _ek1_filter_states_kernel(
             for c in range(D):
                 crow[r, c] = L_new[r][c]
         s2row[0] = s2
-        for cpa in [(mrow, mf_ref.at[k + 1]), (crow, cf_ref.at[k + 1]),
-                    (s2row, s2_ref.at[k + 1])]:
+        for cpa in [(mrow, mf_ref.at[k1]), (crow, cf_ref.at[k1]),
+                    (s2row, s2_ref.at[k1])]:
             cp = pltpu.make_async_copy(cpa[0], cpa[1], sem)
             cp.start(); cp.wait()
         return m_new, L_new
 
-    jax.lax.fori_loop(0, T, body, (m_init, L_init))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, L_init))
 
 
 def _ekd_smoother_kernel(
@@ -979,9 +998,9 @@ def _ekd_smoother_kernel(
 
     def body(step, carry):
         m_s, L_s = carry
-        k = T - 1 - step
+        k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
         m_f, L_f = load_row(k)
-        cp = pltpu.make_async_copy(s2_ref.at[k + 1], s2row, sem)
+        cp = pltpu.make_async_copy(s2_ref.at[k + jnp.ones((), k.dtype)], s2row, sem)
         cp.start(); cp.wait()
         sq_s2 = jnp.sqrt(s2row[0])
         zero = jnp.zeros_like(sq_s2)
@@ -1062,9 +1081,10 @@ def _ekd_smoother_kernel(
         std_ref[k] = block_std(L_new[0])
         return m_new, L_new
 
-    jax.lax.fori_loop(0, T, body, (m_T, L_T))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T))
 
 
+@_no_x64
 def ek1_fused_solve(
     f: Callable,
     jac: Callable,
@@ -1116,7 +1136,7 @@ def ek1_fused_solve(
     def fentry(m0_blk, p_blk, us_blk, std_blk, mf_hbm, cf_hbm, s2_hbm,
                mrow, crow, s2row, sem):
         b = pl.program_id(0)
-        fkernel(m0_blk.at[0], p_blk.at[0], us_blk.at[0], std_blk.at[0],
+        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)], us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
                 mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
                 mrow, crow, s2row, sem)
 
@@ -1158,7 +1178,7 @@ def ek1_fused_solve(
     def sentry(mf_hbm, cf_hbm, s2_hbm, us_blk, std_blk, mrow, crow, s2row, sem):
         b = pl.program_id(0)
         skernel(mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
-                us_blk.at[0], std_blk.at[0], mrow, crow, s2row, sem)
+                us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)], mrow, crow, s2row, sem)
 
     us_s, std_s = pl.pallas_call(
         sentry,

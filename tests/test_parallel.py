@@ -134,3 +134,30 @@ def test_kron_diffusion_variants_match_dense(diffusion):
     sd = odf.solve_fixed(prob, alg, dt=0.05)
     np.testing.assert_allclose(sk.u, sd.u, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(sk.u_std, sd.pu.std, rtol=1e-7, atol=1e-11)
+
+
+def test_time_sharded_associative_filter(rng):
+    """The associative-scan filter runs with its *time axis* sharded over
+    the device mesh (the sequence-parallelism analogue, SURVEY.md §5):
+    XLA inserts the log-depth collectives, results match exactly."""
+    from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
+
+    D, d, N = 4, 2, 64
+    F = jnp.asarray(rng.standard_normal((D, D)) * 0.4 + np.eye(D) * 0.5)
+    Q = jnp.asarray(
+        (lambda M: M @ M.T + 0.1 * np.eye(D))(rng.standard_normal((D, D)) * 0.3)
+    )
+    H = jnp.asarray(rng.standard_normal((N, d, D)))
+    y = jnp.asarray(rng.standard_normal((N, d)))
+    m0 = jnp.asarray(rng.standard_normal(D))
+    P0 = jnp.zeros((D, D))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("time",), axis_types=(AxisType.Auto,))
+    sh = NamedSharding(mesh, P("time"))
+    ref_m, ref_P = jax.jit(parallel_filter)(m0, P0, F, Q, H, y)
+    out_m, out_P = jax.jit(parallel_filter)(
+        m0, P0, F, Q, jax.device_put(H, sh), jax.device_put(y, sh)
+    )
+    np.testing.assert_allclose(out_m, ref_m, rtol=1e-12)
+    np.testing.assert_allclose(out_P, ref_P, rtol=1e-12)
+    assert "time" in str(out_m.sharding)
