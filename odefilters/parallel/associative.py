@@ -178,14 +178,15 @@ def parallel_smoother(ms, Ps, F, Q):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("alg", "n_steps", "iterations", "taylor_method"))
+@partial(jax.jit, static_argnames=("alg", "n_steps", "iterations", "taylor_method", "sqrt_form"))
 def _solve_parallel_jit(prob, alg, ts, n_steps, iterations, taylor_method,
-                        u_init=None):
+                        u_init=None, sqrt_form=False):
     from odefilters.linalg import highest_precision
 
     with highest_precision():
         return _solve_parallel_jit_inner(
-            prob, alg, ts, n_steps, iterations, taylor_method, u_init
+            prob, alg, ts, n_steps, iterations, taylor_method, u_init,
+            sqrt_form,
         )
 
 
@@ -197,6 +198,7 @@ def _solve_parallel_jit_inner(
     iterations: int,
     taylor_method: str,
     u_init=None,
+    sqrt_form: bool = False,
 ):
     d, q = prob.d, alg.order
     D = d * (q + 1)
@@ -245,14 +247,35 @@ def _solve_parallel_jit_inner(
     else:
         u_guess = u_init.astype(dtype)
 
+    if sqrt_form:
+        from odefilters.parallel.associative_sqrt import (
+            parallel_filter_sqrt,
+            parallel_smoother_sqrt,
+        )
+
+        def run_filter_smoother(H, y):
+            ms, Us = parallel_filter_sqrt(m0, P0, A, QL, H, y)
+            ms_s, Us_s = parallel_smoother_sqrt(
+                jnp.concatenate([m0[None], ms], axis=0),
+                jnp.concatenate([P0[None], Us], axis=0),
+                A, QL,
+            )
+            Ps = Us @ _T(Us)
+            Ps_s = Us_s @ _T(Us_s)
+            return ms, Ps, ms_s, Ps_s
+    else:
+        def run_filter_smoother(H, y):
+            ms, Ps = parallel_filter(m0, P0, A, Qm, H, y)
+            ms_s, Ps_s = parallel_smoother(
+                jnp.concatenate([m0[None], ms], axis=0),
+                jnp.concatenate([P0[None], Ps], axis=0),
+                A, Qm,
+            )
+            return ms, Ps, ms_s, Ps_s
+
     def sweep(u_lin, _):
         H, y = build_elements(u_lin)
-        ms, Ps = parallel_filter(m0, P0, A, Qm, H, y)
-        ms_s, Ps_s = parallel_smoother(
-            jnp.concatenate([m0[None], ms], axis=0),
-            jnp.concatenate([P0[None], Ps], axis=0),
-            A, Qm,
-        )
+        _, _, ms_s, _ = run_filter_smoother(H, y)
         u_new = pinv_full[None, :d] * ms_s[1:, :d]
         return u_new, None
 
@@ -260,10 +283,11 @@ def _solve_parallel_jit_inner(
 
     # Final sweep keeps the full posterior + calibration statistics.
     H, y = build_elements(u_lin)
-    ms, Ps = parallel_filter(m0, P0, A, Qm, H, y)
+    ms, Ps, ms_s, Ps_s = run_filter_smoother(H, y)
     ms_all = jnp.concatenate([m0[None], ms], axis=0)
-    Ps_all = jnp.concatenate([P0[None], Ps], axis=0)
-    ms_s, Ps_s = parallel_smoother(ms_all, Ps_all, A, Qm)
+    Ps_all = jnp.concatenate(
+        [jnp.zeros((1,) + Ps.shape[1:], Ps.dtype), Ps], axis=0
+    )
 
     # Global MLE diffusion from the innovations of the final linearization:
     # z_k = H x_pred - y, S_k = H P_pred H^T (sigma^2=1 coordinates).
@@ -295,6 +319,7 @@ def solve_fixed_parallel(
     iterations: int = 4,
     taylor_method: str = "auto",
     warm_start: int = 0,
+    sqrt_form: bool = False,
 ):
     """Time-parallel fixed-grid solve (uniform grid).
 
@@ -332,5 +357,6 @@ def solve_fixed_parallel(
         )(ts[1:])
 
     return _solve_parallel_jit(
-        prob, alg, ts, ts.shape[0] - 1, int(iterations), taylor_method, u_init
+        prob, alg, ts, ts.shape[0] - 1, int(iterations), taylor_method,
+        u_init, bool(sqrt_form),
     )

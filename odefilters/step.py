@@ -99,13 +99,6 @@ def _h_mul(M, J, pinv0, pinv1, d: int, is_ek1: bool):
     return out
 
 
-def _h_vec(v, J, pinv0, pinv1, d: int, is_ek1: bool):
-    out = pinv1 * v[..., d : 2 * d]
-    if is_ek1:
-        out = out - jnp.einsum("...ij,...j->...i", J, pinv0 * v[..., :d])
-    return out
-
-
 def attempt_step(
     model: FilterModel,
     x: Gaussian,

@@ -161,3 +161,56 @@ def test_time_sharded_associative_filter(rng):
     np.testing.assert_allclose(out_m, ref_m, rtol=1e-12)
     np.testing.assert_allclose(out_P, ref_P, rtol=1e-12)
     assert "time" in str(out_m.sharding)
+
+
+def test_sqrt_parallel_matches_covariance_form(rng):
+    """Square-root associative elements (Woodbury + stacked-QR combine)
+    reproduce the covariance-form parallel filter/smoother exactly."""
+    from odefilters.parallel.associative_sqrt import (
+        parallel_filter_sqrt,
+        parallel_smoother_sqrt,
+    )
+
+    D, d, N = 4, 2, 24
+    F = jnp.asarray(rng.standard_normal((D, D)) * 0.4 + np.eye(D) * 0.5)
+    QLn = np.linalg.cholesky(
+        (lambda M: M @ M.T + 0.1 * np.eye(D))(rng.standard_normal((D, D)) * 0.3)
+    )
+    H = jnp.asarray(rng.standard_normal((N, d, D)))
+    y = jnp.asarray(rng.standard_normal((N, d)))
+    m0 = jnp.asarray(rng.standard_normal(D))
+    U0n = np.linalg.cholesky(
+        (lambda M: M @ M.T + 0.05 * np.eye(D))(rng.standard_normal((D, D)) * 0.2)
+    )
+    Q = jnp.asarray(QLn @ QLn.T)
+    P0 = jnp.asarray(U0n @ U0n.T)
+
+    ms_ref, Ps_ref = parallel_filter(m0, P0, F, Q, H, y)
+    ms, Us = parallel_filter_sqrt(m0, jnp.asarray(U0n), F, jnp.asarray(QLn), H, y)
+    np.testing.assert_allclose(ms, ms_ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        Us @ jnp.swapaxes(Us, -1, -2), Ps_ref, rtol=1e-9, atol=1e-12
+    )
+
+    gs_ref, Ls_ref = parallel_smoother(
+        jnp.concatenate([m0[None], ms_ref]),
+        jnp.concatenate([P0[None], Ps_ref]), F, Q,
+    )
+    gs, Ps = parallel_smoother_sqrt(
+        jnp.concatenate([m0[None], ms]),
+        jnp.concatenate([jnp.asarray(U0n)[None], Us]), F, jnp.asarray(QLn),
+    )
+    np.testing.assert_allclose(gs, gs_ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        Ps @ jnp.swapaxes(Ps, -1, -2), Ls_ref, rtol=1e-9, atol=1e-12
+    )
+
+
+def test_sqrt_parallel_solver_end_to_end():
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    u_c, s_c, *_ = solve_fixed_parallel(prob, odf.EK1(order=3), dt=0.04, iterations=8)
+    u_s, s_s, *_ = solve_fixed_parallel(
+        prob, odf.EK1(order=3), dt=0.04, iterations=8, sqrt_form=True
+    )
+    np.testing.assert_allclose(u_s, u_c, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(s_s, s_c, rtol=1e-6, atol=1e-12)
