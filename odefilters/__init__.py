@@ -24,7 +24,11 @@ from odefilters.problem import ODEProblem, ode_problem, remake
 from odefilters.solution import MeanProbODESolution, ProbODESolution, evaluate
 from odefilters.solve import solve
 from odefilters.fixedgrid import solve_fixed
-from odefilters.kronsolve import KronProbODESolution, solve_fixed_kron
+from odefilters.kronsolve import (
+    KronProbODESolution,
+    solve_adaptive_kron,
+    solve_fixed_kron,
+)
 from odefilters.ieks import solve_ieks
 from odefilters.integrator import Integrator, init
 from odefilters import models
@@ -51,6 +55,7 @@ __all__ = [
     "solve",
     "solve_fixed",
     "solve_fixed_kron",
+    "solve_adaptive_kron",
     "KronProbODESolution",
     "solve_ieks",
     "init",

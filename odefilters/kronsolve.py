@@ -61,6 +61,15 @@ class KronProbODESolution:
     def q(self) -> int:
         return self.alg.order
 
+    @property
+    def retcode_name(self) -> str:
+        from odefilters.solution import RETCODE_NAMES
+
+        try:
+            return RETCODE_NAMES[int(self.retcode)]
+        except Exception:
+            return "<traced>"
+
     def __call__(self, t):
         """Dense output: posterior mean/std of u(t) (vectorized over t)."""
         t_arr = jnp.asarray(t, dtype=self.ts.dtype)
@@ -189,14 +198,20 @@ def _apply_diff_chol(QLt, sigma2):
     return jnp.sqrt(sigma2)[:, None, None] * QLt
 
 
-def _kron_smooth_all(model: KronModel, x_filt: KronGaussian, ts, diffusions):
+def _kron_smooth_all(model: KronModel, x_filt: KronGaussian, ts, diffusions,
+                     n_steps=None):
     """Backward RTS pass in small-factor form (mirrors
-    `odefilters.smoothing.smooth_all`)."""
+    `odefilters.smoothing.smooth_all`). ``n_steps`` masks the valid prefix
+    for adaptive solves; defaults to the full (fixed) grid."""
     q = model.q
     N1 = ts.shape[0]
-    n_steps = N1 - 1  # fixed grid: every row valid
+    if n_steps is None:
+        n_steps = N1 - 1  # fixed grid: every row valid
 
-    x_last = KronGaussian(x_filt.mean[n_steps], x_filt.chol[n_steps])
+    x_last = KronGaussian(
+        jnp.take(x_filt.mean, n_steps, axis=0),
+        jnp.take(x_filt.chol, n_steps, axis=0),
+    )
 
     def sel(pred, a, b):
         return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
@@ -309,4 +324,180 @@ def solve_fixed_kron(
     ts = jnp.asarray(ts, dtype=jnp.result_type(prob.u0.dtype, jnp.float32))
     return _solve_fixed_kron_jit(
         prob, alg, ts, abstol, reltol, ts.shape[0] - 1, taylor_method
+    )
+
+
+# --------------------------------------------------------------------------
+# Adaptive driver on the Kronecker fast path (EK0, scalar diffusions)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("alg", "max_steps", "maxiters", "taylor_method"))
+def _solve_adaptive_kron_jit(
+    prob, alg, abstol, reltol, dt0, max_steps, maxiters, dtmin, taylor_method
+):
+    from odefilters.linalg import highest_precision
+
+    with highest_precision():
+        return _solve_adaptive_kron_impl(
+            prob, alg, abstol, reltol, dt0, max_steps, maxiters, dtmin,
+            taylor_method,
+        )
+
+
+def _solve_adaptive_kron_impl(
+    prob, alg, abstol, reltol, dt0, max_steps, maxiters, dtmin, taylor_method
+):
+    from odefilters import diffusions as diff
+    from odefilters.ops.kron import kron_attempt_step
+    from odefilters.solve import (
+        QOLDINIT,
+        _controller_accept,
+        _controller_reject,
+    )
+    from odefilters.solution import (
+        RETCODE_MAXITERS,
+        RETCODE_SUCCESS,
+        RETCODE_UNSTABLE,
+        DEStats,
+    )
+
+    d, q = prob.d, alg.order
+    dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
+    model = make_kron_model(alg, prob.f, d, dtype)
+    t0, t1 = prob.tspan
+    N1 = max_steps + 1
+
+    derivs = taylor_coefficients(
+        prob.f, prob.u0.astype(dtype), prob.p, t0, q, method=taylor_method
+    )
+    m0 = jnp.stack(derivs)
+    x0 = KronGaussian(m0, jnp.zeros((q + 1, q + 1), dtype))
+    sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
+
+    ts_buf = jnp.full((N1,), jnp.asarray(t1, dtype), dtype).at[0].set(t0)
+    m_buf = jnp.zeros((N1, q + 1, d), dtype).at[0].set(m0)
+    L_buf = jnp.zeros((N1, q + 1, q + 1), dtype)
+    diff_buf = jnp.ones((N1,) + sigma2_0.shape, dtype)
+
+    beta1, beta2 = alg.beta1, alg.beta2
+
+    carry0 = dict(
+        t=jnp.asarray(t0, dtype), dt=jnp.asarray(dt0, dtype), x=x0,
+        qold=jnp.asarray(QOLDINIT, dtype), sigma2=sigma2_0,
+        ll=jnp.zeros((), dtype), n=jnp.zeros((), jnp.int32),
+        iters=jnp.zeros((), jnp.int32), failed=jnp.zeros((), bool),
+        stats=DEStats.zeros(),
+        ts_buf=ts_buf, m_buf=m_buf, L_buf=L_buf, diff_buf=diff_buf,
+    )
+
+    def cond(c):
+        return (
+            (c["t"] < t1) & (~c["failed"]) & (c["n"] < max_steps)
+            & (c["iters"] < maxiters)
+        )
+
+    def body(c):
+        reach_end = c["t"] + c["dt"] >= t1
+        dt_eff = jnp.where(reach_end, t1 - c["t"], c["dt"])
+        t_new = jnp.where(reach_end, jnp.asarray(t1, dtype), c["t"] + dt_eff)
+        res = kron_attempt_step(
+            model, c["x"], c["x"].mean[0], c["t"], dt_eff,
+            c["sigma2"], c["n"], abstol, reltol, prob.p,
+        )
+        EEst = jnp.where(jnp.isfinite(res.err_est), res.err_est, 1e10)
+        accept = EEst <= 1.0
+        dt_acc, qold_acc = _controller_accept(EEst, c["qold"], dt_eff, beta1, beta2)
+        dt_rej = _controller_reject(EEst, dt_eff, beta1)
+        dt_new = jnp.where(accept, dt_acc, dt_rej)
+        failed = (dt_new < dtmin) & ~accept & ~reach_end
+
+        k = c["n"] + 1
+        wi = jnp.where(accept, k, N1)
+        st = c["stats"]
+        return dict(
+            t=jnp.where(accept, t_new, c["t"]),
+            dt=dt_new,
+            x=jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), res.x_filt, c["x"]
+            ),
+            qold=jnp.where(accept, qold_acc, c["qold"]),
+            sigma2=jnp.where(accept, res.sigma2_global, c["sigma2"]),
+            ll=jnp.where(accept, c["ll"] + res.log_likelihood, c["ll"]),
+            n=jnp.where(accept, k, c["n"]),
+            iters=c["iters"] + 1,
+            failed=failed | c["failed"],
+            stats=DEStats(
+                nf=st.nf + 1, njacs=st.njacs,
+                naccept=st.naccept + accept.astype(jnp.int32),
+                nreject=st.nreject + (~accept).astype(jnp.int32),
+            ),
+            ts_buf=c["ts_buf"].at[wi].set(t_new, mode="drop"),
+            m_buf=c["m_buf"].at[wi].set(res.x_filt.mean, mode="drop"),
+            L_buf=c["L_buf"].at[wi].set(res.x_filt.chol, mode="drop"),
+            diff_buf=c["diff_buf"].at[wi].set(res.sigma2_global, mode="drop"),
+        )
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    retcode = jnp.where(
+        c["t"] >= t1, RETCODE_SUCCESS,
+        jnp.where(c["failed"], RETCODE_UNSTABLE, RETCODE_MAXITERS),
+    ).astype(jnp.int32)
+
+    x_filt = KronGaussian(c["m_buf"], c["L_buf"])
+    diffs, ll = c["diff_buf"], c["ll"]
+    if alg.is_static_diffusion:
+        x_filt = KronGaussian(
+            x_filt.mean, jnp.sqrt(c["sigma2"]) * x_filt.chol
+        )
+        diffs = jnp.broadcast_to(c["sigma2"], diffs.shape).astype(diffs.dtype)
+        ll = jnp.asarray(jnp.nan, dtype)
+    if alg.smooth:
+        x_out = _kron_smooth_all(model, x_filt, c["ts_buf"], diffs, c["n"])
+    else:
+        x_out = x_filt
+
+    return KronProbODESolution(
+        ts=c["ts_buf"], n_steps=c["n"],
+        u=x_out.mean[:, 0, :], u_std=_block_std(x_out.chol, x_out.mean),
+        x_filt=x_filt, x_smooth=x_out, diffusions=diffs,
+        log_likelihood=ll, stats=c["stats"], retcode=retcode,
+        prob=prob, alg=alg,
+    )
+
+
+def solve_adaptive_kron(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    *,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    dt: Optional[float] = None,
+    max_steps: int = 4096,
+    maxiters: int = 100_000,
+    dtmin: Optional[float] = None,
+    taylor_method: str = "auto",
+) -> KronProbODESolution:
+    """Adaptive PI-controlled EK0 solve on the Kronecker fast path.
+
+    O(q^3)-per-step covariance cost independent of the ODE dimension: the
+    adaptive analogue of :func:`solve_fixed_kron` for large semi-discretized
+    PDE states. Scalar diffusion models only (``dynamic``, ``fixed``,
+    ``fixedMAP``): per-dimension (MV) buffers would be O(N d q^2).
+    """
+    if alg.is_ek1:
+        raise ValueError("the Kronecker fast path requires EK0 structure")
+    if alg.is_mv_diffusion:
+        raise ValueError(
+            "adaptive Kron path supports scalar diffusion models only"
+        )
+    from odefilters.solve import initial_dt
+
+    t0, t1 = prob.tspan
+    dt0 = initial_dt(prob, alg.order, abstol, reltol) if dt is None else dt
+    if dtmin is None:
+        dtmin = 1e-14 * (t1 - t0)
+    return _solve_adaptive_kron_jit(
+        prob, alg, abstol, reltol, dt0, int(max_steps), int(maxiters),
+        dtmin, taylor_method,
     )

@@ -51,6 +51,15 @@ def _no_x64(fn):
 
     @_ft.wraps(fn)
     def wrapped(*args, **kwargs):
+        import numpy as _np
+
+        # 64-bit inputs (interpret-mode validation) must keep x64 tracing
+        needs64 = any(
+            hasattr(a, "dtype") and _np.dtype(a.dtype).itemsize == 8
+            for a in args
+        )
+        if needs64:
+            return fn(*args, **kwargs)
         with jax.enable_x64(False):
             return fn(*args, **kwargs)
 

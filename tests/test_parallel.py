@@ -214,3 +214,25 @@ def test_sqrt_parallel_solver_end_to_end():
     )
     np.testing.assert_allclose(u_s, u_c, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(s_s, s_c, rtol=1e-6, atol=1e-12)
+
+
+def test_adaptive_kron_matches_dense():
+    """Adaptive driver on the Kronecker fast path: same accepted-step
+    sequence and posterior as the dense adaptive solver."""
+    from odefilters.kronsolve import solve_adaptive_kron
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    sk = solve_adaptive_kron(prob, odf.EK0(order=3), abstol=1e-8, reltol=1e-6)
+    sd = odf.solve(prob, odf.EK0(order=3), abstol=1e-8, reltol=1e-6)
+    assert int(sk.n_steps) == int(sd.n_steps)
+    n = int(sk.n_steps)
+    np.testing.assert_allclose(sk.ts[: n + 1], sd.ts[: n + 1], rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(sk.u[: n + 1], sd.u[: n + 1], rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        sk.u_std[: n + 1], sd.pu.std[: n + 1], rtol=1e-7, atol=1e-12
+    )
+    # dense output agrees too
+    tq = jnp.asarray([0.33, 1.71])
+    um, us = sk(tq)
+    g = sd(tq)
+    np.testing.assert_allclose(um, g.mean, rtol=1e-7, atol=1e-9)
