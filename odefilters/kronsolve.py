@@ -501,3 +501,86 @@ def solve_adaptive_kron(
         prob, alg, abstol, reltol, dt0, int(max_steps), int(maxiters),
         dtmin, taylor_method,
     )
+
+
+# --------------------------------------------------------------------------
+# Posterior sampling on the Kronecker path
+# --------------------------------------------------------------------------
+
+
+def sample(key, sol: KronProbODESolution, n: int = 1) -> jax.Array:
+    """Joint posterior samples of the solution path, shape (N+1, d, n).
+
+    Kronecker analogue of `odefilters.sampling.sample`
+    (`/root/reference/src/solution_sampling.jl`): backward conditioning
+    with (q+1)x(q+1) factors; sampling noise is drawn per (block, dim).
+    """
+    if not sol.alg.smooth:
+        raise ValueError("sampling not implemented for non-smoothed posteriors")
+    if sol.x_filt.chol.ndim != 3:
+        raise NotImplementedError(
+            "Kron-path sampling supports isotropic (scalar-diffusion) factors"
+        )
+    return _kron_sample_jit(
+        key, sol.ts, sol.x_filt, sol.diffusions, sol.n_steps,
+        sol.d, sol.q, n,
+    )
+
+
+@partial(jax.jit, static_argnames=("d", "q", "n"))
+def _kron_sample_jit(key, ts, x_filt: KronGaussian, diffusions, n_steps,
+                     d: int, q: int, n: int):
+    from odefilters.priors import ibm_small
+
+    dtype = x_filt.mean.dtype
+    At, QLt = ibm_small(q, dtype=dtype)
+    nq = q + 1
+    N1 = ts.shape[0]
+
+    def draw(kk, g: KronGaussian):
+        eps = jax.random.normal(kk, (nq, d), dtype)
+        return g.mean + g.chol @ eps
+
+    key_last, key_scan = jax.random.split(key)
+    x_last = KronGaussian(
+        jnp.take(x_filt.mean, n_steps, axis=0),
+        jnp.take(x_filt.chol, n_steps, axis=0),
+    )
+    keys_last = jax.random.split(key_last, n)
+    last = jax.vmap(lambda kk: draw(kk, x_last))(keys_last)   # (n, nq, d)
+
+    step_keys = jax.random.split(key_scan, N1 - 1)
+
+    def body(carry, inp):
+        samp_next = carry                                     # (n, nq, d)
+        i, kk = inp
+        dt = ts[i + 1] - ts[i]
+        in_range = i <= n_steps - 1
+        dt_safe = jnp.where(dt > 0, dt, 1.0)
+        p, p_inv = precond_small(dt_safe, q)
+        sigma2 = jnp.take(diffusions, jnp.minimum(i + 1, n_steps), axis=0)
+        QLt_h = _apply_diff_chol(QLt, sigma2)
+        xf = KronGaussian(
+            p[:, None] * x_filt.mean[i], p[:, None] * x_filt.chol[i]
+        )
+
+        def one(s_next, kk2):
+            target = KronGaussian(
+                p[:, None] * s_next, jnp.zeros((nq, nq), dtype)
+            )
+            cond, _ = kron_smooth_step(xf, target, At, QLt_h)
+            return p_inv[:, None] * draw(kk2, cond)
+
+        keys_n = jax.random.split(kk, n)
+        drawn = jax.vmap(one)(samp_next, keys_n)
+        out = jnp.where(in_range, drawn, samp_next)
+        out = jnp.where(in_range & (dt == 0), samp_next, out)
+        return out, out
+
+    idxs = jnp.arange(N1 - 2, -1, -1)
+    _, outs_rev = jax.lax.scan(body, last, (idxs, step_keys))
+    outs = jnp.flip(outs_rev, axis=0)                         # (N1-1, n, nq, d)
+    path = jnp.concatenate([outs, last[None]], axis=0)
+    path = path.at[jnp.minimum(n_steps, N1 - 1)].set(last)
+    # (N+1, n, nq, d) -> (N+1, d, n) solution block
+    return jnp.moveaxis(path[:, :, 0, :], 1, -1)

@@ -30,17 +30,6 @@ import jax.numpy as jnp
 from odefilters.linalg import Gaussian
 
 
-def _augment(f: Callable, p) -> Callable:
-    """Autonomous augmented field g([u; t]) = [f(u, p, t); 1]."""
-
-    def g(x):
-        u, t = x[:-1], x[-1]
-        du = f(u, p, t)
-        return jnp.concatenate([du, jnp.ones((1,), du.dtype)])
-
-    return g
-
-
 def taylor_coefficients_jvp(
     f: Callable, u0: jnp.ndarray, p, t0, q: int
 ) -> list[jnp.ndarray]:
@@ -81,17 +70,24 @@ def taylor_coefficients_jet(
     """
     from jax.experimental import jet as jet_mod
 
-    g = _augment(f, p)
+    # u and t are separate jet primals (jet has no pytree primals, and
+    # concatenating a batched u with a scalar t breaks sharded vmap —
+    # same reasoning as the jvp path).
     t0 = jnp.asarray(t0, dtype=u0.dtype)
-    x0 = jnp.concatenate([u0, t0[None]])
     if q == 0:
         return [u0]
-    coeffs = [g(x0)]  # x^(1)
+
+    def g(u, t):
+        return f(u, p, t)
+
+    coeffs = [g(u0, t0)]  # u^(1)
     for _ in range(q - 1):
-        y0, ys = jet_mod.jet(g, (x0,), (coeffs,))
-        # y_k = d^k/dt^k g(x(t)) = x^(k+1); extend the series by one term
+        k = len(coeffs)
+        t_series = [jnp.ones_like(t0)] + [jnp.zeros_like(t0)] * (k - 1)
+        y0, ys = jet_mod.jet(g, (u0, t0), (coeffs, t_series))
+        # y_j = d^j/dt^j f(u(t), t) = u^(j+2); extend the series by one term
         coeffs = [y0] + ys
-    return [u0] + [c[:-1] for c in coeffs]
+    return [u0] + coeffs
 
 
 def taylor_coefficients(

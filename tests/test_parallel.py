@@ -236,3 +236,18 @@ def test_adaptive_kron_matches_dense():
     um, us = sk(tq)
     g = sd(tq)
     np.testing.assert_allclose(um, g.mean, rtol=1e-7, atol=1e-9)
+
+
+def test_kron_sampling_calibrated():
+    from odefilters import kronsolve
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    sol = kronsolve.solve_fixed_kron(prob, odf.EK0(order=3), dt=0.05)
+    samp = kronsolve.sample(jax.random.PRNGKey(0), sol, 40)
+    n = int(sol.n_steps)
+    s = np.asarray(samp[: n + 1])
+    mean = np.asarray(sol.u[: n + 1])[..., None]
+    std = np.asarray(sol.u_std[: n + 1])[..., None]
+    viol = (np.abs(s - mean) > 3 * std + 1e-12)[1:].mean()
+    assert viol < 0.05
+    assert np.isfinite(s).all()
