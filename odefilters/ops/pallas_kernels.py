@@ -383,40 +383,38 @@ def _t_rows(X, nq):
 
 
 def _ek0_filter_states_kernel(
-    m0_ref, p_ref, us_ref, std_ref, mf_ref, cf_ref, s2_ref,
-    mrow, crow, s2row, sem,
+    m0_ref, p_ref, us_ref, std_ref, st_ref,
+    row, sem,
     *, f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
 ):
-    """Forward EK0 filter; streams preconditioned (m, C, sigma2) rows to HBM."""
+    """Forward EK0 filter; streams one packed (mean | factor | s2) row of
+    preconditioned square-root state to HBM per step (single DMA)."""
     # Qt here is the noise *factor* QLt: Q[1,1] = sum of squares of row 1
     hq = pinv1 * pinv1 * float((Qt[1] ** 2).sum())
 
     m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
     zero = jnp.zeros_like(m_init[0][0])
-    # covariance carried in square-root form: L with Sigma = L L^T
-    # (plain-covariance RTS smoothing is not f32-viable)
     L_init = [[zero for _ in range(nq)] for _ in range(nq)]
     p_block = p_ref[:]
 
     for j in range(d):
         us_ref[0, j] = pinv0 * m_init[0][j]
     std_ref[0] = zero
-    # stream row 0
-    for i in range(nq):
-        for j in range(d):
-            mrow[i, j] = m_init[i][j]
-        for l in range(nq):
-            crow[i, l] = zero
-    s2row[0] = zero + 1.0
-    cp0 = pltpu.make_async_copy(mrow, mf_ref.at[jnp.int32(0)], sem)
-    cp0.start(); cp0.wait()
-    cp0 = pltpu.make_async_copy(crow, cf_ref.at[jnp.int32(0)], sem)
-    cp0.start(); cp0.wait()
-    cp0 = pltpu.make_async_copy(s2row, s2_ref.at[jnp.int32(0)], sem)
-    cp0.start(); cp0.wait()
+
+    def pack_and_send(k_idx, m, L, s2):
+        for i in range(nq):
+            for j in range(d):
+                row[i, j] = m[i][j]
+            for l in range(nq):
+                row[i, d + l] = L[i][l]
+        row[0, d + nq] = s2
+        cp = pltpu.make_async_copy(row, st_ref.at[k_idx], sem)
+        cp.start(); cp.wait()
+
+    pack_and_send(jnp.int32(0), m_init, L_init, zero + 1.0)
 
     sqlt = jnp.sqrt
-    QLt_c = Qt  # param carries the lower Cholesky factor QLt
+    QLt_c = Qt
 
     def body(k, carry):
         m, L = carry
@@ -431,7 +429,7 @@ def _ek0_filter_states_kernel(
             for i in range(nq)
         ]
         _dt = zero.dtype
-        k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
+        k1 = k + jnp.ones((), k.dtype)
         t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
             k.astype(_dt) + jnp.asarray(1.0, _dt)
         )
@@ -441,7 +439,6 @@ def _ek0_filter_states_kernel(
         zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
         s2 = zz / (d * hq)
         sq_s2 = sqlt(s2)
-        # predicted factor: QR of [At L ; sqrt(s2) QLt] (2nq x nq stack)
         AtL = [
             [
                 functools.reduce(
@@ -452,15 +449,12 @@ def _ek0_filter_states_kernel(
             ]
             for i in range(nq)
         ]
-        # factor of (At L)(At L)^T + s2 Q: MGS of the *transposed* stack
-        # [ (At L)^T ; sqrt(s2) QLt^T ]  (cf. linalg.qr_stack2)
         qT = [
             [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else
              jnp.zeros_like(s2) for i in range(nq)]
             for a in range(nq)
         ]
         Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
-        # update: S = pinv1^2 |Lp[1]|^2, K = pinv1 (Lp Lp[1]^T) / S
         s = pinv1 * pinv1 * functools.reduce(
             lambda a, b: a + b, [Lp[1][l] * Lp[1][l] for l in range(nq)]
         )
@@ -484,69 +478,48 @@ def _ek0_filter_states_kernel(
                 lambda a, b: a + b, [L_new[0][l] * L_new[0][l] for l in range(nq)]
             )
         )
-        # stream the preconditioned state row (mean + cov factor) to HBM
-        for i in range(nq):
-            for j in range(d):
-                mrow[i, j] = m_new[i][j]
-            for l in range(nq):
-                crow[i, l] = L_new[i][l]
-        s2row[0] = s2
-        cp = pltpu.make_async_copy(mrow, mf_ref.at[k1], sem)
-        cp.start(); cp.wait()
-        cp = pltpu.make_async_copy(crow, cf_ref.at[k1], sem)
-        cp.start(); cp.wait()
-        cp = pltpu.make_async_copy(s2row, s2_ref.at[k1], sem)
-        cp.start(); cp.wait()
+        pack_and_send(k1, m_new, L_new, s2)
         return m_new, L_new
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, L_init))
 
 
 def _ek0_smoother_kernel(
-    mf_ref, cf_ref, s2_ref, us_ref, std_ref,
-    mrow, crow, s2row, sem,
+    st_ref, us_ref, std_ref,
+    row, sem,
     *, At, Qt, pinv0, T, d, nq,
 ):
-    """Backward RTS pass over the streamed filter states, square-root form.
+    """Backward RTS pass over the packed streamed states, square-root form.
 
-    ``cf_ref`` rows hold the (preconditioned) filter covariance *factors*;
-    the smoothed covariance is re-factorized each step with the unrolled
-    MGS-QR of the 3-block Joseph stack (the kernel analogue of
-    `/root/reference/src/smoothing.jl:53-56`).
+    One DMA per step; the next row's diffusion (needed for the interval
+    k -> k+1) is carried from the previous iteration instead of re-read.
     """
-    QLt_c = Qt  # here Qt param carries the *factor* QLt (lower Cholesky)
+    QLt_c = Qt  # the noise *factor* QLt
 
     def load_row(k):
-        cp = pltpu.make_async_copy(mf_ref.at[k], mrow, sem)
+        cp = pltpu.make_async_copy(st_ref.at[k], row, sem)
         cp.start(); cp.wait()
-        cp = pltpu.make_async_copy(cf_ref.at[k], crow, sem)
-        cp.start(); cp.wait()
-        m = [[mrow[i, j] for j in range(d)] for i in range(nq)]
-        L = [[crow[i, l] for l in range(nq)] for i in range(nq)]
-        return m, L
+        m = [[row[i, j] for j in range(d)] for i in range(nq)]
+        L = [[row[i, d + l] for l in range(nq)] for i in range(nq)]
+        return m, L, row[0, d + nq]
 
     def block_std(Lrow):
         return pinv0 * jnp.sqrt(
-            functools.reduce(
-                lambda a, b: a + b, [x * x for x in Lrow]
-            )
+            functools.reduce(lambda a, b: a + b, [x * x for x in Lrow])
         )
 
-    m_T, L_T = load_row(T)
+    m_T, L_T, s2_T = load_row(jnp.int32(T))
     for j in range(d):
         us_ref[T, j] = pinv0 * m_T[0][j]
     std_ref[T] = block_std(L_T[0])
 
     def body(step, carry):
-        m_s, L_s = carry
+        m_s, L_s, s2_next = carry
         k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
-        m_f, L_f = load_row(k)
-        # diffusion of the interval k -> k+1 is step k+1's sigma2
-        cp = pltpu.make_async_copy(s2_ref.at[k + jnp.ones((), k.dtype)], s2row, sem)
-        cp.start(); cp.wait()
-        sq_s2 = jnp.sqrt(s2row[0])
+        m_f, L_f, s2_k = load_row(k)
+        sq_s2 = jnp.sqrt(s2_next)   # diffusion of interval k -> k+1
+        zero = jnp.zeros_like(sq_s2)
 
-        # predicted factor Lp: QR of [At L_f ; sqrt(s2) QLt]
         AtL = [
             [
                 functools.reduce(
@@ -557,7 +530,6 @@ def _ek0_smoother_kernel(
             ]
             for i in range(nq)
         ]
-        zero = jnp.zeros_like(sq_s2)
         qT = [
             [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else zero
              for i in range(nq)]
@@ -565,7 +537,6 @@ def _ek0_smoother_kernel(
         ]
         Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
 
-        # G = C_f At^T Cp^{-1}: M rows solved against the Lp factor
         M = [
             [
                 functools.reduce(
@@ -578,7 +549,6 @@ def _ek0_smoother_kernel(
         ]
         G = [_list_cho_solve(Lp, M[i], nq) for i in range(nq)]
 
-        # mean: m_s_new = m_f + G (m_s - At m_f)
         mp = [
             [
                 functools.reduce(
@@ -601,7 +571,6 @@ def _ek0_smoother_kernel(
             for i in range(nq)
         ]
 
-        # Joseph square-root: L_s_new = tril([ (I-G At) L_f ; sqrt(s2) G QLt ; G L_s ])
         GA = _matmul_lists(G, [[At[i, l] for l in range(nq)] for i in range(nq)], nq)
         IGA = [
             [
@@ -630,9 +599,11 @@ def _ek0_smoother_kernel(
         for j in range(d):
             us_ref[k, j] = pinv0 * m_new[0][j]
         std_ref[k] = block_std(L_new[0])
-        return m_new, L_new
+        return m_new, L_new, s2_k
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T))
+    jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m_T, L_T, s2_T)
+    )
 
 
 @_no_x64
@@ -681,21 +652,20 @@ def ek0_fused_solve(
         dt=float(dt), t0=float(t0), **common,
     )
 
+    # one packed state row per step: [ mean (d) | factor (nq) | s2 (1) ]
+    W = d + nq + 1
     scratch = [
-        pltpu.VMEM((nq, d, _SUB, _LANE), dtype),
-        pltpu.VMEM((nq, nq, _SUB, _LANE), dtype),
-        pltpu.VMEM((1, _SUB, _LANE), dtype),
+        pltpu.VMEM((nq, W, _SUB, _LANE), dtype),
         pltpu.SemaphoreType.DMA(()),
     ]
 
-    def fentry(m0_blk, p_blk, us_blk, std_blk, mf_hbm, cf_hbm, s2_hbm,
-               mrow, crow, s2row, sem):
+    def fentry(m0_blk, p_blk, us_blk, std_blk, st_hbm, row, sem):
         b = pl.program_id(0)
-        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)], us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
-                mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
-                mrow, crow, s2row, sem)
+        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+                st_hbm.at[b], row, sem)
 
-    us_f, std_f, mf, cf, s2 = pl.pallas_call(
+    us_f, std_f, st = pl.pallas_call(
         fentry,
         grid=(nb,),
         in_specs=[
@@ -710,34 +680,26 @@ def ek0_fused_solve(
                 pl.BlockSpec((1, T + 1, _SUB, _LANE),
                              lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
             jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, nq, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, nq, nq, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
         ],
         scratch_shapes=scratch,
     )(m0_p, ps_b)
 
     skernel = functools.partial(_ek0_smoother_kernel, **common)
 
-    def sentry(mf_hbm, cf_hbm, s2_hbm, us_blk, std_blk, mrow, crow, s2row, sem):
+    def sentry(st_hbm, us_blk, std_blk, row, sem):
         b = pl.program_id(0)
-        skernel(mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
-                us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)], mrow, crow, s2row, sem)
+        skernel(st_hbm.at[b], us_blk.at[jnp.int32(0)],
+                std_blk.at[jnp.int32(0)], row, sem)
 
     us_s, std_s = pl.pallas_call(
         sentry,
         grid=(nb,),
-        in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
                 pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
                              lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -749,12 +711,12 @@ def ek0_fused_solve(
             jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
         ],
         scratch_shapes=scratch,
-    )(mf, cf, s2)
+    )(st)
 
     us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = std_s.transpose(1, 0, 2, 3).reshape(T + 1, B)
     if _debug:
-        return us, stds, (us_f, std_f, mf, cf, s2)
+        return us, stds, (us_f, std_f, st)
     return us, stds
 
 
