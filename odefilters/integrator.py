@@ -39,7 +39,8 @@ from odefilters.taylor import initial_state
 def _advance_one_accept(prob, alg, carry, abstol, reltol, max_steps, maxiters, dtmin):
     """Run loop-body attempts until exactly one step is accepted."""
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
-    model = make_model(alg, prob.f, prob.jac, prob.d, dtype)
+    model = make_model(alg, prob.f, prob.jac, prob.d, dtype,
+                       second_order=prob.second_order)
     cond, body = _make_loop_fns(
         model, prob, abstol, reltol, max_steps, maxiters, dtmin
     )
@@ -61,10 +62,22 @@ class Integrator:
         self._opts = (float(abstol), float(reltol), int(max_steps),
                       int(maxiters), float(dtmin))
         dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
-        self._model = make_model(alg, prob.f, prob.jac, prob.d, dtype)
-        x0 = initial_state(
-            prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order
+        self._model = make_model(
+            alg, prob.f, prob.jac, prob.d, dtype,
+            second_order=prob.second_order,
         )
+        if prob.second_order:
+            from odefilters.taylor import initial_state_2nd
+
+            u0f = prob.u0.astype(dtype)
+            x0 = initial_state_2nd(
+                prob.f, u0f[: prob.d], u0f[prob.d :], prob.p,
+                prob.tspan[0], alg.order,
+            )
+        else:
+            x0 = initial_state(
+                prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order
+            )
         self._carry = _init_carry(self._model, prob, x0, dt0, int(max_steps))
 
     # -- inspection --
@@ -132,7 +145,7 @@ class Integrator:
             )
         # Mid-integration view: raw filter states, no recalibration.
         x_filt = Gaussian(c.m_buf, c.L_buf)
-        d = self._model.d
+        d = self._model.sol_d
         import dataclasses as _dc
 
         return ProbODESolution(

@@ -774,15 +774,10 @@ def _ek1_filter_states_kernel(
 
     for j in range(d):
         us_ref[0, j] = pinv0 * m_init[j]
-    std_ref[0] = zero
+        std_ref[0, j] = zero
     for i in range(nq):
         for j in range(d):
             mrow[i, j] = m_init[i * d + j]
-        for l in range(D):
-            crow[i * d: (i + 1) * d, l] = jnp.stack(
-                [zero for _ in range(d)]
-            ) if False else crow[i * d: (i + 1) * d, l]
-    # simpler: zero-fill crow wholesale
     crow[...] = jnp.zeros_like(crow)
     s2row[0] = zero + 1.0
     for cparg in [(mrow, mf_ref.at[jnp.int32(0)]), (crow, cf_ref.at[jnp.int32(0)]), (s2row, s2_ref.at[jnp.int32(0)])]:
@@ -908,11 +903,12 @@ def _ek1_filter_states_kernel(
 
         for j in range(d):
             us_ref[k1, j] = pinv0 * m_new[j]
-        std_ref[k1] = pinv0 * jnp.sqrt(
-            functools.reduce(
-                lambda x, y: x + y, [L_new[0][c] * L_new[0][c] for c in range(D)]
+            std_ref[k1, j] = pinv0 * jnp.sqrt(
+                functools.reduce(
+                    lambda x, y: x + y,
+                    [L_new[j][c] * L_new[j][c] for c in range(D)],
+                )
             )
-        )
         for i in range(nq):
             for j in range(d):
                 mrow[i, j] = m_new[i * d + j]
@@ -956,7 +952,7 @@ def _ekd_smoother_kernel(
     m_T, L_T = load_row(T)
     for j in range(d):
         us_ref[T, j] = pinv0 * m_T[j]
-    std_ref[T] = block_std(L_T[0])
+        std_ref[T, j] = block_std(L_T[j])
 
     def Amul_vec(m):
         return [
@@ -1049,7 +1045,7 @@ def _ekd_smoother_kernel(
 
         for j in range(d):
             us_ref[k, j] = pinv0 * m_new[j]
-        std_ref[k] = block_std(L_new[0])
+            std_ref[k, j] = block_std(L_new[j])
         return m_new, L_new
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T))
@@ -1070,7 +1066,8 @@ def ek1_fused_solve(
     """Fused EK1 solve (dynamic diffusion) over an ensemble: the full
     D x D square-root extended Kalman filter (+ optional RTS smoother)
     inside Pallas kernels. ``jac(u, p, t) -> (d, d[, batch...])`` must be
-    index-and-stack style like ``f``."""
+    index-and-stack style like ``f``. Returns ``(us, stds)`` with shapes
+    (T+1, d, B) each (per-dimension marginal stds)."""
     nq = q + 1
     _, d, B = m0.shape
     D = d * nq
@@ -1123,15 +1120,15 @@ def ek1_fused_solve(
         out_specs=[
             pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
                          lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T + 1, _SUB, _LANE),
-                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
             jax.ShapeDtypeStruct((nb, T + 1, nq, d, _SUB, _LANE), dtype),
             jax.ShapeDtypeStruct((nb, T + 1, D, D, _SUB, _LANE), dtype),
             jax.ShapeDtypeStruct((nb, T + 1, 1, _SUB, _LANE), dtype),
@@ -1141,7 +1138,7 @@ def ek1_fused_solve(
 
     if not smooth:
         us = us_f.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
-        stds = std_f.transpose(1, 0, 2, 3).reshape(T + 1, B)
+        stds = std_f.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
         return us, stds
 
     skernel = functools.partial(_ekd_smoother_kernel, **common)
@@ -1162,18 +1159,18 @@ def ek1_fused_solve(
         out_specs=[
             pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
                          lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T + 1, _SUB, _LANE),
-                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
         ],
         scratch_shapes=scratch,
     )(mf, cf, s2)
 
     us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
-    stds = std_s.transpose(1, 0, 2, 3).reshape(T + 1, B)
+    stds = std_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     return us, stds
 
 

@@ -50,8 +50,30 @@ def _T(x):
 
 
 def _solve(A, B):
-    """A^{-1} B for PSD-ish A (batched)."""
+    """A^{-1} B (batched).
+
+    General (possibly non-symmetric) solve used by the element
+    *combinations*, where (I + C_i J_j) is not symmetric. Lowered via LU:
+    fine on CPU f64 and TPU f32; for f64 on TPU use the square-root
+    backend (`sqrt_form=True`), which never hits LU.
+    """
     return jnp.linalg.solve(A, B)
+
+
+def _psd_solve(A, B):
+    """A^{-1} B for symmetric PSD A via Cholesky (no LU — CLAUDE.md rule).
+
+    Two batched triangular solves (jax's cho_solve does not broadcast over
+    explicit leading batch dimensions).
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    from odefilters.linalg import cholesky_psd
+
+    L = cholesky_psd(A)
+    B = jnp.broadcast_to(B, A.shape[:-2] + B.shape[-2:])
+    y = solve_triangular(L, B, lower=True)
+    return solve_triangular(_T(L), y, lower=False)
 
 
 # --------------------------------------------------------------------------
@@ -64,7 +86,7 @@ def _filter_element_first(m0, P0, F, Q, H, y):
     m_pred = F @ m0
     P_pred = F @ P0 @ _T(F) + Q
     S = H @ P_pred @ _T(H)
-    K = _T(_solve(S, H @ P_pred))          # P_pred H^T S^-1
+    K = _T(_psd_solve(S, H @ P_pred))      # P_pred H^T S^-1
     A = jnp.zeros_like(P_pred)
     b = m_pred + K @ (y - H @ m_pred)
     C = P_pred - K @ S @ _T(K)
@@ -76,13 +98,13 @@ def _filter_element_first(m0, P0, F, Q, H, y):
 def _filter_elements_rest(F, Q, H, y):
     """Generic elements e_k, k >= 2 (batched over the time axis)."""
     S = H @ Q @ _T(H)                      # R = 0
-    K = _T(_solve(S, H @ Q))               # Q H^T S^-1
+    K = _T(_psd_solve(S, H @ Q))           # Q H^T S^-1
     I = jnp.eye(F.shape[-1], dtype=F.dtype)
     IKH = I - K @ H
     A = IKH @ F
     b = (K @ y[..., None])[..., 0]
     C = IKH @ Q
-    HtSi = _T(H) @ _solve(S, jnp.eye(S.shape[-1], dtype=F.dtype))
+    HtSi = _T(H) @ _psd_solve(S, jnp.eye(S.shape[-1], dtype=F.dtype))
     eta = (_T(F) @ HtSi @ y[..., None])[..., 0]
     J = _T(F) @ HtSi @ H @ F
     return A, b, C, eta, J
@@ -157,7 +179,7 @@ def parallel_smoother(ms, Ps, F, Q):
     Q_ = jnp.broadcast_to(Q, (N - 1, D, D))
     # gains for k = 0..N-2 (toward k+1)
     P_pred = F_ @ Ps[:-1] @ _T(F_) + Q_
-    G = _T(_solve(P_pred, F_ @ Ps[:-1]))   # P_k F^T P_pred^-1
+    G = _T(_psd_solve(P_pred, F_ @ Ps[:-1]))  # P_k F^T P_pred^-1
     g = ms[:-1] - (G @ (F_ @ ms[:-1][..., None]))[..., 0]
     L = Ps[:-1] - G @ F_ @ Ps[:-1]
     # last element: identity-free terminal
@@ -296,7 +318,7 @@ def _solve_parallel_jit_inner(
     z = (H @ m_pred[..., None])[..., 0] - y
     S = H @ P_pred @ _T(H)
     sigma2 = jnp.mean(
-        jnp.sum(z * jnp.linalg.solve(S, z[..., None])[..., 0], axis=-1)
+        jnp.sum(z * _psd_solve(S, z[..., None])[..., 0], axis=-1)
     ) / d
 
     Ps_cal = sigma2 * Ps_s

@@ -76,7 +76,7 @@ def remake(prob: ODEProblem, **changes) -> ODEProblem:
 def ode_problem(f, u0, tspan, p=None, jac=None, analytic=None) -> ODEProblem:
     """Convenience constructor with array coercion."""
     u0 = jnp.asarray(u0)
-    if u0.ndim == 0:
+    if u0.ndim != 1:
         raise ValueError(
             "Problems which are not vector-valued (e.g. u0 is a scalar "
             "or a matrix) are currently not supported"

@@ -196,14 +196,21 @@ def _make_loop_fns(
 
     def body(c: _Carry):
         dt_want = c.dt
+        hit_tstop = jnp.zeros((), bool)
+        nxt = jnp.asarray(t1, dtype)
         if tstops is not None:
             # land exactly on the next tstop (host-framework tstops
             # semantics; needed for discontinuous forcing)
             nxt = tstops[jnp.searchsorted(tstops, c.t, side="right")]
+            hit_tstop = c.t + dt_want >= nxt
             dt_want = jnp.minimum(dt_want, nxt - c.t)
         reach_end = c.t + dt_want >= t1
         dt_eff = jnp.where(reach_end, t1 - c.t, dt_want)
-        t_new = jnp.where(reach_end, jnp.asarray(t1, dtype), c.t + dt_eff)
+        # snap to the tstop / endpoint exactly
+        t_new = jnp.where(
+            reach_end, jnp.asarray(t1, dtype),
+            jnp.where(hit_tstop, nxt, c.t + dt_eff),
+        )
 
         res = attempt_step(
             model, c.x, c.u, c.t, dt_eff,
@@ -214,6 +221,9 @@ def _make_loop_fns(
         accept = EEst <= 1.0
 
         dt_acc, qold_acc = _controller_accept(EEst, c.qold, dt_eff, beta1, beta2)
+        # a step truncated to land on a tstop must not collapse the
+        # controller's step size (OrdinaryDiffEq's dtcache behavior)
+        dt_acc = jnp.where(hit_tstop & ~reach_end, jnp.maximum(dt_acc, c.dt), dt_acc)
         dt_rej = _controller_reject(EEst, dt_eff, beta1)
         dt_new = jnp.where(accept, dt_acc, dt_rej)
         failed = dt_new < dtmin
@@ -245,7 +255,9 @@ def _make_loop_fns(
                 lambda a, b: jnp.where(fired, a, b), x_aff, res.x_filt
             )
             u_next = jnp.where(fired, x_aff.mean[..., : model.sol_d], res.u_filt)
-            k = jnp.where(fired, k + 1, k)
+            # only advance past the duplicate row if it actually fit in the
+            # buffer (wi2 out-of-bounds writes are dropped)
+            k = jnp.where(fired & (k + 1 <= max_steps), k + 1, k)
 
         x_new = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), x_next, c.x
@@ -469,9 +481,21 @@ def solve(
             # Mirrors the reference's fixed-step-without-dt rejection
             # (`test/errors.jl:17-20`).
             raise ValueError("Fixed timestep methods require a choice of dt")
+        if callback is not None or tstops is not None:
+            raise NotImplementedError(
+                "callbacks/tstops are supported by the adaptive driver only"
+            )
         from odefilters.fixedgrid import solve_fixed
 
-        return solve_fixed(prob, alg, dt=dt, abstol=abstol, reltol=reltol)
+        sol = solve_fixed(
+            prob, alg, dt=dt, abstol=abstol, reltol=reltol,
+            taylor_method=taylor_method,
+        )
+        if saveat is not None:
+            from odefilters.solution import compact_saveat
+
+            sol = compact_saveat(sol, jnp.asarray(saveat))
+        return sol
 
     if dt is None:
         dt0 = initial_dt(prob, alg.order, abstol, reltol)

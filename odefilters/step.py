@@ -148,23 +148,23 @@ def attempt_step(
         z = pinv_s[2] * m_pred[2 * d : 3 * d] - ddu
         J_u = J_du = None
         if alg.is_ek1:
-            if isinstance(model.jac, tuple) and model.jac[0] is not None:
+            jac_u = jac_du = None
+            if isinstance(model.jac, tuple):
                 jac_u, jac_du = model.jac
-                J_u = jac_u(du_pred, u_pred, p_params, t_new)
-                J_du = (
-                    jac_du(du_pred, u_pred, p_params, t_new)
-                    if jac_du is not None
-                    else jax.jacfwd(
-                        lambda dv: model.f(dv, u_pred, p_params, t_new)
-                    )(du_pred)
-                )
-            else:
-                J_du = jax.jacfwd(
-                    lambda dv: model.f(dv, u_pred, p_params, t_new)
-                )(du_pred)
-                J_u = jax.jacfwd(
+            J_u = (
+                jac_u(du_pred, u_pred, p_params, t_new)
+                if jac_u is not None
+                else jax.jacfwd(
                     lambda uv: model.f(du_pred, uv, p_params, t_new)
                 )(u_pred)
+            )
+            J_du = (
+                jac_du(du_pred, u_pred, p_params, t_new)
+                if jac_du is not None
+                else jax.jacfwd(
+                    lambda dv: model.f(dv, u_pred, p_params, t_new)
+                )(du_pred)
+            )
 
         def Hmul(M):
             out = pinv_s[2] * M[..., 2 * d : 3 * d, :]

@@ -56,11 +56,17 @@ def reference_solution(prob: ODEProblem, ts: np.ndarray, stiff: bool = False):
         )
     from scipy.integrate import solve_ivp
 
+    # RHS pinned to CPU and jitted once: general vector fields need JAX,
+    # but an unjitted call per LSODA evaluation would dominate the oracle
+    # (CLAUDE.md note on oracle RHS cost).
+    cpu = jax.devices("cpu")[0]
+    f_jit = jax.jit(prob.f, device=cpu)
     jac = None
-    if prob.jac is not None:
-        jac = lambda t, y: np.asarray(prob.jac(jnp.asarray(y), prob.p, t))
+    if prob.jac is not None and not isinstance(prob.jac, tuple):
+        jac_jit = jax.jit(prob.jac, device=cpu)
+        jac = lambda t, y: np.asarray(jac_jit(jnp.asarray(y), prob.p, t))
     r = solve_ivp(
-        lambda t, y: np.asarray(prob.f(jnp.asarray(y), prob.p, t)),
+        lambda t, y: np.asarray(f_jit(jnp.asarray(y), prob.p, t)),
         prob.tspan,
         np.asarray(prob.u0, dtype=np.float64),
         t_eval=ts,
