@@ -52,17 +52,13 @@ def main():
     u0s = (u0 + 0.1 * jax.random.normal(key, (B, 2))).astype(dtype)
     ps = jnp.broadcast_to(p, (B, 4)).astype(dtype)
 
-    # --- TPU: fused Pallas ensemble filter ---
-    # (the filter+RTS-smoother kernel pair sustains ~705k complete
-    # probabilistic solves/s but compiles for ~2.5 min — benchmarked in
-    # benchmarks/run_all.py; the headline here stays on the fast-compiling
-    # filter kernel so the driver-run bench is robust)
+    # --- TPU: fused Pallas ensemble solve (filter + RTS smoother) ---
     @jax.jit
     def run(u0s, ps):
-        us, stds = pk.solve_ensemble_ek0_pallas(
+        us, stds = pk.solve_ensemble_ek0_pallas_smooth(
             prob.f, u0s, ps, tspan, N_STEPS, q=3
         )
-        return us[-1].sum() + stds[-1].sum()
+        return us[-1].sum() + stds[0].sum()
 
     t_tpu = _timeit(run, u0s, ps, warmup=2, iters=20)
     solves_per_sec = B / t_tpu
@@ -77,7 +73,7 @@ def main():
         def run_one(u0, p):
             sol = solve_fixed_kron(
                 odf.remake(prob, u0=u0, p=p),
-                odf.EK0(order=3, smooth=False), ts=ts_c,
+                odf.EK0(order=3, smooth=True), ts=ts_c,
             )
             return jnp.sum(sol.u[-1])
 
@@ -89,8 +85,8 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "batched FHN EK0(3) probabilistic solves/sec "
-                    "@ 8192 ensemble, 500-step grid (fused Pallas kernel)"
+                    "batched FHN EK0(3) filter+smoother solves/sec "
+                    "@ 8192 ensemble, 500-step grid (fused Pallas kernels)"
                 ),
                 "value": round(solves_per_sec, 2),
                 "unit": "solves/s",

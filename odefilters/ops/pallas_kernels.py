@@ -401,15 +401,26 @@ def _ek0_filter_states_kernel(
         us_ref[0, j] = pinv0 * m_init[0][j]
     std_ref[0] = zero
 
+    # Double-buffered streaming: two packed rows in flight; before reusing
+    # a slot, wait for the copy issued two rows earlier on that slot.
     def pack_and_send(k_idx, m, L, s2):
+        slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+        @pl.when(k_idx >= 2)
+        def _():
+            pltpu.make_async_copy(
+                row.at[slot], st_ref.at[k_idx], sem.at[slot]
+            ).wait()
+
         for i in range(nq):
             for j in range(d):
-                row[i, j] = m[i][j]
+                row[slot, i, j] = m[i][j]
             for l in range(nq):
-                row[i, d + l] = L[i][l]
-        row[0, d + nq] = s2
-        cp = pltpu.make_async_copy(row, st_ref.at[k_idx], sem)
-        cp.start(); cp.wait()
+                row[slot, i, d + l] = L[i][l]
+        row[slot, 0, d + nq] = s2
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).start()
 
     pack_and_send(jnp.int32(0), m_init, L_init, zero + 1.0)
 
@@ -482,6 +493,15 @@ def _ek0_filter_states_kernel(
         return m_new, L_new
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, L_init))
+    # drain the last (up to two) in-flight copies
+    pltpu.make_async_copy(
+        row.at[jnp.int32(T % 2)], st_ref.at[jnp.int32(T)], sem.at[jnp.int32(T % 2)]
+    ).wait()
+    if T >= 1:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 1) % 2)], st_ref.at[jnp.int32(T - 1)],
+            sem.at[jnp.int32((T - 1) % 2)],
+        ).wait()
 
 
 def _ek0_smoother_kernel(
@@ -496,19 +516,26 @@ def _ek0_smoother_kernel(
     """
     QLt_c = Qt  # the noise *factor* QLt
 
-    def load_row(k):
-        cp = pltpu.make_async_copy(st_ref.at[k], row, sem)
-        cp.start(); cp.wait()
-        m = [[row[i, j] for j in range(d)] for i in range(nq)]
-        L = [[row[i, d + l] for l in range(nq)] for i in range(nq)]
-        return m, L, row[0, d + nq]
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
+        L = [[row[slot, i, d + l] for l in range(nq)] for i in range(nq)]
+        return m, L, row[slot, 0, d + nq]
 
     def block_std(Lrow):
         return pinv0 * jnp.sqrt(
             functools.reduce(lambda a, b: a + b, [x * x for x in Lrow])
         )
 
-    m_T, L_T, s2_T = load_row(jnp.int32(T))
+    start_load(jnp.int32(T))
+    m_T, L_T, s2_T = wait_and_read(jnp.int32(T))
+    if T >= 1:
+        start_load(jnp.int32(T - 1))   # prefetch the first backward row
     for j in range(d):
         us_ref[T, j] = pinv0 * m_T[0][j]
     std_ref[T] = block_std(L_T[0])
@@ -516,7 +543,11 @@ def _ek0_smoother_kernel(
     def body(step, carry):
         m_s, L_s, s2_next = carry
         k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
-        m_f, L_f, s2_k = load_row(k)
+        m_f, L_f, s2_k = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.ones((), k.dtype))
         sq_s2 = jnp.sqrt(s2_next)   # diffusion of interval k -> k+1
         zero = jnp.zeros_like(sq_s2)
 
@@ -652,11 +683,12 @@ def ek0_fused_solve(
         dt=float(dt), t0=float(t0), **common,
     )
 
-    # one packed state row per step: [ mean (d) | factor (nq) | s2 (1) ]
+    # one packed state row per step: [ mean (d) | factor (nq) | s2 (1) ],
+    # two slots for double-buffered DMA
     W = d + nq + 1
     scratch = [
-        pltpu.VMEM((nq, W, _SUB, _LANE), dtype),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
 
     def fentry(m0_blk, p_blk, us_blk, std_blk, st_hbm, row, sem):
