@@ -790,8 +790,8 @@ def _kron_upper(At, d, nq):
 
 
 def _ek1_filter_states_kernel(
-    m0_ref, p_ref, us_ref, std_ref, mf_ref, cf_ref, s2_ref,
-    mrow, crow, s2row, sem,
+    m0_ref, p_ref, st_ref,
+    row, sem,
     *, f, jac, At, QLt, pinv0, pinv1, T, dt, t0, d, nq,
 ):
     """Forward EK1 filter (dynamic diffusion), streaming sqrt states."""
@@ -804,17 +804,27 @@ def _ek1_filter_states_kernel(
     L_init = [[zero for _ in range(D)] for _ in range(D)]
     p_block = p_ref[:]
 
-    for j in range(d):
-        us_ref[0, j] = pinv0 * m_init[j]
-        std_ref[0, j] = zero
-    for i in range(nq):
-        for j in range(d):
-            mrow[i, j] = m_init[i * d + j]
-    crow[...] = jnp.zeros_like(crow)
-    s2row[0] = zero + 1.0
-    for cparg in [(mrow, mf_ref.at[jnp.int32(0)]), (crow, cf_ref.at[jnp.int32(0)]), (s2row, s2_ref.at[jnp.int32(0)])]:
-        cp = pltpu.make_async_copy(cparg[0], cparg[1], sem)
-        cp.start(); cp.wait()
+    # packed row layout: [ L row (D) | mean (1) | s2 (1, in row 0) ],
+    # two slots for double-buffered DMA
+    def pack_and_send(k_idx, m, L, s2):
+        slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+        @pl.when(k_idx >= 2)
+        def _():
+            pltpu.make_async_copy(
+                row.at[slot], st_ref.at[k_idx], sem.at[slot]
+            ).wait()
+
+        for r in range(D):
+            for c in range(D):
+                row[slot, r, c] = L[r][c]
+            row[slot, r, D] = m[r]
+        row[slot, 0, D + 1] = s2
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).start()
+
+    pack_and_send(jnp.int32(0), m_init, L_init, zero + 1.0)
 
     def Amul_vec(m):
         return [
@@ -933,55 +943,53 @@ def _ek1_filter_states_kernel(
             for r in range(D)
         ]
 
-        for j in range(d):
-            us_ref[k1, j] = pinv0 * m_new[j]
-            std_ref[k1, j] = pinv0 * jnp.sqrt(
-                functools.reduce(
-                    lambda x, y: x + y,
-                    [L_new[j][c] * L_new[j][c] for c in range(D)],
-                )
-            )
-        for i in range(nq):
-            for j in range(d):
-                mrow[i, j] = m_new[i * d + j]
-        for r in range(D):
-            for c in range(D):
-                crow[r, c] = L_new[r][c]
-        s2row[0] = s2
-        for cpa in [(mrow, mf_ref.at[k1]), (crow, cf_ref.at[k1]),
-                    (s2row, s2_ref.at[k1])]:
-            cp = pltpu.make_async_copy(cpa[0], cpa[1], sem)
-            cp.start(); cp.wait()
+        pack_and_send(k1, m_new, L_new, s2)
         return m_new, L_new
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, L_init))
+    pltpu.make_async_copy(
+        row.at[jnp.int32(T % 2)], st_ref.at[jnp.int32(T)],
+        sem.at[jnp.int32(T % 2)],
+    ).wait()
+    if T >= 1:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 1) % 2)], st_ref.at[jnp.int32(T - 1)],
+            sem.at[jnp.int32((T - 1) % 2)],
+        ).wait()
 
 
 def _ekd_smoother_kernel(
-    mf_ref, cf_ref, s2_ref, us_ref, std_ref,
-    mrow, crow, s2row, sem,
+    st_ref, us_ref, std_ref,
+    row, sem,
     *, At, QLt, pinv0, T, d, nq,
 ):
     """Backward RTS pass over D x D sqrt states (EK1 or any dense-factor
-    filter); algorithm-agnostic — smoothing never touches H."""
+    filter); algorithm-agnostic — smoothing never touches H. Packed
+    double-buffered reads: prefetch row k-1 while computing row k."""
     D = d * nq
     Af = np.kron(At, np.eye(d))
     QLf = np.kron(QLt, np.eye(d))
 
-    def load_row(k):
-        for cpa in [(mf_ref.at[k], mrow), (cf_ref.at[k], crow)]:
-            cp = pltpu.make_async_copy(cpa[0], cpa[1], sem)
-            cp.start(); cp.wait()
-        m = [mrow[i // d, i % d] for i in range(D)]
-        L = [[crow[r, c] for c in range(D)] for r in range(D)]
-        return m, L
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        m = [row[slot, r, D] for r in range(D)]
+        L = [[row[slot, r, c] for c in range(D)] for r in range(D)]
+        return m, L, row[slot, 0, D + 1]
 
     def block_std(Lrow):
         return pinv0 * jnp.sqrt(
             functools.reduce(lambda a, b: a + b, [x * x for x in Lrow])
         )
 
-    m_T, L_T = load_row(T)
+    start_load(jnp.int32(T))
+    m_T, L_T, s2_T = wait_and_read(jnp.int32(T))
+    if T >= 1:
+        start_load(jnp.int32(T - 1))
     for j in range(d):
         us_ref[T, j] = pinv0 * m_T[j]
         std_ref[T, j] = block_std(L_T[j])
@@ -996,12 +1004,15 @@ def _ekd_smoother_kernel(
         ]
 
     def body(step, carry):
-        m_s, L_s = carry
+        m_s, L_s, s2_next = carry
         k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
-        m_f, L_f = load_row(k)
-        cp = pltpu.make_async_copy(s2_ref.at[k + jnp.ones((), k.dtype)], s2row, sem)
-        cp.start(); cp.wait()
-        sq_s2 = jnp.sqrt(s2row[0])
+        m_f, L_f, s2_k = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.ones((), k.dtype))
+
+        sq_s2 = jnp.sqrt(s2_next)
         zero = jnp.zeros_like(sq_s2)
 
         AL = [
@@ -1078,9 +1089,9 @@ def _ekd_smoother_kernel(
         for j in range(d):
             us_ref[k, j] = pinv0 * m_new[j]
             std_ref[k, j] = block_std(L_new[j])
-        return m_new, L_new
+        return m_new, L_new, s2_k
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T, s2_T))
 
 
 @_no_x64
@@ -1126,21 +1137,19 @@ def ek1_fused_solve(
         pinv1=float(1.0 / p_np[1]), dt=float(dt), t0=float(t0), **common,
     )
 
+    # packed row: [ L row (D) | mean (1) | s2 (1) ], double-buffered
+    W = D + 2
     scratch = [
-        pltpu.VMEM((nq, d, _SUB, _LANE), dtype),
-        pltpu.VMEM((D, D, _SUB, _LANE), dtype),
-        pltpu.VMEM((1, _SUB, _LANE), dtype),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((2, D, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
 
-    def fentry(m0_blk, p_blk, us_blk, std_blk, mf_hbm, cf_hbm, s2_hbm,
-               mrow, crow, s2row, sem):
+    def fentry(m0_blk, p_blk, st_hbm, row, sem):
         b = pl.program_id(0)
-        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)], us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
-                mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
-                mrow, crow, s2row, sem)
+        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                st_hbm.at[b], row, sem)
 
-    us_f, std_f, mf, cf, s2 = pl.pallas_call(
+    st = pl.pallas_call(
         fentry,
         grid=(nb,),
         in_specs=[
@@ -1149,45 +1158,31 @@ def ek1_fused_solve(
             pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
                          lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
-                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
-                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, nq, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, D, D, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, 1, _SUB, _LANE), dtype),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, T + 1, D, W, _SUB, _LANE), dtype),
         scratch_shapes=scratch,
     )(m0_p, ps_b)
 
     if not smooth:
-        us = us_f.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
-        stds = std_f.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+        # filter means/stds derived from the packed stream (preconditioned)
+        pinv0 = common["pinv0"]
+        us = pinv0 * st[:, :, :d, D]
+        stds = pinv0 * jnp.sqrt(jnp.sum(st[:, :, :d, :D] ** 2, axis=3))
+        us = us.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+        stds = stds.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
         return us, stds
 
     skernel = functools.partial(_ekd_smoother_kernel, **common)
 
-    def sentry(mf_hbm, cf_hbm, s2_hbm, us_blk, std_blk, mrow, crow, s2row, sem):
+    def sentry(st_hbm, us_blk, std_blk, row, sem):
         b = pl.program_id(0)
-        skernel(mf_hbm.at[b], cf_hbm.at[b], s2_hbm.at[b],
-                us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)], mrow, crow, s2row, sem)
+        skernel(st_hbm.at[b], us_blk.at[jnp.int32(0)],
+                std_blk.at[jnp.int32(0)], row, sem)
 
     us_s, std_s = pl.pallas_call(
         sentry,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
             pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
                          lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -1199,7 +1194,7 @@ def ek1_fused_solve(
             jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
         ],
         scratch_shapes=scratch,
-    )(mf, cf, s2)
+    )(st)
 
     us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = std_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
