@@ -197,6 +197,20 @@ def main(quick=False):
         "device": str(jax.devices()[0]),
     }
 
+    @jax.jit
+    def run_ek1(u0s, ps):
+        us, stds = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, T, q=3, smooth=False
+        )
+        return us[-1].sum() + stds[0].sum()
+
+    t = _time(run_ek1, u0s, ps, iters=10)
+    results["ensemble_8192_pallas_ek1_filter"] = {
+        "B": B, "grid_steps": T, "runtime_s": t,
+        "solves_per_sec": B / t,
+        "device": str(jax.devices()[0]),
+    }
+
     # time-parallel associative-scan smoother variant (same config, 1 solve)
     from odefilters.parallel.associative import solve_fixed_parallel
 

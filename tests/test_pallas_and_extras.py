@@ -183,6 +183,14 @@ def test_pallas_ek1_matches_xla_interpret():
     np.testing.assert_allclose(
         stds[:, :, 0], sd.pu.std, rtol=1e-3, atol=1e-9
     )
+    # filter-only path (stds derived from the packed stream)
+    with pltpu.force_tpu_interpret_mode():
+        uf, sf = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, T, q=3, smooth=False
+        )
+    sdf = odf.solve_fixed(prob, odf.EK1(order=3, smooth=False), ts=ts)
+    np.testing.assert_allclose(uf[:, :, 0], sdf.u, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(sf[:, :, 0], sdf.pu.std, rtol=1e-3, atol=1e-9)
 
 
 def test_pallas_ek0_smooth_matches_kron_interpret():
