@@ -251,3 +251,28 @@ def test_kron_sampling_calibrated():
     viol = (np.abs(s - mean) > 3 * std + 1e-12)[1:].mean()
     assert viol < 0.05
     assert np.isfinite(s).all()
+
+
+def test_adaptive_ensemble_vmapped_while_loop(rng):
+    """Batched adaptive solves: vmapped while_loop, per-member step counts,
+    each member identical to its single solve."""
+    from odefilters.parallel.sharding import solve_ensemble_adaptive
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    B = 4
+    u0s = jnp.asarray(prob.u0 + 0.05 * rng.standard_normal((B, 2)))
+    ps = jnp.broadcast_to(prob.p, (B, 4))
+    sols = solve_ensemble_adaptive(
+        prob, odf.EK1(order=3), u0s, ps, abstol=1e-8, reltol=1e-6,
+        max_steps=256,
+    )
+    assert np.all(np.asarray(sols.retcode) == 0)
+    s0 = odf.solve(
+        odf.remake(prob, u0=u0s[0]), odf.EK1(order=3),
+        abstol=1e-8, reltol=1e-6, max_steps=256,
+    )
+    n = int(s0.n_steps)
+    assert int(sols.n_steps[0]) == n
+    np.testing.assert_allclose(
+        sols.u[0, : n + 1], s0.u[: n + 1], rtol=1e-7, atol=1e-9
+    )
