@@ -276,3 +276,40 @@ def test_adaptive_ensemble_vmapped_while_loop(rng):
     np.testing.assert_allclose(
         sols.u[0, : n + 1], s0.u[: n + 1], rtol=1e-7, atol=1e-9
     )
+
+
+def test_2d_ensemble_time_mesh_sqrt_filter(rng):
+    """2-D (ensemble x time) mesh: the vmapped square-root parallel filter
+    runs with both axes sharded, results exact, sharding preserved."""
+    from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
+
+    from odefilters.parallel.associative_sqrt import parallel_filter_sqrt
+
+    D, d, N, B = 4, 2, 32, 4
+    F = jnp.asarray(rng.standard_normal((D, D)) * 0.4 + np.eye(D) * 0.5)
+    QL = jnp.asarray(
+        np.linalg.cholesky(
+            (lambda M: M @ M.T + 0.1 * np.eye(D))(rng.standard_normal((D, D)) * 0.3)
+        )
+    )
+    H = jnp.asarray(rng.standard_normal((B, N, d, D)))
+    y = jnp.asarray(rng.standard_normal((B, N, d)))
+    m0 = jnp.asarray(rng.standard_normal((B, D)))
+    U0 = jnp.zeros((B, D, D))
+
+    fn = jax.jit(jax.vmap(lambda m, U, Hb, yb: parallel_filter_sqrt(m, U, F, QL, Hb, yb)))
+    ref_m, ref_U = fn(m0, U0, H, y)
+
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(4, 2), ("ens", "time"),
+        axis_types=(AxisType.Auto, AxisType.Auto),
+    )
+    shHy = NamedSharding(mesh, P("ens", "time"))
+    sh0 = NamedSharding(mesh, P("ens"))
+    out_m, out_U = fn(
+        jax.device_put(m0, sh0), jax.device_put(U0, sh0),
+        jax.device_put(H, shHy), jax.device_put(y, shHy),
+    )
+    np.testing.assert_allclose(out_m, ref_m, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(out_U, ref_U, rtol=1e-12, atol=1e-14)
+    assert "ens" in str(out_m.sharding) and "time" in str(out_m.sharding)
