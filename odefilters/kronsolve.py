@@ -245,9 +245,10 @@ def _kron_smooth_all(model: KronModel, x_filt: KronGaussian, ts, diffusions,
 
 
 def _scale_rows(p, chol):
-    if chol.ndim == 2:
-        return p[:, None] * chol
-    return p[None, :, None] * chol
+    """Row-scale small factor(s): shared with the filter step."""
+    from odefilters.ops.kron import _unprecond_chol
+
+    return _unprecond_chol(p, chol)
 
 
 def _evaluate_one(sol: KronProbODESolution, tval):
@@ -261,9 +262,11 @@ def _evaluate_one(sol: KronProbODESolution, tval):
     At, QLt = ibm_small(q, dtype=dtype)
     ts, n = sol.ts, sol.n_steps
 
+    # clamp below t0; extrapolate from the last state beyond t_end
+    tval = jnp.maximum(tval, ts[0])
     i = jnp.clip(jnp.searchsorted(ts, tval, side="right") - 1, 0, n)
     exact = ts[i] == tval
-    ii = jnp.clip(i, 0, n - 1)
+    ii = jnp.clip(i, 0, n)
     sigma2 = jnp.take(sol.diffusions, jnp.minimum(ii + 1, n), axis=0)
     QLt_h = _apply_diff_chol(QLt, sigma2)
 

@@ -56,7 +56,7 @@ def _no_x64(fn):
         # 64-bit inputs (interpret-mode validation) must keep x64 tracing
         needs64 = any(
             hasattr(a, "dtype") and _np.dtype(a.dtype).itemsize == 8
-            for a in args
+            for a in (*args, *kwargs.values())
         )
         if needs64:
             return fn(*args, **kwargs)
@@ -290,7 +290,8 @@ def _list_chol(C, nq):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-38))
+                # 1e-30 is a *normal* f32 (1e-38 flushes to zero on TPU)
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
             else:
                 L[i][j] = s / L[j][j]
     return L
@@ -324,23 +325,6 @@ def _matmul_lists(A, B, nq):
         ]
         for i in range(nq)
     ]
-
-
-def _const_mm(Ac, X, nq, upper_from=None):
-    """A_const @ X with A a numpy matrix (skip zero entries)."""
-    out = []
-    for i in range(nq):
-        row = []
-        for j in range(nq):
-            terms = [
-                Ac[i, k] * X[k][j]
-                for k in range(nq)
-                if Ac[i, k] != 0.0
-            ]
-            row.append(functools.reduce(lambda a, b: a + b, terms))
-        out.append(row)
-    return out
-
 
 
 
@@ -784,10 +768,6 @@ def solve_ensemble_ek0_pallas_smooth(
 # ==========================================================================
 
 
-def _kron_upper(At, d, nq):
-    """A = At ⊗ I_d as a dense numpy (D, D) (upper block-triangular)."""
-    return np.kron(At, np.eye(d))
-
 
 def _ek1_filter_states_kernel(
     m0_ref, p_ref, st_ref,
@@ -1012,7 +992,7 @@ def _ekd_smoother_kernel(
         def _():
             start_load(k - jnp.ones((), k.dtype))
 
-        sq_s2 = jnp.sqrt(s2_next)
+        sq_s2 = jnp.sqrt(jnp.maximum(s2_next, 0.0))
         zero = jnp.zeros_like(sq_s2)
 
         AL = [

@@ -341,7 +341,7 @@ def solve_fixed_parallel(
     iterations: int = 4,
     taylor_method: str = "auto",
     warm_start: int = 0,
-    sqrt_form: bool = False,
+    sqrt_form: bool = True,
 ):
     """Time-parallel fixed-grid solve (uniform grid).
 
@@ -349,6 +349,14 @@ def solve_fixed_parallel(
     means/stds at the grid, full smoothed states, and the calibrated global
     diffusion. Select this backend for long fixed grids where log-depth
     beats the sequential scan.
+
+    ``sqrt_form=True`` (default) runs the square-root associative elements
+    — exact vs the covariance form and the only f32-stable choice on TPU
+    (plain-covariance RTS smoothing NaNs in f32; CLAUDE.md). The
+    covariance form (``sqrt_form=False``) also routes its element
+    combinations through LU, which has no f64 lowering on TPU — use it for
+    CPU/f64 cross-checks only. The grid must be *uniform* (constant
+    preconditioned transition per step).
     """
     t0, t1 = prob.tspan
     if ts is None:
@@ -357,6 +365,16 @@ def solve_fixed_parallel(
         n = max(int(round(float(t1 - t0) / float(dt))), 1)
         ts = jnp.linspace(t0, t1, n + 1)
     ts = jnp.asarray(ts, dtype=jnp.result_type(prob.u0.dtype, jnp.float32))
+    import numpy as _np
+
+    ts_np = _np.asarray(ts)
+    dts = _np.diff(ts_np)
+    if not _np.allclose(dts, dts[0], rtol=1e-6):
+        raise ValueError(
+            "solve_fixed_parallel requires a uniform grid (constant "
+            "preconditioned transition per step); use solve_fixed / "
+            "solve_fixed_kron for non-uniform grids"
+        )
 
     u_init = None
     if warm_start:

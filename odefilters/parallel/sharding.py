@@ -40,18 +40,39 @@ def ensemble_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(_np.asarray(devices), (ENS_AXIS,), axis_types=(AxisType.Auto,))
 
 
-def _ensemble_solve_fn(prob: ODEProblem, alg: AbstractEK, ts, abstol, reltol):
-    # The un-jitted impl: nesting jit under a sharded outer jit confuses
-    # axis-name resolution; the outer jit compiles the whole thing anyway.
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("alg", "n_steps"))
+def _solve_ensemble_jit(prob, alg, u0s, ps, ts, abstol, reltol, n_steps):
+    # Uses the un-jitted impl: nesting jit under a sharded outer jit
+    # confuses axis-name resolution. Module-level jit so repeated calls
+    # with the same (alg, shapes) hit the compilation cache.
     from odefilters.fixedgrid import _solve_fixed_impl
 
     def one(u0, p):
         return _solve_fixed_impl(
             remake(prob, u0=u0, p=p), alg, ts, abstol, reltol,
-            ts.shape[0] - 1, "auto", True,
+            n_steps, "auto", True,
         )
 
-    return jax.vmap(one)
+    return jax.vmap(one)(u0s, ps)
+
+
+@partial(jax.jit, static_argnames=("alg", "max_steps"))
+def _solve_ensemble_adaptive_jit(prob, alg, u0s, ps, abstol, reltol, max_steps):
+    from odefilters.solve import _solve_adaptive_impl, initial_dt
+
+    def one(u0, p):
+        pr = remake(prob, u0=u0, p=p)
+        dt0 = initial_dt(pr, alg.order, abstol, reltol)
+        t0, t1 = pr.tspan
+        return _solve_adaptive_impl(
+            pr, alg, abstol, reltol, dt0, max_steps, 100_000,
+            1e-14 * (t1 - t0), True, "auto", None,
+        )
+
+    return jax.vmap(one)(u0s, ps)
 
 
 def solve_ensemble(
@@ -71,16 +92,15 @@ def solve_ensemble(
     every array field). With ``mesh``, inputs/outputs are sharded over the
     ``"ens"`` axis and each chip solves its shard independently.
     """
-    fn = _ensemble_solve_fn(prob, alg, ts, abstol, reltol)
-    if mesh is None:
-        return jax.jit(fn)(u0s, ps)
-    # Committed sharded inputs drive GSPMD partitioning; passing explicit
-    # in_shardings would also constrain trace-time sharding propagation,
-    # which chokes on scalar-broadcast ops inside the solver.
-    sh = NamedSharding(mesh, P(ENS_AXIS))
-    u0s = jax.device_put(u0s, sh)
-    ps = jax.device_put(ps, sh)
-    return jax.jit(fn)(u0s, ps)
+    n_steps = ts.shape[0] - 1
+    if mesh is not None:
+        # Committed sharded inputs drive GSPMD partitioning; explicit
+        # in_shardings would also constrain trace-time sharding
+        # propagation, which chokes on scalar-broadcast ops in the solver.
+        sh = NamedSharding(mesh, P(ENS_AXIS))
+        u0s = jax.device_put(u0s, sh)
+        ps = jax.device_put(ps, sh)
+    return _solve_ensemble_jit(prob, alg, u0s, ps, ts, abstol, reltol, n_steps)
 
 
 def solve_ensemble_adaptive(
@@ -96,24 +116,10 @@ def solve_ensemble_adaptive(
 ) -> ProbODESolution:
     """Adaptive-step ensemble: vmapped while_loop (members that finish
     early mask out; the batch runs until the slowest member lands)."""
-    from odefilters.solve import _solve_adaptive_impl, initial_dt
-
-    def one(u0, p):
-        pr = remake(prob, u0=u0, p=p)
-        dt0 = initial_dt(pr, alg.order, abstol, reltol)
-        t0, t1 = pr.tspan
-        return _solve_adaptive_impl(
-            pr, alg, abstol, reltol, dt0, max_steps, 100_000,
-            1e-14 * (t1 - t0), True, "auto", None,
-        )
-
-    fn = jax.vmap(one)
-    if mesh is None:
-        return jax.jit(fn)(u0s, ps)
-    # Committed sharded inputs drive GSPMD partitioning; passing explicit
-    # in_shardings would also constrain trace-time sharding propagation,
-    # which chokes on scalar-broadcast ops inside the solver.
-    sh = NamedSharding(mesh, P(ENS_AXIS))
-    u0s = jax.device_put(u0s, sh)
-    ps = jax.device_put(ps, sh)
-    return jax.jit(fn)(u0s, ps)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(ENS_AXIS))
+        u0s = jax.device_put(u0s, sh)
+        ps = jax.device_put(ps, sh)
+    return _solve_ensemble_adaptive_jit(
+        prob, alg, u0s, ps, abstol, reltol, int(max_steps)
+    )

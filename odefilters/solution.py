@@ -163,10 +163,14 @@ def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
     A, QL = _interp_model(sol)
     ts, n = sol.ts, sol.n_steps
 
+    # clamp below t0 to the stored initial state (the reference raises,
+    # `solution.jl:169-171`; under jit we clamp); above t_end the posterior
+    # extrapolates by prediction from the *last* state, like the reference.
+    tval = jnp.maximum(tval, ts[0])
     i = jnp.clip(jnp.searchsorted(ts, tval, side="right") - 1, 0, n)
     exact = ts[i] == tval
-    # interpolation interval index (for exact hits this is unused)
-    ii = jnp.clip(i, 0, n - 1)
+    # interpolation/extrapolation source index (exact hits don't use it)
+    ii = jnp.clip(i, 0, n)
 
     diffusion = jnp.take(sol.diffusions, jnp.minimum(ii + 1, n), axis=0)
     QLh = diff.apply_diffusion_chol(QL, diffusion, q)
