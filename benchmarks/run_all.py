@@ -173,7 +173,7 @@ def main(quick=False):
 
     @jax.jit
     def run(u0s, ps):
-        us, stds = pk.solve_ensemble_ek0_pallas(prob.f, u0s, ps, prob.tspan, T, q=3)
+        us, stds, lls = pk.solve_ensemble_ek0_pallas(prob.f, u0s, ps, prob.tspan, T, q=3)
         return us[-1].sum() + stds[-1].sum()
 
     t = _time(run, u0s, ps, iters=10)

@@ -67,7 +67,7 @@ def _no_x64(fn):
 
 
 def _ek0_kernel(
-    m0_ref, p_ref, us_ref, std_ref, *,
+    m0_ref, p_ref, us_ref, std_ref, ll_ref, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, T: int, dt: float, t0: float,
     d: int, nq: int,
@@ -86,7 +86,7 @@ def _ek0_kernel(
     std_ref[0] = zero
 
     def body(k, carry):
-        m, C = carry
+        m, C, ll = carry
         # -- predict mean: mp = At m (At upper-triangular, unrolled) --
         mp = [
             [
@@ -143,13 +143,24 @@ def _ek0_kernel(
             [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
             for i in range(nq)
         ]
+        # -- per-member data log-likelihood: log N(z; 0, s I_d)
+        #    (perform_step.jl:66) --
+        ll = ll - 0.5 * (
+            zz * inv_s + d * (jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI)
+        )
         # -- save the projected solution row --
         for j in range(d):
             us_ref[k1, j] = pinv0 * m_new[0][j]
         std_ref[k1] = pinv0 * jnp.sqrt(jnp.maximum(C_new[0][0], 0.0))
-        return m_new, C_new
+        return m_new, C_new, ll
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, C_init))
+    _, _, ll = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m_init, C_init, zero)
+    )
+    ll_ref[...] = ll
+
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
 
 
 @_no_x64
@@ -164,9 +175,11 @@ def ek0_fused_filter(
 ):
     """Run the fused EK0 filter over an ensemble of B members.
 
-    Returns ``(us, stds)`` with shapes (T+1, d, B) and (T+1, B):
-    posterior (filter) means of the solution and their marginal stds.
-    B must be a multiple of 1024.
+    Returns ``(us, stds, lls)``: posterior (filter) means of the solution
+    (T+1, d, B), their marginal stds (T+1, B), and the per-member data
+    log-likelihood (B,) — the reference's ``sol.log_likelihood``
+    accumulated per ensemble member, enabling likelihood sweeps for
+    parameter inference at kernel throughput. B must be a multiple of 1024.
     """
     nq = q + 1
     _, d, B = m0.shape
@@ -218,26 +231,34 @@ def ek0_fused_filter(
                 (1, T + 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, _SUB, _LANE), lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
     )
 
-    def kernel_entry(m0_blk, p_blk, us_blk, std_blk):
+    def kernel_entry(m0_blk, p_blk, us_blk, std_blk, ll_blk):
         kernel(
-            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)], us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)]
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)],
         )
 
-    us, stds = pl.pallas_call(
+    us, stds, lls = pl.pallas_call(
         kernel_entry,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
             jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
         ],
     )(m0_p, ps_b)
 
     us = us.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = stds.transpose(1, 0, 2, 3).reshape(T + 1, B)
-    return us, stds
+    lls = lls.reshape(B)
+    return us, stds, lls
 
 
 def solve_ensemble_ek0_pallas(

@@ -23,7 +23,7 @@ def test_pallas_ek0_matches_kron_interpret():
     u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
     ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
     with pltpu.force_tpu_interpret_mode():
-        us, stds = pk.solve_ensemble_ek0_pallas(
+        us, stds, lls = pk.solve_ensemble_ek0_pallas(
             prob.f, u0s, ps, prob.tspan, T, q=3
         )
     ts = jnp.linspace(0.0, 2.0, T + 1)
@@ -35,6 +35,10 @@ def test_pallas_ek0_matches_kron_interpret():
         np.testing.assert_allclose(us[:, :, idx], sk.u, rtol=1e-10, atol=1e-12)
         np.testing.assert_allclose(
             stds[:, idx], sk.u_std[:, 0], rtol=1e-8, atol=1e-12
+        )
+        # per-member data log-likelihood matches the sequential solver
+        np.testing.assert_allclose(
+            lls[idx], sk.log_likelihood, rtol=1e-8
         )
 
 
