@@ -37,6 +37,10 @@ from odefilters import taylor
 from odefilters import sampling
 from odefilters import solution
 from odefilters import plotting
+from odefilters import callbacks
+from odefilters import jacobians
+from odefilters import workprecision
+from odefilters.callbacks import DiscreteCallback
 
 __version__ = "0.1.0"
 
@@ -62,6 +66,10 @@ __all__ = [
     "Integrator",
     "sampling",
     "plotting",
+    "callbacks",
+    "jacobians",
+    "workprecision",
+    "DiscreteCallback",
     "models",
     "priors",
     "taylor",

@@ -95,8 +95,18 @@ class ProbODESolution:
 
     def __call__(self, t, smoothed: Optional[bool] = None):
         """Dense output ``sol(t)`` -> projected Gaussian(s)
-        (`/root/reference/src/solution.jl:211-215`)."""
+        (`/root/reference/src/solution.jl:211-215`). Works on batched
+        (ensemble) solutions too: the evaluation maps over the leading
+        ensemble axis."""
+        if self.ts.ndim > 1:  # batched (ensemble) solution
+            return jax.vmap(lambda s: evaluate(s, t, smoothed=smoothed))(self)
         return evaluate(self, t, smoothed=smoothed)
+
+    def plot(self, **kwargs):
+        """Ribbon plot of the posterior (`odefilters.plotting`)."""
+        from odefilters.plotting import plot_solution
+
+        return plot_solution(self, **kwargs)
 
     def states(self, t, smoothed: Optional[bool] = None) -> Gaussian:
         """Dense output over the full D-dimensional state."""
