@@ -31,6 +31,12 @@ from odefilters.kronsolve import (
 )
 from odefilters.ieks import solve_ieks
 from odefilters.integrator import Integrator, init
+from odefilters.sampling import (
+    dense_sample,
+    dense_sample_states,
+    sample,
+    sample_states,
+)
 from odefilters import models
 from odefilters import priors
 from odefilters import taylor
@@ -65,6 +71,10 @@ __all__ = [
     "init",
     "Integrator",
     "sampling",
+    "sample",
+    "sample_states",
+    "dense_sample",
+    "dense_sample_states",
     "plotting",
     "callbacks",
     "jacobians",

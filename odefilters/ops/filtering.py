@@ -14,7 +14,7 @@ All kernels broadcast over leading batch dimensions and are `vmap`-safe.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve, solve_triangular
+from jax.scipy.linalg import solve_triangular
 
 from odefilters.linalg import (
     Gaussian,
@@ -67,10 +67,11 @@ def update(x_pred: Gaussian, z: jnp.ndarray, H: jnp.ndarray) -> tuple[Gaussian, 
     L = x_pred.chol
     Z = H @ L                                  # (..., d, D): factor of S
     S_chol = tril_factor(_T(Z))                # (..., d, d)
-    # K = Sigma H^T S^-1 = (L Z^T) S^-1, via two triangular solves
+    # K = Sigma H^T S^-1 = (L Z^T) S^-1 via two triangular solves, which
+    # (unlike jax.scipy cho_solve) broadcast over leading batch dims.
     LZt = L @ _T(Z)                            # (..., D, d)
-    K = cho_solve((S_chol, True), _T(LZt))     # solves S X = (L Z^T)^T
-    K = _T(K)                                  # (..., D, d)
+    W = solve_triangular(S_chol, _T(LZt), lower=True)
+    K = _T(solve_triangular(_T(S_chol), W, lower=False))  # (..., D, d)
     m_out = x_pred.mean - jnp.einsum("...ij,...j->...i", K, z)
     L_out = L - K @ Z                          # (I - K H) L
     return Gaussian(m_out, L_out), S_chol
@@ -138,7 +139,8 @@ def condition_on(x: Gaussian, H: jnp.ndarray, data: jnp.ndarray) -> Gaussian:
     S = Z @ _T(Z)
     S_chol = cholesky_psd(S)
     LZt = x.chol @ _T(Z)
-    K = _T(cho_solve((S_chol, True), _T(LZt)))
+    W = solve_triangular(S_chol, _T(LZt), lower=True)
+    K = _T(solve_triangular(_T(S_chol), W, lower=False))
     m_out = x.mean + jnp.einsum("...ij,...j->...i", K, data - z)
     L_out = x.chol - K @ Z
     return Gaussian(m_out, L_out)

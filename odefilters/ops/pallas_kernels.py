@@ -1112,6 +1112,15 @@ def ek1_fused_solve(
     inside Pallas kernels. ``jac(u, p, t) -> (d, d[, batch...])`` must be
     index-and-stack style like ``f``. Returns ``(us, stds)`` with shapes
     (T+1, d, B) each (per-dimension marginal stds)."""
+    if jac is None:
+        raise ValueError(
+            "the fused EK1 kernel requires an analytic Jacobian "
+            "jac(u, p, t) -> (d, d[, batch...]) written in index-and-stack "
+            "style (like odefilters.models.*_jac); jax.jacfwd cannot be "
+            "traced inside the kernel's lane layout. Either supply one or "
+            "use the XLA path (odefilters.parallel.solve_ensemble_fixed), "
+            "which derives the Jacobian automatically."
+        )
     nq = q + 1
     _, d, B = m0.shape
     D = d * nq

@@ -33,14 +33,19 @@ def plot_solution(
             (the recipe's `denseplot`), else use the solver grid.
         ribbon_width: half-width of the band in standard deviations
             (recipe default 1.96, `solution_plotting.jl:6`).
-        vars: ``(i, j)`` produces a phase plot of component j vs i
-            (no ribbons, like the recipe's vars branch); None plots every
+        vars: ``(i, j)`` produces a phase plot of component j vs i,
+            ``(i, j, k)`` a 3-D phase plot (no ribbons, like the recipe's
+            vars branch, `solution_plotting.jl:26-41`); None plots every
             component against time.
     """
     import matplotlib.pyplot as plt
 
     if ax is None:
-        _, ax = plt.subplots()
+        if vars is not None and len(vars) == 3:
+            fig = plt.figure()
+            ax = fig.add_subplot(projection="3d")
+        else:
+            _, ax = plt.subplots()
 
     n = int(sol.n_steps)
     if dense:
@@ -54,6 +59,13 @@ def plot_solution(
         std = np.asarray(sol.pu.std[: n + 1])
 
     if vars is not None:
+        if len(vars) == 3:
+            i, j, k = vars
+            ax.plot(mean[:, i], mean[:, j], mean[:, k], **line_kwargs)
+            ax.set_xlabel(f"u[{i}]")
+            ax.set_ylabel(f"u[{j}]")
+            ax.set_zlabel(f"u[{k}]")
+            return ax
         i, j = vars[0], vars[1]
         ax.plot(mean[:, i], mean[:, j], **line_kwargs)
         ax.set_xlabel(f"u[{i}]")

@@ -218,6 +218,14 @@ def _make_loop_fns(
             abstol, reltol, prob.p, linearize_u,
         )
         EEst = jnp.where(jnp.isfinite(res.err_est), res.err_est, 1e10)
+        # The step-size controller is non-differentiable: without this,
+        # tangents leak through EEst**beta into dt and the time grid and
+        # the propagated sensitivities are garbage at tight tolerances
+        # (observed 55% gradient error at reltol=1e-9). With it, gradients
+        # are the exact sensitivities of the filter on the realized grid
+        # (discretize-then-optimize), matching the reference's ForwardDiff
+        # behavior (`test/specific_problems.jl:141-156`) to solver accuracy.
+        EEst = jax.lax.stop_gradient(EEst)
         accept = EEst <= 1.0
 
         dt_acc, qold_acc = _controller_accept(EEst, c.qold, dt_eff, beta1, beta2)
@@ -498,7 +506,9 @@ def solve(
         return sol
 
     if dt is None:
-        dt0 = initial_dt(prob, alg.order, abstol, reltol)
+        # stop_gradient: the initial-dt heuristic is part of the (frozen)
+        # discretization, like the controller inside the loop
+        dt0 = jax.lax.stop_gradient(initial_dt(prob, alg.order, abstol, reltol))
     else:
         dt0 = jnp.asarray(dt)
     if dtmin is None:

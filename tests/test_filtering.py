@@ -113,3 +113,33 @@ def test_update_grad_flows(setup):
 
     g = jax.grad(loss)(jnp.asarray(m))
     assert np.all(np.isfinite(g))
+
+
+def test_update_broadcasts_leading_batch(setup, rng):
+    """update/condition_on must work on explicit leading batch dims (no
+    vmap): the PSD solves go through two solve_triangular calls, which
+    broadcast — jax.scipy cho_solve does not (CLAUDE.md numerics rules)."""
+    m, L, A, QL, H = setup
+    B = 3
+    ms = np.stack([m + i for i in range(B)])
+    Ls = np.broadcast_to(L, (B,) + L.shape)
+    zs = np.stack([H @ (m + i) - rng.standard_normal(H.shape[0]) for i in range(B)])
+    x_pred = Gaussian(jnp.asarray(ms), jnp.asarray(Ls))
+    out, S_chol = filtering.update(x_pred, jnp.asarray(zs), jnp.asarray(H))
+    assert out.mean.shape == (B, len(m))
+    assert S_chol.shape == (B, H.shape[0], H.shape[0])
+    for i in range(B):
+        ref, S_ref = filtering.update(
+            Gaussian(jnp.asarray(ms[i]), jnp.asarray(L)),
+            jnp.asarray(zs[i]), jnp.asarray(H),
+        )
+        np.testing.assert_allclose(out.mean[i], ref.mean, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(out.chol[i], ref.chol, rtol=1e-12, atol=1e-12)
+
+    data = jnp.asarray(zs)
+    out2 = filtering.condition_on(x_pred, jnp.asarray(H), data)
+    for i in range(B):
+        ref2 = filtering.condition_on(
+            Gaussian(jnp.asarray(ms[i]), jnp.asarray(L)), jnp.asarray(H), data[i]
+        )
+        np.testing.assert_allclose(out2.mean[i], ref2.mean, rtol=1e-12, atol=1e-12)

@@ -215,3 +215,65 @@ def test_pallas_ek0_smooth_matches_kron_interpret():
     sk = solve_fixed_kron(prob, odf.EK0(order=3), ts=jnp.linspace(0.0, 2.0, T + 1))
     np.testing.assert_allclose(us[:, :, 0], sk.u, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(stds[:, 0], sk.u_std[:, 0], rtol=1e-7, atol=1e-12)
+
+
+def test_grad_through_adaptive_solver():
+    """Forward-mode gradients through the *adaptive* while-loop solver vs
+    the analytic sensitivity (golden value) and the fixed-grid reverse-mode
+    gradient (test/specific_problems.jl:141-156)."""
+    u0, p0 = 0.1, 2.0
+    prob = odf.models.logistic(u0=(u0,), p=(p0,), tspan=(0.0, 1.0))
+
+    def loss_adaptive(p):
+        sol = odf.solve(
+            odf.remake(prob, p=p), odf.EK1(order=3), abstol=1e-10, reltol=1e-9
+        )
+        return sol.u[sol.n_steps, 0]
+
+    def loss_fixed(p):
+        sol = odf.solve_fixed(odf.remake(prob, p=p), odf.EK1(order=3), dt=0.01)
+        return sol.u[-1, 0]
+
+    g_fwd = jax.jacfwd(loss_adaptive)(prob.p)[0]
+    g_rev = jax.grad(loss_fixed)(prob.p)[0]
+
+    # analytic: u(t) = u0 e^{pt} / (1 + u0 (e^{pt} - 1)); d/dp at t=1
+    t = 1.0
+    e = np.exp(p0 * t)
+    denom = 1.0 + u0 * (e - 1.0)
+    g_true = u0 * t * e * (1.0 - u0) / denom**2
+    np.testing.assert_allclose(g_fwd, g_true, rtol=1e-6)
+    np.testing.assert_allclose(g_rev, g_true, rtol=1e-6)
+
+
+def test_integrator_checkpoint_resume(tmp_path):
+    """A solve interrupted at step k, checkpointed to disk, and resumed is
+    bit-for-bit identical to the uninterrupted solve."""
+    from odefilters.utils.serialization import load_integrator, save_integrator
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    alg = odf.EK1(order=3)
+    kw = dict(abstol=1e-8, reltol=1e-6, max_steps=512)
+
+    ref = odf.init(prob, alg, **kw).solve_fin()
+
+    integ = odf.init(prob, alg, **kw)
+    for _ in range(5):
+        integ.step()
+    path = str(tmp_path / "ckpt.npz")
+    save_integrator(path, integ)
+
+    resumed = load_integrator(path, prob)
+    assert resumed.n_steps == integ.n_steps
+    sol = resumed.solve_fin()
+
+    n = int(ref.n_steps)
+    assert int(sol.n_steps) == n
+    np.testing.assert_array_equal(np.asarray(sol.ts), np.asarray(ref.ts))
+    np.testing.assert_array_equal(
+        np.asarray(sol.u[: n + 1]), np.asarray(ref.u[: n + 1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sol.x_smooth.chol[: n + 1]),
+        np.asarray(ref.x_smooth.chol[: n + 1]),
+    )
