@@ -66,14 +66,94 @@ def _no_x64(fn):
     return wrapped
 
 
+def _ek0_step_lists(
+    m, C, p_block, t_new, *,
+    f: Callable, At: np.ndarray, Qt: np.ndarray,
+    pinv0: float, pinv1: float, d: int, nq: int,
+):
+    """One EK0(dynamic) step on list-of-lanes state; pure function of
+    ``(m, C, p)`` so it is both the fused-kernel body and the target of the
+    in-kernel ``jax.vjp`` in the backward (gradient) kernel.
+
+    Returns ``(m_new, C_new, ll_inc, us_row, std_val)``.
+    """
+    hq = pinv1 * pinv1 * Qt[1, 1]
+    # -- predict mean: mp = At m (At upper-triangular, unrolled) --
+    mp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [At[i, l] * m[l][j] for l in range(i, nq)],
+            )
+            for j in range(d)
+        ]
+        for i in range(nq)
+    ]
+    # -- measure --
+    u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
+    du = f(u_pred, p_block, t_new)
+    z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+    # -- dynamic diffusion: s2 = |z|^2 / (d hq) --
+    zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
+    s2 = zz / (d * hq)
+    # -- predict cov: Cp = At C At^T + s2 Qt --
+    tmp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [At[i, a] * C[a][b] for a in range(i, nq)],
+            )
+            for b in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    Cp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [tmp[i][b] * At[l, b] for b in range(l, nq)],
+            )
+            + Qt[i, l] * s2
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    # -- update (R = 0): s = pinv1^2 Cp[1,1]; K = pinv1 Cp[:,1] / s --
+    s = pinv1 * pinv1 * Cp[1][1]
+    inv_s = 1.0 / s
+    kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
+    m_new = [
+        [mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)
+    ]
+    C_new = [
+        [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
+        for i in range(nq)
+    ]
+    # -- per-member data log-likelihood: log N(z; 0, s I_d)
+    #    (perform_step.jl:66) --
+    ll_inc = -0.5 * (
+        zz * inv_s + d * (jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI)
+    )
+    us_row = [pinv0 * m_new[0][j] for j in range(d)]
+    # 1e-30 floor (not 0): keeps the VJP of sqrt finite when only the
+    # likelihood is differentiated (0-cotangent x inf would poison dC)
+    std_val = pinv0 * jnp.sqrt(jnp.maximum(C_new[0][0], 1e-30))
+    return m_new, C_new, ll_inc, us_row, std_val
+
+
+def _step_time(k, t0: float, dt: float, dtype):
+    """t_{k+1} as a traced scalar matching the lane dtype."""
+    return jnp.asarray(t0, dtype) + jnp.asarray(dt, dtype) * (
+        k.astype(dtype) + jnp.asarray(1.0, dtype)
+    )
+
+
 def _ek0_kernel(
     m0_ref, p_ref, us_ref, std_ref, ll_ref, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, T: int, dt: float, t0: float,
     d: int, nq: int,
 ):
-    hq = pinv1 * pinv1 * Qt[1, 1]
-
     # initial state (already preconditioned); zero covariance (exact init)
     m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
     zero = jnp.zeros_like(m_init[0][0])
@@ -85,74 +165,20 @@ def _ek0_kernel(
         us_ref[0, j] = pinv0 * m_init[0][j]
     std_ref[0] = zero
 
+    step = functools.partial(
+        _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq,
+    )
+
     def body(k, carry):
         m, C, ll = carry
-        # -- predict mean: mp = At m (At upper-triangular, unrolled) --
-        mp = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [At[i, l] * m[l][j] for l in range(i, nq)],
-                )
-                for j in range(d)
-            ]
-            for i in range(nq)
-        ]
-        # -- measure --
-        _dt = zero.dtype
         k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
-        t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
-            k.astype(_dt) + jnp.asarray(1.0, _dt)
-        )
-        u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
-        du = f(u_pred, p_block, t_new)
-        z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
-        # -- dynamic diffusion: s2 = |z|^2 / (d hq) --
-        zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
-        s2 = zz / (d * hq)
-        # -- predict cov: Cp = At C At^T + s2 Qt --
-        tmp = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [At[i, a] * C[a][b] for a in range(i, nq)],
-                )
-                for b in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        Cp = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [tmp[i][b] * At[l, b] for b in range(l, nq)],
-                )
-                + Qt[i, l] * s2
-                for l in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        # -- update (R = 0): s = pinv1^2 Cp[1,1]; K = pinv1 Cp[:,1] / s --
-        s = pinv1 * pinv1 * Cp[1][1]
-        inv_s = 1.0 / s
-        kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
-        m_new = [
-            [mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)
-        ]
-        C_new = [
-            [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
-            for i in range(nq)
-        ]
-        # -- per-member data log-likelihood: log N(z; 0, s I_d)
-        #    (perform_step.jl:66) --
-        ll = ll - 0.5 * (
-            zz * inv_s + d * (jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI)
-        )
-        # -- save the projected solution row --
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, C_new, ll_inc, us_row, std_val = step(m, C, p_block, t_new)
         for j in range(d):
-            us_ref[k1, j] = pinv0 * m_new[0][j]
-        std_ref[k1] = pinv0 * jnp.sqrt(jnp.maximum(C_new[0][0], 0.0))
-        return m_new, C_new, ll
+            us_ref[k1, j] = us_row[j]
+        std_ref[k1] = std_val
+        return m_new, C_new, ll + ll_inc
 
     _, _, ll = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(T), body, (m_init, C_init, zero)
@@ -161,6 +187,320 @@ def _ek0_kernel(
 
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+def _ek0_consts(q: int, dt: float, np_dtype):
+    """Shared static constants: (At, Qt, pinv0, pinv1) for a given order."""
+    At_np, _, QLt_np = _ibm_small_np(q)
+    Qt_np = QLt_np @ QLt_np.T
+    j = np.arange(q + 1, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    return (
+        At_np.astype(np_dtype), Qt_np.astype(np_dtype),
+        float(1.0 / p_np[0]), float(1.0 / p_np[1]), p_np,
+    )
+
+
+# --------------------------------------------------------------------------
+# Differentiable fused filter: custom VJP.
+#
+# Primal = the plain fused kernel above. The VJP forward re-runs it while
+# streaming the per-step carry (m, C) to HBM (double-buffered DMA, like the
+# filter+smoother pair below); the backward kernel walks the stream in
+# reverse and applies the *in-kernel* `jax.vjp` of the step function —
+# i.e. the exact adjoint of the filter recursion, including through the
+# user vector field and the dynamic-diffusion calibration, entirely on the
+# VPU. Reference behavior matched: differentiability of the whole solve
+# (`/root/reference/test/specific_problems.jl:141-156`) at kernel speed.
+# --------------------------------------------------------------------------
+
+
+def _ek0_grad_fwd_kernel(
+    m0_ref, p_ref, us_ref, std_ref, ll_ref, st_ref,
+    row, sem, *,
+    f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
+):
+    """Forward pass with state streaming: packs (m | C) per step."""
+    m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    zero = jnp.zeros_like(m_init[0][0])
+    C_init = [[zero for _ in range(nq)] for _ in range(nq)]
+    p_block = p_ref[:]
+
+    for j in range(d):
+        us_ref[0, j] = pinv0 * m_init[0][j]
+    std_ref[0] = zero
+
+    def pack_and_send(k_idx, m, C):
+        slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+        @pl.when(k_idx >= 2)
+        def _():
+            pltpu.make_async_copy(
+                row.at[slot], st_ref.at[k_idx], sem.at[slot]
+            ).wait()
+
+        for i in range(nq):
+            for j in range(d):
+                row[slot, i, j] = m[i][j]
+            for l in range(nq):
+                row[slot, i, d + l] = C[i][l]
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).start()
+
+    pack_and_send(jnp.int32(0), m_init, C_init)
+
+    step = functools.partial(
+        _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq,
+    )
+
+    def body(k, carry):
+        m, C, ll = carry
+        k1 = k + jnp.ones((), k.dtype)
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, C_new, ll_inc, us_row, std_val = step(m, C, p_block, t_new)
+        for j in range(d):
+            us_ref[k1, j] = us_row[j]
+        std_ref[k1] = std_val
+        pack_and_send(k1, m_new, C_new)
+        return m_new, C_new, ll + ll_inc
+
+    _, _, ll = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m_init, C_init, zero)
+    )
+    ll_ref[...] = ll
+    pltpu.make_async_copy(
+        row.at[jnp.int32(T % 2)], st_ref.at[jnp.int32(T)],
+        sem.at[jnp.int32(T % 2)],
+    ).wait()
+    if T >= 1:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 1) % 2)], st_ref.at[jnp.int32(T - 1)],
+            sem.at[jnp.int32((T - 1) % 2)],
+        ).wait()
+
+
+def _ek0_grad_bwd_kernel(
+    p_ref, dus_ref, dstd_ref, dll_ref, st_ref,
+    dm0_ref, dp_ref,
+    row, sem, *,
+    f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
+):
+    """Adjoint sweep: reads the streamed (m, C) states in reverse and
+    applies the VJP of the step, accumulating input cotangents."""
+    p_block = p_ref[:]
+    dll = dll_ref[:]                    # cotangent of the summed ll output
+    zero = jnp.zeros_like(dll)
+
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
+        C = [[row[slot, i, d + l] for l in range(nq)] for i in range(nq)]
+        return m, C
+
+    step = functools.partial(
+        _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq,
+    )
+
+    dm0 = [[zero for _ in range(d)] for _ in range(nq)]
+    dC0 = [[zero for _ in range(nq)] for _ in range(nq)]
+    dp0 = jnp.zeros_like(p_block)
+
+    if T >= 1:
+        start_load(jnp.int32(T - 1))
+
+    def body(s, carry):
+        dm, dC, dp = carry
+        k = jnp.asarray(T, s.dtype) - jnp.ones((), s.dtype) - s
+        m_k, C_k = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.ones((), k.dtype))
+
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        _, vjp_fn = jax.vjp(
+            lambda m, C, p: step(m, C, p, t_new), m_k, C_k, p_block
+        )
+        k1 = k + jnp.ones((), k.dtype)
+        dus_row = [dus_ref[k1, j] for j in range(d)]
+        dstd_val = dstd_ref[k1]
+        dm_k, dC_k, dp_k = vjp_fn((dm, dC, dll, dus_row, dstd_val))
+        return dm_k, dC_k, dp + dp_k
+
+    dm, dC, dp = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (dm0, dC0, dp0)
+    )
+    # us[0] = pinv0 * m0[0]; std[0] is constant 0; C0 is a constant.
+    for j in range(d):
+        dm[0][j] = dm[0][j] + pinv0 * dus_ref[jnp.int32(0), j]
+    for i in range(nq):
+        for j in range(d):
+            dm0_ref[i, j] = dm[i][j]
+    dp_ref[...] = dp
+
+
+def _ek0_blocked_specs(nq, d, n_params, T):
+    in_specs = [
+        pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, T + 1, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T + 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return in_specs, out_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _ek0_filter_blocked(f, q, T, dt, t0, m0_p, ps_b):
+    """Blocked fused EK0 filter (differentiable): inputs/outputs in the
+    (nb, ..., 8, 128) lane layout; ``m0_p`` already preconditioned."""
+    nb, nq, d = m0_p.shape[:3]
+    n_params = ps_b.shape[1]
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype)
+    kernel = functools.partial(
+        _ek0_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq,
+    )
+    in_specs, out_specs = _ek0_blocked_specs(nq, d, n_params, T)
+
+    def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)],
+        )
+
+    return pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        ],
+    )(m0_p, ps_b)
+
+
+def _ek0_filter_blocked_fwd(f, q, T, dt, t0, m0_p, ps_b):
+    nb, nq, d = m0_p.shape[:3]
+    n_params = ps_b.shape[1]
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype)
+    kernel = functools.partial(
+        _ek0_grad_fwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq,
+    )
+    in_specs, out_specs = _ek0_blocked_specs(nq, d, n_params, T)
+    W = d + nq
+    scratch = [
+        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)], st_hbm.at[b], row, sem,
+        )
+
+    us, stds, lls, st = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_p, ps_b)
+    return (us, stds, lls), (st, ps_b)
+
+
+def _ek0_filter_blocked_bwd(f, q, T, dt, t0, res, cts):
+    st, ps_b = res
+    dus, dstds, dlls = cts
+    nb = st.shape[0]
+    nq, W = st.shape[2], st.shape[3]
+    d = W - nq
+    n_params = ps_b.shape[1]
+    dtype = ps_b.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype)
+    kernel = functools.partial(
+        _ek0_grad_bwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq,
+    )
+    scratch = [
+        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def entry(p_blk, dus_blk, dstd_blk, dll_blk, st_hbm, dm0_blk, dp_blk,
+              row, sem):
+        b = pl.program_id(0)
+        kernel(
+            p_blk.at[jnp.int32(0)], dus_blk.at[jnp.int32(0)],
+            dstd_blk.at[jnp.int32(0)], dll_blk.at[jnp.int32(0)],
+            st_hbm.at[b],
+            dm0_blk.at[jnp.int32(0)], dp_blk.at[jnp.int32(0)],
+            row, sem,
+        )
+
+    dm0, dps = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T + 1, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T + 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, nq, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, n_params, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(ps_b, dus, dstds, dlls, st)
+    return dm0, dps
+
+
+_ek0_filter_blocked.defvjp(_ek0_filter_blocked_fwd, _ek0_filter_blocked_bwd)
 
 
 @_no_x64
@@ -180,6 +520,11 @@ def ek0_fused_filter(
     log-likelihood (B,) — the reference's ``sol.log_likelihood``
     accumulated per ensemble member, enabling likelihood sweeps for
     parameter inference at kernel throughput. B must be a multiple of 1024.
+
+    Differentiable: ``jax.grad`` w.r.t. ``(m0, ps)`` runs a custom VJP
+    whose backward pass is itself a Pallas kernel (the exact adjoint of
+    the filter recursion via in-kernel ``jax.vjp`` of the step), so
+    likelihood gradients for parameter inference run at kernel speed.
     """
     nq = q + 1
     _, d, B = m0.shape
@@ -188,8 +533,6 @@ def ek0_fused_filter(
     nb = B // BLOCK
     T = int(n_steps)
 
-    At_np, _, QLt_np = _ibm_small_np(q)
-    Qt_np = QLt_np @ QLt_np.T
     # preconditioner entries for this (static) dt
     j = np.arange(nq, dtype=np.float64)
     p_np = float(dt) ** (j - q - 0.5)
@@ -200,60 +543,9 @@ def ek0_fused_filter(
     ).transpose(2, 0, 1, 3, 4)                      # (nb, nq, d, 8, 128)
     ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
 
-    kernel = functools.partial(
-        _ek0_kernel,
-        f=f,
-        At=At_np.astype(np.float32 if dtype == jnp.float32 else np.float64),
-        Qt=Qt_np.astype(np.float32 if dtype == jnp.float32 else np.float64),
-        pinv0=float(1.0 / p_np[0]),
-        pinv1=float(1.0 / p_np[1]),
-        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq,
+    us, stds, lls = _ek0_filter_blocked(
+        f, q, T, float(dt), float(t0), m0_p, ps_b
     )
-
-    grid_spec = pl.GridSpec(
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, ps_b.shape[1], _SUB, _LANE), lambda b: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, T + 1, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, T + 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, _SUB, _LANE), lambda b: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-    )
-
-    def kernel_entry(m0_blk, p_blk, us_blk, std_blk, ll_blk):
-        kernel(
-            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
-            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
-            ll_blk.at[jnp.int32(0)],
-        )
-
-    us, stds, lls = pl.pallas_call(
-        kernel_entry,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
-        ],
-    )(m0_p, ps_b)
 
     us = us.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = stds.transpose(1, 0, 2, 3).reshape(T + 1, B)

@@ -1,5 +1,10 @@
 """Convergence-order tests, mirroring `/root/reference/test/convergence.jl`:
-empirical order ~ q+1 on a scalar linear problem."""
+empirical order ~ q+1 on the reference's scalar linear problem
+(u' = 1.01 u, u0 = 1/2), EK0 q=1..5 and EK1 q in {1,3,4,5} like the
+reference sweep (`test/convergence.jl:17-38`). The reference runs the fine
+grids on a BigFloat u0; in f64 the finest grids for the highest orders sit
+on the roundoff floor, so the dt ranges per order are chosen to stay in
+the asymptotic regime (slopes verified monotone-approaching q+1)."""
 
 import numpy as np
 import pytest
@@ -7,34 +12,55 @@ import pytest
 import odefilters as odf
 
 
-def empirical_order(Alg, order, dts):
-    prob = odf.models.logistic(u0=(0.1,), p=(2.0,), tspan=(0.0, 1.0))
+def empirical_order(Alg, order, dts, prob=None):
+    if prob is None:
+        prob = odf.models.linear_ode()  # u' = 1.01 u, analytic exp
     errs = []
     for dt in dts:
         sol = odf.solve_fixed(prob, Alg(order=order, smooth=False), dt=dt)
         n = int(sol.n_steps)
-        ref = np.asarray(
-            prob.analytic(prob.u0, prob.p, sol.ts[n])
-        )
+        ref = np.asarray(prob.analytic(prob.u0, prob.p, sol.ts[n]))
         errs.append(abs(float(sol.u[n, 0]) - float(ref[0])))
-    errs = np.array(errs)
-    slopes = np.diff(np.log(errs)) / np.diff(np.log(np.asarray(dts)))
-    return slopes.mean()
+    # least-squares slope of log err vs log dt (DiffEqDevTools' estimate)
+    A = np.vstack([np.log(np.asarray(dts)), np.ones(len(dts))]).T
+    return float(np.linalg.lstsq(A, np.log(np.asarray(errs)), rcond=None)[0][0])
 
 
-@pytest.mark.parametrize("order", [1, 2, 3])
+# dt grids: reference uses 1/2^(9:-1:2) for q<=3, 1/2^(8:-1:4) for q=4,5
+# (`test/convergence.jl:19,26`); shifted coarser where f64 hits roundoff.
+_EK0_GRIDS = {
+    1: [1 / 2**k for k in range(9, 1, -1)],
+    2: [1 / 2**k for k in range(9, 1, -1)],
+    3: [1 / 2**k for k in range(9, 1, -1)],
+    4: [1 / 2**k for k in range(8, 3, -1)],
+    5: [1 / 2**k for k in range(7, 2, -1)],
+}
+_EK1_GRIDS = {
+    1: [1 / 2**k for k in range(8, 2, -1)],
+    3: [1 / 2**k for k in range(8, 2, -1)],
+    4: [1 / 2**k for k in range(7, 2, -1)],
+    5: [1 / 2**k for k in range(6, 2, -1)],
+}
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4, 5])
 def test_ek0_convergence_order(order):
-    """Empirical order ≈ q+1 within 0.3 (test/convergence.jl:17-30)."""
-    dts = [0.1, 0.05, 0.025, 0.0125]
-    p = empirical_order(odf.EK0, order, dts)
+    """Empirical order ≈ q+1 (test/convergence.jl:17-30; atol 0.2-0.3)."""
+    p = empirical_order(odf.EK0, order, _EK0_GRIDS[order])
     assert abs(p - (order + 1)) < 0.35, f"EK0({order}): got order {p:.2f}"
 
 
-@pytest.mark.parametrize("order", [2, 3])
+@pytest.mark.parametrize("order", [1, 3, 4, 5])
 def test_ek1_convergence_order(order):
-    dts = [0.1, 0.05, 0.025, 0.0125]
-    p = empirical_order(odf.EK1, order, dts)
+    """EK1 orders as in the reference (test/convergence.jl:34-38)."""
+    p = empirical_order(odf.EK1, order, _EK1_GRIDS[order])
     assert abs(p - (order + 1)) < 0.35, f"EK1({order}): got order {p:.2f}"
+
+
+def test_ek1_convergence_order_q2():
+    """q=2 (not in the reference's EK1 list; covered here for completeness)."""
+    p = empirical_order(odf.EK1, 2, [1 / 2**k for k in range(8, 2, -1)])
+    assert abs(p - 3) < 0.35
 
 
 def test_high_order_ek1():

@@ -277,3 +277,86 @@ def test_integrator_checkpoint_resume(tmp_path):
         np.asarray(sol.x_smooth.chol[: n + 1]),
         np.asarray(ref.x_smooth.chol[: n + 1]),
     )
+
+
+def test_pallas_ek0_custom_vjp_interpret():
+    """jax.grad through the fused EK0 filter kernel (custom VJP whose
+    backward pass is itself a Pallas kernel) matches the gradient of a
+    pure-jnp scan replica of the same recursion, member-by-member."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.priors import _ibm_small_np
+    from odefilters.taylor import taylor_coefficients
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    B, T, q = pk.BLOCK, 12, 3
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+
+    t0, t1 = prob.tspan
+    dt = (t1 - t0) / T
+
+    def init_one(u0, p):
+        return jnp.stack(taylor_coefficients(prob.f, u0, p, t0, q))
+
+    m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)  # (q+1, d, B)
+
+    def loss_kernel(m0_, ps_):
+        us, stds, lls = pk.ek0_fused_filter(
+            prob.f, m0_, ps_, float(t0), float(dt), T, q
+        )
+        return jnp.sum(lls) + 0.1 * jnp.sum(us[:, 0, :]) + 0.01 * jnp.sum(stds)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_m0, g_ps = jax.grad(loss_kernel, argnums=(0, 1))(m0, ps.T)
+    assert bool(jnp.all(jnp.isfinite(g_m0))) and bool(jnp.all(jnp.isfinite(g_ps)))
+
+    # pure-jnp scan replica of the kernel recursion (one member at a time)
+    At_np, _, QLt = _ibm_small_np(q)
+    Qt = jnp.asarray(QLt @ QLt.T)
+    At = jnp.asarray(At_np)
+    nq = q + 1
+    p_np = dt ** (np.arange(nq) - q - 0.5)
+    pinv0, pinv1 = 1 / p_np[0], 1 / p_np[1]
+    LOG2PI = np.log(2 * np.pi)
+
+    def ref_solve(m0_single, p_single):
+        d = m0_single.shape[1]
+        hq = pinv1 * pinv1 * Qt[1, 1]
+        m = jnp.asarray(p_np)[:, None] * m0_single
+        C = jnp.zeros((nq, nq))
+
+        def step(carry, k):
+            m, C, ll = carry
+            mp = At @ m
+            tn = t0 + dt * (k + 1.0)
+            z = pinv1 * mp[1] - prob.f(pinv0 * mp[0], p_single, tn)
+            zz = jnp.sum(z * z)
+            Cp = At @ C @ At.T + (zz / (d * hq)) * Qt
+            s = pinv1 * pinv1 * Cp[1, 1]
+            kg = pinv1 * Cp[:, 1] / s
+            m_new = mp - kg[:, None] * z[None, :]
+            C_new = Cp - jnp.outer(kg, kg) * s
+            ll = ll - 0.5 * (zz / s + d * (jnp.log(jnp.maximum(s, 1e-30)) + LOG2PI))
+            return (m_new, C_new, ll), (
+                pinv0 * m_new[0],
+                pinv0 * jnp.sqrt(jnp.maximum(C_new[0, 0], 1e-30)),
+            )
+
+        (m, C, ll), (urows, stdrows) = jax.lax.scan(
+            step, (m, C, 0.0), jnp.arange(T)
+        )
+        us_full = jnp.concatenate([m0_single[0][None, :], urows])
+        std_full = jnp.concatenate([jnp.zeros((1,)), stdrows])
+        return us_full, std_full, ll
+
+    def loss_ref_one(m0_s, p_s):
+        us_, std_, ll_ = ref_solve(m0_s, p_s)
+        return ll_ + 0.1 * jnp.sum(us_[:, 0]) + 0.01 * jnp.sum(std_)
+
+    for idx in [0, 500]:
+        gm, gp = jax.grad(loss_ref_one, argnums=(0, 1))(m0[:, :, idx], ps[idx])
+        np.testing.assert_allclose(g_m0[:, :, idx], gm, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(g_ps[:, idx], gp, rtol=1e-8, atol=1e-10)
