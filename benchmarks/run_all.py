@@ -211,6 +211,50 @@ def main(quick=False):
         "device": str(jax.devices()[0]),
     }
 
+    # adaptive per-lane-dt ensemble kernel (the realistic parameter-
+    # inference workload: every member runs its own PI controller)
+    run_ad = jax.jit(
+        lambda u, p: pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u, p, prob.tspan, 20, q=3,
+            abstol=1e-6, reltol=1e-4, max_iters=20_000,
+        )[0]
+    )
+    t = _time(run_ad, u0s, ps, iters=5)
+    _, _, _, nacc, _, fail = jax.jit(
+        lambda u, p: pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u, p, prob.tspan, 20, q=3,
+            abstol=1e-6, reltol=1e-4, max_iters=20_000,
+        )
+    )(u0s, ps)
+    results["ensemble_8192_pallas_adaptive"] = {
+        "B": B, "save_points": 20, "runtime_s": t,
+        "solves_per_sec": B / t,
+        "mean_accepted_steps": float(nacc.mean()),
+        "failed_members": int(fail.sum()),
+        "device": str(jax.devices()[0]),
+    }
+
+    # gradient of the per-member log-likelihood through the fused filter
+    # (custom VJP; backward pass is a second Pallas kernel)
+    def loss(m0_, ps_):
+        us, stds, lls = pk.ek0_fused_filter(
+            prob.f, m0_, ps_, 0.0, 20.0 / T, T, 3
+        )
+        return jnp.sum(lls)
+
+    from odefilters.taylor import taylor_coefficients
+
+    m0 = jax.vmap(
+        lambda u0, p: jnp.stack(taylor_coefficients(prob.f, u0, p, 0.0, 3))
+    )(u0s, ps).transpose(1, 2, 0).astype(jnp.float32)
+    gfn = jax.jit(lambda m, p: jax.grad(loss, argnums=1)(m, p))
+    t = _time(gfn, m0, ps.T, iters=10)
+    results["ensemble_8192_pallas_likelihood_grad"] = {
+        "B": B, "grid_steps": T, "runtime_s": t,
+        "grad_solves_per_sec": B / t,
+        "device": str(jax.devices()[0]),
+    }
+
     # time-parallel associative-scan smoother variant (same config, 1 solve)
     from odefilters.parallel.associative import solve_fixed_parallel
 

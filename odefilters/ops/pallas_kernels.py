@@ -26,7 +26,7 @@ transparently from shape (d,) to (d, 8, 128).
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,10 +53,12 @@ def _no_x64(fn):
     def wrapped(*args, **kwargs):
         import numpy as _np
 
-        # 64-bit inputs (interpret-mode validation) must keep x64 tracing
+        # 64-bit inputs (interpret-mode validation) must keep x64 tracing;
+        # the scan is pytree-aware (custom-VJP rules take tuple residuals)
         needs64 = any(
             hasattr(a, "dtype") and _np.dtype(a.dtype).itemsize == 8
-            for a in (*args, *kwargs.values())
+            for a in jax.tree.leaves((args, kwargs))
+            if not isinstance(a, (int, float, bool))
         )
         if needs64:
             return fn(*args, **kwargs)
@@ -400,6 +402,7 @@ def _ek0_filter_blocked(f, q, T, dt, t0, m0_p, ps_b):
     )(m0_p, ps_b)
 
 
+@_no_x64
 def _ek0_filter_blocked_fwd(f, q, T, dt, t0, m0_p, ps_b):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
@@ -441,6 +444,7 @@ def _ek0_filter_blocked_fwd(f, q, T, dt, t0, m0_p, ps_b):
     return (us, stds, lls), (st, ps_b)
 
 
+@_no_x64
 def _ek0_filter_blocked_bwd(f, q, T, dt, t0, res, cts):
     st, ps_b = res
     dus, dstds, dlls = cts
@@ -1527,4 +1531,352 @@ def solve_ensemble_ek1_pallas(
     return ek1_fused_solve(
         prob_f, prob_jac, m0, ps.T, float(t0), float(dt), n_steps, q,
         smooth=smooth,
+    )
+
+
+# ==========================================================================
+# Adaptive-step ensemble kernel: each lane (ensemble member) carries its
+# own (t, dt, PI-controller memory) and the full per-member filter state
+# stays in VMEM for the whole solve. Step-size divergence across the SIMD
+# lanes is handled with masked commits; solution output lands on a shared
+# uniform save grid which acts as a global barrier (every lane's step is
+# truncated to land exactly on the next save point, the host driver's
+# tstops semantics, `odefilters/solve.py` body / alg_utils.jl:13-24).
+#
+# Per-lane preconditioning: the state lives in preconditioned coordinates
+# w.r.t. each lane's *current* step size h (constant A, Q — priors.jl:7-59);
+# when the controller changes h, the coordinates are rescaled by
+# (h_new/h_old)^(i - q - 1/2) per derivative block (exact, pure VPU
+# exp/log). This keeps f32 viable where vanilla (h-dependent) coordinates
+# would be catastrophically ill-conditioned (preconditioning.jl:1-17).
+# ==========================================================================
+
+_GAMMA, _QMIN, _QMAX, _QOLDINIT = 0.9, 0.2, 10.0, 1e-4
+
+
+def _ek0_adaptive_kernel(
+    m0_ref, p_ref, dt0_ref, us_ref, std_ref, ll_ref, nacc_ref, nrej_ref,
+    fail_ref, *,
+    f: Callable, At: np.ndarray, Qt: np.ndarray,
+    S: int, dt_save: float, t0: float, d: int, nq: int,
+    abstol: float, reltol: float, max_iters: int, dtmin: float,
+    beta1: float, beta2: float,
+):
+    q_half = nq - 1 + 0.5          # q + 1/2
+    Qt11 = Qt[1, 1]
+
+    h0 = dt0_ref[0]                                  # (8, 128) per-lane dt0
+    lh0 = jnp.log(h0)
+    zero = jnp.zeros_like(h0)
+    one = zero + 1.0
+
+    # precondition the initial state at each lane's own h0
+    m = [
+        [m0_ref[i, j] * jnp.exp((i - q_half) * lh0) for j in range(d)]
+        for i in range(nq)
+    ]
+    C = [[zero for _ in range(nq)] for _ in range(nq)]
+    p_block = p_ref[:]
+
+    for j in range(d):
+        us_ref[0, j] = m0_ref[0, j]
+    std_ref[0] = zero
+
+    u_prev = [m0_ref[0, j] for j in range(d)]
+
+    def cond(carry):
+        seg, iters = carry[0], carry[1]
+        return (seg < S) & (iters < max_iters)
+
+    def body(carry):
+        (seg, iters, t, dt, h_cur, qold, ll, nacc, nrej, failed,
+         m, C, u_prev) = carry
+        dtype = zero.dtype
+        t_save = jnp.asarray(t0, dtype) + jnp.asarray(dt_save, dtype) * (
+            seg.astype(dtype) + 1.0
+        )
+        not_failed = failed < 0.5
+        active = (t < t_save) & not_failed
+        remaining = t_save - t
+        hit_save = dt >= remaining
+        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), h_cur)
+
+        # -- rescale coordinates h_cur -> dt_eff (exact) --
+        lr = jnp.log(dt_eff / h_cur)
+        rs = [jnp.exp((i - q_half) * lr) for i in range(nq)]
+        m = [[m[i][j] * rs[i] for j in range(d)] for i in range(nq)]
+        C = [[C[i][l] * (rs[i] * rs[l]) for l in range(nq)] for i in range(nq)]
+        h_cur = dt_eff
+
+        lh = jnp.log(dt_eff)
+        pinv0 = jnp.exp(q_half * lh)
+        pinv1 = jnp.exp((q_half - 1.0) * lh)
+        hq = pinv1 * pinv1 * Qt11
+
+        # -- one EK0(dynamic) step in the lane-local preconditioned frame --
+        mp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, l] * m[l][j] for l in range(i, nq)],
+                )
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        t_new = jnp.where(hit_save, t_save, t + dt_eff)
+        u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
+        du = f(u_pred, p_block, t_new)
+        z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+        zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
+        s2 = zz / (d * hq)
+        tmp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, a] * C[a][b] for a in range(i, nq)],
+                )
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        Cp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [tmp[i][b] * At[l, b] for b in range(l, nq)],
+                )
+                + Qt[i, l] * s2
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        s = pinv1 * pinv1 * Cp[1][1]
+        inv_s = 1.0 / s
+        kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
+        m_new = [[mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)]
+        C_new = [
+            [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)] for i in range(nq)
+        ]
+        ll_inc = -0.5 * (
+            zz * inv_s + d * (jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI)
+        )
+        u_filt = [pinv0 * m_new[0][j] for j in range(d)]
+
+        # -- error estimate (EK0 dynamic: sqrt(s2 hq) == sqrt(zz/d)) --
+        err_unscaled = jnp.sqrt(zz / d)
+        ee = zero
+        for j in range(d):
+            sc = abstol + reltol * jnp.maximum(
+                jnp.abs(u_prev[j]), jnp.abs(u_filt[j])
+            )
+            r = dt_eff * err_unscaled / sc
+            ee = ee + r * r
+        EEst = jnp.sqrt(ee / d)
+        EEst = jnp.where(jnp.isfinite(EEst), EEst, 1e10)
+        accept = active & (EEst <= 1.0)
+
+        # -- per-lane PI controller (OrdinaryDiffEq constants) --
+        eg = jnp.maximum(EEst, 1e-35)
+        leg = jnp.log(eg)
+        q11 = jnp.exp(beta1 * leg)
+        qq = q11 * jnp.exp(-beta2 * jnp.log(jnp.maximum(qold, 1e-35)))
+        qq = jnp.maximum(1.0 / _QMAX, jnp.minimum(1.0 / _QMIN, qq / _GAMMA))
+        dt_acc = dt_eff / qq
+        # a step truncated to land on a save barrier must not collapse the
+        # controller's step size (solve.py dtcache behavior)
+        last_seg = seg >= S - 1
+        dt_acc = jnp.where(hit_save & ~last_seg, jnp.maximum(dt_acc, dt), dt_acc)
+        qold_acc = jnp.maximum(EEst, _QOLDINIT)
+        dt_rej = dt_eff / jnp.minimum(1.0 / _QMIN, q11 / _GAMMA)
+        dt_new = jnp.where(accept, dt_acc, dt_rej)
+        newly_failed = active & ~accept & ~hit_save & (dt_new < dtmin)
+        failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
+        not_failed = failed < 0.5
+
+        # -- masked commits --
+        m = [
+            [jnp.where(accept, m_new[i][j], m[i][j]) for j in range(d)]
+            for i in range(nq)
+        ]
+        C = [
+            [jnp.where(accept, C_new[i][l], C[i][l]) for l in range(nq)]
+            for i in range(nq)
+        ]
+        t = jnp.where(accept, t_new, t)
+        dt = jnp.where(active & not_failed, dt_new, dt)
+        qold = jnp.where(accept, qold_acc, qold)
+        ll = jnp.where(accept, ll + ll_inc, ll)
+        u_prev = [jnp.where(accept, u_filt[j], u_prev[j]) for j in range(d)]
+        nacc = nacc + jnp.where(accept, one, zero)
+        nrej = nrej + jnp.where(active & ~accept, one, zero)
+        # failed lanes stop blocking the barrier (their output is garbage
+        # and flagged): treat them as parked at t_save
+        t = jnp.where(not_failed, t, jnp.maximum(t, t_save))
+
+        # -- barrier: all lanes at the save point -> emit one row --
+        seg_done = jnp.min(jnp.where(t >= t_save, one, zero)) > 0.5
+
+        @pl.when(seg_done)
+        def _():
+            seg1 = seg + jnp.ones((), seg.dtype)
+            lhc = jnp.log(h_cur)
+            pz = jnp.exp(q_half * lhc)
+            for j in range(d):
+                us_ref[seg1, j] = pz * m[0][j]
+            std_ref[seg1] = pz * jnp.sqrt(jnp.maximum(C[0][0], 0.0))
+
+        seg = jnp.where(seg_done, seg + 1, seg)
+        return (seg, iters + 1, t, dt, h_cur, qold, ll, nacc, nrej, failed,
+                m, C, u_prev)
+
+    init = (
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        zero + jnp.asarray(t0, zero.dtype), h0, h0,
+        zero + _QOLDINIT, zero, zero, zero,
+        jnp.zeros_like(h0), m, C, u_prev,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    ll_ref[...] = out[6]
+    nacc_ref[...] = out[7]
+    nrej_ref[...] = out[8]
+    # lanes that never completed (iters exhausted) are failures too
+    fail_ref[...] = jnp.where(
+        (out[9] > 0.5) | (out[0] < S),
+        jnp.ones_like(out[6]), jnp.zeros_like(out[6]),
+    )
+
+
+@_no_x64
+def ek0_adaptive_filter(
+    f: Callable,
+    m0: jax.Array,      # (q+1, d, B) unpreconditioned Taylor init means
+    ps: jax.Array,      # (n_params, B)
+    dt0s: jax.Array,    # (B,) per-member initial dt (Hairer heuristic)
+    t0: float,
+    t1: float,
+    n_save: int,
+    q: int,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 100_000,
+    dtmin: Optional[float] = None,
+):
+    """Adaptive-step fused EK0(dynamic) ensemble filter, per-lane dt.
+
+    Each ensemble member runs its own PI-controlled adaptive step loop
+    (OrdinaryDiffEq constants, `alg_utils.jl:13-24`; accept/reject as in
+    `perform_step.jl:78-92`) entirely inside one Pallas kernel; the
+    solution is emitted on the shared uniform grid of ``n_save`` intervals
+    over ``[t0, t1]`` on which every lane lands exactly (tstops
+    semantics). Returns ``(us, stds, lls, nacc, nrej, failed)`` with
+    shapes ((S+1, d, B), (S+1, B), (B,), (B,), (B,), (B,)).
+    """
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    S = int(n_save)
+    dt_save = (float(t1) - float(t0)) / S
+    if dtmin is None:
+        dtmin = 1e-14 * (float(t1) - float(t0))
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    Qt_np = QLt_np @ QLt_np.T
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    m0_b = m0.reshape(nq, d, nb, _SUB, _LANE).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    dt0_b = dt0s.reshape(nb, 1, _SUB, _LANE)
+
+    kernel = functools.partial(
+        _ek0_adaptive_kernel,
+        f=f, At=At_np.astype(fdtype), Qt=Qt_np.astype(fdtype),
+        S=S, dt_save=dt_save, t0=float(t0), d=d, nq=nq,
+        abstol=float(abstol), reltol=float(reltol),
+        max_iters=int(max_iters), dtmin=float(dtmin),
+        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq),
+    )
+
+    def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
+              nr_blk, fl_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            dt0_blk.at[jnp.int32(0)],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)], na_blk.at[jnp.int32(0)],
+            nr_blk.at[jnp.int32(0)], fl_blk.at[jnp.int32(0)],
+        )
+
+    lane = lambda: pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    us, stds, lls, nacc, nrej, fail = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S + 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            lane(), lane(), lane(), lane(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, S + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        ],
+    )(m0_b, ps_b, dt0_b)
+
+    us = us.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    stds = stds.transpose(1, 0, 2, 3).reshape(S + 1, B)
+    return (us, stds, lls.reshape(B), nacc.reshape(B), nrej.reshape(B),
+            fail.reshape(B))
+
+
+def solve_ensemble_ek0_adaptive_pallas(
+    prob_f: Callable,
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_save: int,
+    q: int = 3,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 100_000,
+):
+    """Taylor-init + per-lane-adaptive fused EK0 kernel over an ensemble.
+
+    ``n_save``: number of uniform save intervals (every member lands on
+    the save grid exactly, like tstops in the host driver).
+    """
+    from odefilters.problem import ode_problem
+    from odefilters.solve import initial_dt
+    from odefilters.taylor import taylor_coefficients
+
+    t0, t1 = tspan
+    B, d = u0s.shape
+
+    def init_one(u0, p):
+        m = jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+        pr = ode_problem(prob_f, u0, tspan, p=p)
+        return m, initial_dt(pr, q, abstol, reltol)
+
+    m0, dt0s = jax.vmap(init_one)(u0s, ps)
+    m0 = m0.transpose(1, 2, 0)
+    return ek0_adaptive_filter(
+        prob_f, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
+        abstol=abstol, reltol=reltol, max_iters=max_iters,
     )
