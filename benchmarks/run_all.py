@@ -211,6 +211,19 @@ def main(quick=False):
         "device": str(jax.devices()[0]),
     }
 
+    # config 4 on-chip: fused Kron-grid kernel (whole PDE solve in VMEM)
+    run_br = jax.jit(
+        lambda: pk.solve_brusselator_ek0_pallas(
+            70, (0.0, 0.01), 1000, q=3, save_every=50
+        )[0]
+    )
+    t = _time(run_br, iters=5)
+    results["brusselator_2d_pallas"] = {
+        "d_states": 2 * 70 * 70, "steps": 1000, "runtime_s": t,
+        "steps_per_sec": 1000 / t,
+        "device": str(jax.devices()[0]),
+    }
+
     # adaptive per-lane-dt ensemble kernel (the realistic parameter-
     # inference workload: every member runs its own PI controller)
     run_ad = jax.jit(

@@ -1880,3 +1880,222 @@ def solve_ensemble_ek0_adaptive_pallas(
         prob_f, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
         abstol=abstol, reltol=reltol, max_iters=max_iters,
     )
+
+
+# ==========================================================================
+# Large-d single-trajectory EK0-Kronecker kernel (PDE scale).
+#
+# For EK0 with scalar diffusion and isotropic init the covariance is
+# exactly Ct (x) I_d (the Kronecker structure of `odefilters/ops/kron.py`),
+# so one trajectory of a semi-discretized PDE with d ~ 1e4 states carries
+# only nq grids (the state mean per derivative order) + an (nq, nq) scalar
+# matrix. The whole time loop runs in VMEM; the vector field is a stencil
+# traced into the kernel on (N, M) grid values (jnp.roll lowers to lane /
+# sublane rotates). Replaces T x (dispatch + HBM round-trip) of the XLA
+# scan path with straight-line VPU code (~28k steps/s XLA -> kernel, one
+# chip, d = 9800). Reference analogue: none (the reference is dense-only
+# and single-threaded; BASELINE config #4).
+# ==========================================================================
+
+
+def _ek0_kron_grid_kernel(
+    m0_ref, us_ref, var_ref, ll_ref, *,
+    f_grids: Callable, p, At: np.ndarray, Qt: np.ndarray,
+    pinv0: float, pinv1: float, T: int, dt: float, t0: float,
+    d: int, ns: int, nq: int, save_every: int,
+):
+    m_init = [[m0_ref[i, s] for s in range(ns)] for i in range(nq)]
+    zero_g = jnp.zeros_like(m_init[0][0])
+    sdtype = m_init[0][0].dtype
+    zero = jnp.zeros((), sdtype)
+    C_init = [[zero for _ in range(nq)] for _ in range(nq)]
+    hq = pinv1 * pinv1 * Qt[1, 1]
+
+    for s in range(ns):
+        us_ref[0, s] = pinv0 * m_init[0][s]
+    var_ref[0] = jnp.zeros_like(var_ref[0])
+
+    def body(k, carry):
+        m, C, ll = carry
+        k1 = k + jnp.ones((), k.dtype)
+        t_new = jnp.asarray(t0, sdtype) + jnp.asarray(dt, sdtype) * (
+            k.astype(sdtype) + jnp.asarray(1.0, sdtype)
+        )
+        mp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, l] * m[l][s] for l in range(i, nq)],
+                )
+                for s in range(ns)
+            ]
+            for i in range(nq)
+        ]
+        u_pred = [pinv0 * mp[0][s] for s in range(ns)]
+        du = f_grids(u_pred, p, t_new)
+        z = [pinv1 * mp[1][s] - du[s] for s in range(ns)]
+        zz = functools.reduce(
+            lambda a, b: a + b, [jnp.sum(zs * zs) for zs in z]
+        )
+        s2 = zz / (d * hq)
+        tmp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, a] * C[a][b] for a in range(i, nq)],
+                )
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        Cp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [tmp[i][b] * At[l, b] for b in range(l, nq)],
+                )
+                + Qt[i, l] * s2
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        sc = pinv1 * pinv1 * Cp[1][1]
+        inv_s = 1.0 / sc
+        kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
+        m_new = [
+            [mp[i][s] - kg[i] * z[s] for s in range(ns)] for i in range(nq)
+        ]
+        C_new = [
+            [Cp[i][l] - kg[i] * kg[l] * sc for l in range(nq)]
+            for i in range(nq)
+        ]
+        ll = ll - 0.5 * (
+            zz * inv_s + d * (jnp.log(jnp.maximum(sc, 1e-30)) + _LOG_2PI)
+        )
+
+        @pl.when(jax.lax.rem(k1, jnp.int32(save_every)) == 0)
+        def _():
+            row = k1 // jnp.int32(save_every)
+            for s in range(ns):
+                us_ref[row, s] = pinv0 * m_new[0][s]
+            var_ref[row] = jnp.full_like(
+                var_ref[0], pinv0 * pinv0 * jnp.maximum(C_new[0][0], 0.0)
+            )
+
+        return m_new, C_new, ll
+
+    _, _, ll = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m_init, C_init, zero)
+    )
+    ll_ref[...] = jnp.full_like(ll_ref[...], ll)
+
+
+@_no_x64
+def ek0_kron_grid_solve(
+    f_grids: Callable,
+    m0: jax.Array,      # (q+1, ns, N, M) unpreconditioned Taylor init
+    p,
+    t0: float,
+    dt: float,
+    n_steps: int,
+    q: int,
+    save_every: int = 1,
+):
+    """Fused single-trajectory EK0(dynamic) filter for grid-shaped states.
+
+    ``f_grids(fields, p, t)`` maps a list of ``ns`` ``(N, M)`` grids to the
+    list of their time derivatives (stencils via ``jnp.roll`` supported);
+    ``p`` is a pytree of *scalars* baked into the kernel. Returns
+    ``(us, var, ll)``: saved solution grids ``(S+1, ns, N, M)`` (every
+    ``save_every`` steps), the isotropic marginal solution variance per
+    save point ``(S+1,)``, and the data log-likelihood (scalar).
+    """
+    nq = q + 1
+    _, ns, N, M = m0.shape
+    d = ns * N * M
+    T = int(n_steps)
+    if T % save_every:
+        raise ValueError("save_every must divide n_steps")
+    S = T // save_every
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    Qt_np = QLt_np @ QLt_np.T
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    m0_p = jnp.asarray(p_np, dtype)[:, None, None, None] * m0
+
+    kernel = functools.partial(
+        _ek0_kron_grid_kernel,
+        f_grids=f_grids, p=p,
+        At=At_np.astype(fdtype), Qt=Qt_np.astype(fdtype),
+        pinv0=float(1.0 / p_np[0]), pinv1=float(1.0 / p_np[1]),
+        T=T, dt=float(dt), t0=float(t0), d=d, ns=ns, nq=nq,
+        save_every=int(save_every),
+    )
+
+    us, var, ll = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S + 1, ns, N, M), dtype),
+            jax.ShapeDtypeStruct((S + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((_SUB, _LANE), dtype),
+        ],
+    )(m0_p)
+    return us, var[:, 0, 0], ll[0, 0]
+
+
+def solve_brusselator_ek0_pallas(
+    N: int,
+    tspan,
+    n_steps: int,
+    q: int = 3,
+    alpha: float = 0.1,
+    save_every: Optional[int] = None,
+):
+    """Taylor-init + fused Kron-grid EK0 solve of the 2-D Brusselator
+    (BASELINE config #4, d = 2 N^2 states on one chip)."""
+    from odefilters.models import brusselator_2d
+    from odefilters.taylor import taylor_coefficients
+
+    prob = brusselator_2d(N=N, tspan=tspan, alpha=alpha)
+    t0, t1 = tspan
+    dt = (t1 - t0) / n_steps
+    if save_every is None:
+        save_every = max(1, n_steps // 20)
+
+    m0_flat = jnp.stack(
+        taylor_coefficients(prob.f, prob.u0, prob.p, t0, q)
+    )                                    # (q+1, d)
+    m0 = m0_flat.reshape(q + 1, 2, N, N)
+
+    A_, B_ = 3.4, 1.0
+    alpha_f = float(alpha)  # static: baked into the stencil
+    scale = float((N - 1) ** 2)
+
+    def f_grids(fields, p, t):
+        a, b = fields
+
+        def lap(x):
+            return (
+                jnp.roll(x, 1, 0) + jnp.roll(x, -1, 0)
+                + jnp.roll(x, 1, 1) + jnp.roll(x, -1, 1)
+                - 4.0 * x
+            ) * scale
+
+        da = B_ + a * a * b - (A_ + 1.0) * a + alpha_f * lap(a)
+        db = A_ * a - a * a * b + alpha_f * lap(b)
+        return [da, db]
+
+    return ek0_kron_grid_solve(
+        f_grids, m0, None, float(t0), float(dt), n_steps, q,
+        save_every=save_every,
+    )

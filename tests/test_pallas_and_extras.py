@@ -407,3 +407,30 @@ def test_pallas_ek0_adaptive_matches_driver_interpret():
         np.testing.assert_allclose(
             float(lls[idx]), float(sol.log_likelihood), rtol=1e-3
         )
+
+
+def test_pallas_kron_grid_matches_kronsolve_interpret():
+    """The large-d Kron-grid kernel (Brusselator stencil traced into the
+    kernel, jnp.roll on grid values) reproduces the XLA Kronecker path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.kronsolve import solve_fixed_kron
+    from odefilters.ops import pallas_kernels as pk
+
+    N, T = 8, 20
+    prob = odf.models.brusselator_2d(N=N, tspan=(0.0, 0.001))
+    with pltpu.force_tpu_interpret_mode():
+        us, var, ll = pk.solve_brusselator_ek0_pallas(
+            N, (0.0, 0.001), T, q=3, save_every=5
+        )
+    sk = solve_fixed_kron(prob, odf.EK0(order=3, smooth=False), dt=0.001 / T)
+    for r in range(5):
+        np.testing.assert_allclose(
+            np.asarray(us[r]).reshape(-1), np.asarray(sk.u[r * 5]),
+            rtol=1e-9, atol=1e-12,
+        )
+    # stds at ~1e-14 sit on the f64 roundoff floor of the variance
+    np.testing.assert_allclose(
+        np.asarray(var[1:]) ** 0.5, np.asarray(sk.u_std[5::5, 0]), rtol=1e-4
+    )
+    np.testing.assert_allclose(float(ll), float(sk.log_likelihood), rtol=1e-6)
