@@ -46,7 +46,7 @@ from odefilters import plotting
 from odefilters import callbacks
 from odefilters import jacobians
 from odefilters import workprecision
-from odefilters.callbacks import DiscreteCallback
+from odefilters.callbacks import ContinuousCallback, DiscreteCallback
 
 __version__ = "0.1.0"
 
@@ -80,6 +80,7 @@ __all__ = [
     "jacobians",
     "workprecision",
     "DiscreteCallback",
+    "ContinuousCallback",
     "models",
     "priors",
     "taylor",

@@ -49,3 +49,38 @@ def terminal_condition(u_index: int, threshold: float, direction: int = 1):
         return u[u_index] <= threshold
 
     return condition
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousCallback:
+    """Event location: fire when a scalar event function crosses zero.
+
+    The reference only supports discrete callbacks
+    (`/root/reference/test/specific_problems.jl:69-111`); continuous event
+    location is the standard ODE-suite extension. After each accepted step
+    [t, t+dt], a sign change of ``condition(u, t, p)`` triggers a root
+    search (bisection on the probabilistic dense-output mean between the
+    bracketing filter states) and the step is *re-taken* to land exactly
+    on the located event time — so the event lands like a tstop and the
+    saved grid contains it.
+
+    Args:
+        condition: scalar event function ``g(u, t, p)``; event at g = 0.
+        affect: optional state modification ``(x, t, p) -> Gaussian``
+            applied at the event (saved as a dt == 0 duplicate row, like
+            DiscreteCallback).
+        direction: 0 = any crossing, +1 = only upcrossings (g_old < 0),
+            -1 = only downcrossings.
+        terminal: stop the integration at the event.
+        root_iters: bisection iterations (40 ~ machine precision).
+    """
+
+    condition: Callable  # (u, t, p) -> scalar
+    affect: Optional[Callable] = None
+    direction: int = 0
+    terminal: bool = False
+    root_iters: int = 40
+
+    def __hash__(self):
+        return hash((self.condition, self.affect, self.direction,
+                     self.terminal, self.root_iters))

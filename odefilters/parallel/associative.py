@@ -200,15 +200,15 @@ def parallel_smoother(ms, Ps, F, Q):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("alg", "n_steps", "iterations", "taylor_method", "sqrt_form"))
+@partial(jax.jit, static_argnames=("alg", "n_steps", "iterations", "taylor_method", "sqrt_form", "time_shard_axis"))
 def _solve_parallel_jit(prob, alg, ts, n_steps, iterations, taylor_method,
-                        u_init=None, sqrt_form=False):
+                        u_init=None, sqrt_form=False, time_shard_axis=None):
     from odefilters.linalg import highest_precision
 
     with highest_precision():
         return _solve_parallel_jit_inner(
             prob, alg, ts, n_steps, iterations, taylor_method, u_init,
-            sqrt_form,
+            sqrt_form, time_shard_axis,
         )
 
 
@@ -221,6 +221,7 @@ def _solve_parallel_jit_inner(
     taylor_method: str,
     u_init=None,
     sqrt_form: bool = False,
+    time_shard_axis=None,
 ):
     d, q = prob.d, alg.order
     D = d * (q + 1)
@@ -262,6 +263,14 @@ def _solve_parallel_jit_inner(
         else:
             H = jnp.broadcast_to(E1p, (N, d, D))
             y = fu
+        if time_shard_axis is not None:
+            # pin the element time axis to a mesh axis: the associative
+            # scans then run as cross-device prefix sums over ICI (the
+            # "sequence parallel" axis, SURVEY.md §5)
+            from jax.sharding import PartitionSpec as _P
+
+            H = jax.lax.with_sharding_constraint(H, _P(time_shard_axis))
+            y = jax.lax.with_sharding_constraint(y, _P(time_shard_axis))
         return H, y
 
     if u_init is None:
@@ -340,8 +349,9 @@ def solve_fixed_parallel(
     ts: Optional[jax.Array] = None,
     iterations: int = 4,
     taylor_method: str = "auto",
-    warm_start: int = 0,
+    warm_start: Optional[int] = None,
     sqrt_form: bool = True,
+    time_shard_axis: Optional[str] = None,
 ):
     """Time-parallel fixed-grid solve (uniform grid).
 
@@ -349,6 +359,12 @@ def solve_fixed_parallel(
     means/stds at the grid, full smoothed states, and the calibrated global
     diffusion. Select this backend for long fixed grids where log-depth
     beats the sequential scan.
+
+    ``warm_start`` (coarse-grid factor) defaults to 8 for EK0 — its
+    linearization iteration is Picard-type (linear convergence, ~25-30
+    cold-start sweeps), and a coarse sequential warm start cuts that to
+    ~4-6. EK1 iterates Newton-type and defaults to no warm start. Pass 0
+    to disable.
 
     ``sqrt_form=True`` (default) runs the square-root associative elements
     — exact vs the covariance form and the only f32-stable choice on TPU
@@ -376,6 +392,8 @@ def solve_fixed_parallel(
             "solve_fixed_kron for non-uniform grids"
         )
 
+    if warm_start is None:
+        warm_start = 0 if alg.is_ek1 else 8
     u_init = None
     if warm_start:
         # Warm-start the linearization trajectory from a cheap sequential
@@ -398,5 +416,5 @@ def solve_fixed_parallel(
 
     return _solve_parallel_jit(
         prob, alg, ts, ts.shape[0] - 1, int(iterations), taylor_method,
-        u_init, bool(sqrt_form),
+        u_init, bool(sqrt_form), time_shard_axis,
     )

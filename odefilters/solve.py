@@ -177,6 +177,7 @@ def _make_loop_fns(
     linearize_u=None,
     callback=None,
     tstops=None,
+    ccallback=None,
 ):
     """Build the (cond, body) of the adaptive loop; shared by the full
     while-loop solve and the incremental `init`/`step` integrator API."""
@@ -236,6 +237,78 @@ def _make_loop_fns(
         dt_new = jnp.where(accept, dt_acc, dt_rej)
         failed = dt_new < dtmin
 
+        # -- continuous event location (beyond the reference, which only
+        # has discrete callbacks, test/specific_problems.jl:69-111): on a
+        # sign change of g over the accepted interval, bisect on the
+        # probabilistic dense-output mean between the bracketing filter
+        # states, then RE-TAKE the step to land exactly on the event
+        # (tstop semantics) --
+        fired_ev = jnp.zeros((), bool)
+        if ccallback is not None:
+            from odefilters.linalg import scale_rows
+            from odefilters.ops.filtering import (
+                predict as _predict,
+                smooth_step as _smooth_step,
+            )
+            from odefilters.priors import precond_full
+
+            cc = ccallback
+            d_, q_ = model.d, model.q
+            g_old = cc.condition(c.u[:d_], c.t, prob.p)
+            g_new = cc.condition(res.u_filt[:d_], t_new, prob.p)
+            crossed = (g_old * g_new) < 0
+            if cc.direction > 0:
+                crossed = crossed & (g_old < 0)
+            elif cc.direction < 0:
+                crossed = crossed & (g_old > 0)
+            fired_ev = accept & crossed
+
+            QLh = diff.apply_diffusion_chol(model.QL, res.sigma2_local, q_)
+            tiny = jnp.finfo(dtype).tiny
+
+            def interp_u(tau):
+                # predict from x(t) over h1, smooth against x_filt(t_new)
+                # over h2 — the dense-output bridge (`solution.jl:165-210`)
+                h1 = jnp.maximum(tau - c.t, tiny)
+                p1, p1i = precond_full(h1, model.d, q_)
+                pred = scale_rows(
+                    p1i, _predict(scale_rows(p1, c.x), model.A, QLh)
+                )
+                h2 = jnp.maximum(t_new - tau, tiny)
+                p2, p2i = precond_full(h2, model.d, q_)
+                sm, _ = _smooth_step(
+                    scale_rows(p2, pred), scale_rows(p2, res.x_filt),
+                    model.A, QLh,
+                )
+                return (p2i * sm.mean)[:d_]
+
+            def _locate(_):
+                def bis(_, st):
+                    lo, hi, glo = st
+                    mid = 0.5 * (lo + hi)
+                    gm = cc.condition(interp_u(mid), mid, prob.p)
+                    left = glo * gm <= 0
+                    return (
+                        jnp.where(left, lo, mid),
+                        jnp.where(left, mid, hi),
+                        jnp.where(left, glo, gm),
+                    )
+
+                lo, hi, _ = jax.lax.fori_loop(
+                    0, cc.root_iters, bis, (c.t, t_new, g_old)
+                )
+                t_star = jnp.maximum(0.5 * (lo + hi), c.t + tiny)
+                res2 = attempt_step(
+                    model, c.x, c.u, c.t, t_star - c.t,
+                    c.sigma2, c.n.astype(jnp.int32),
+                    abstol, reltol, prob.p, linearize_u,
+                )
+                return t_star, res2
+
+            t_new, res = jax.lax.cond(
+                fired_ev, _locate, lambda _: (t_new, res), None
+            )
+
         # Conditional save: on reject, write to the out-of-bounds slot N1,
         # which scatter-mode "drop" discards (no O(N) select over buffers).
         k = c.n + 1
@@ -267,6 +340,27 @@ def _make_loop_fns(
             # buffer (wi2 out-of-bounds writes are dropped)
             k = jnp.where(fired & (k + 1 <= max_steps), k + 1, k)
 
+        if ccallback is not None and ccallback.affect is not None:
+            # apply the event affect, saved as a dt == 0 duplicate row
+            x_aff = ccallback.affect(res.x_filt, t_new, prob.p)
+            wi2 = jnp.where(fired_ev, k + 1, N1)
+            ts_buf = ts_buf.at[wi2].set(t_new, mode="drop")
+            u_buf = u_buf.at[wi2].set(x_aff.mean[..., : model.sol_d], mode="drop")
+            m_buf = m_buf.at[wi2].set(x_aff.mean, mode="drop")
+            L_buf = L_buf.at[wi2].set(x_aff.chol, mode="drop")
+            diff_buf = diff_buf.at[wi2].set(res.sigma2_global, mode="drop")
+            x_next = jax.tree.map(
+                lambda a, b: jnp.where(fired_ev, a, b), x_aff, x_next
+            )
+            u_next = jnp.where(fired_ev, x_aff.mean[..., : model.sol_d], u_next)
+            k = jnp.where(fired_ev & (k + 1 <= max_steps), k + 1, k)
+
+        t_next_val = jnp.where(accept, t_new, c.t)
+        if ccallback is not None and ccallback.terminal:
+            # terminal event: park t at t1 so the loop exits with Success;
+            # the saved grid ends at the event time
+            t_next_val = jnp.where(fired_ev, jnp.asarray(t1, dtype), t_next_val)
+
         x_new = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), x_next, c.x
         )
@@ -278,7 +372,7 @@ def _make_loop_fns(
             nreject=st.nreject + (~accept).astype(jnp.int32),
         )
         return _Carry(
-            t=jnp.where(accept, t_new, c.t),
+            t=t_next_val,
             dt=dt_new,
             x=x_new,
             u=jnp.where(accept, u_next, c.u),
@@ -312,12 +406,13 @@ def _adaptive_loop(
     linearize_u=None,
     callback=None,
     tstops=None,
+    ccallback=None,
 ):
     t1 = prob.tspan[1]
     carry0 = _init_carry(model, prob, x0, dt0, max_steps)
     cond, body = _make_loop_fns(
         model, prob, abstol, reltol, max_steps, maxiters, dtmin, linearize_u,
-        callback, tstops,
+        callback, tstops, ccallback,
     )
     c = jax.lax.while_loop(cond, body, carry0)
 
@@ -406,6 +501,7 @@ def _solve_adaptive_impl_inner(
     linearize_sol,
     callback=None,
     tstops=None,
+    ccallback=None,
 ):
     # IEKS hook: linearize the EK1 measurement at the previous smoothed
     # posterior mean (`perform_step.jl:111-113`). linearize_sol is a
@@ -437,6 +533,7 @@ def _solve_adaptive_impl_inner(
     carry, retcode = _adaptive_loop(
         model, prob, x0, dt0, abstol, reltol, max_steps, maxiters, dtmin,
         linearize_u=_linearize_u, callback=callback, tstops=tstops,
+        ccallback=ccallback,
     )
     return _postprocess(
         model, prob, carry.ts_buf, Gaussian(carry.m_buf, carry.L_buf),
@@ -447,15 +544,16 @@ def _solve_adaptive_impl_inner(
 @partial(
     jax.jit,
     static_argnames=(
-        "alg", "max_steps", "maxiters", "adaptive", "taylor_method", "callback",
+        "alg", "max_steps", "maxiters", "adaptive", "taylor_method",
+        "callback", "ccallback",
     ),
 )
 def _solve_adaptive_jit(prob, alg, abstol, reltol, dt0, max_steps, maxiters,
                         dtmin, adaptive, taylor_method, linearize_sol,
-                        callback=None, tstops=None):
+                        callback=None, tstops=None, ccallback=None):
     return _solve_adaptive_impl(
         prob, alg, abstol, reltol, dt0, max_steps, maxiters, dtmin, adaptive,
-        taylor_method, linearize_sol, callback, tstops,
+        taylor_method, linearize_sol, callback, tstops, ccallback,
     )
 
 
@@ -520,9 +618,15 @@ def solve(
             [jnp.asarray(tstops, dtype=jnp.result_type(prob.u0.dtype, jnp.float32)).ravel(),
              jnp.asarray([t1, t1])]
         ))
+    from odefilters.callbacks import ContinuousCallback
+
+    ccallback = None
+    if isinstance(callback, ContinuousCallback):
+        ccallback, callback = callback, None
     sol = _solve_adaptive_jit(
         prob, alg, abstol, reltol, dt0, int(max_steps), int(maxiters),
         dtmin, True, taylor_method, linearize_sol, callback, tstops,
+        ccallback,
     )
     if saveat is not None:
         from odefilters.solution import compact_saveat

@@ -434,3 +434,56 @@ def test_pallas_kron_grid_matches_kronsolve_interpret():
         np.asarray(var[1:]) ** 0.5, np.asarray(sk.u_std[5::5, 0]), rtol=1e-4
     )
     np.testing.assert_allclose(float(ll), float(sk.log_likelihood), rtol=1e-6)
+
+
+def test_continuous_callback_terminal_event():
+    """Event location: a terminal threshold crossing is located to solver
+    accuracy (bisection on the probabilistic dense-output mean) and the
+    saved grid ends exactly at the event time."""
+    u0, p0 = 0.1, 2.0
+    prob = odf.models.logistic(u0=(u0,), p=(p0,), tspan=(0.0, 3.0))
+    cb = odf.ContinuousCallback(
+        lambda u, t, p: u[0] - 0.5, terminal=True, direction=+1
+    )
+    sol = odf.solve(prob, odf.EK1(order=3), abstol=1e-10, reltol=1e-9,
+                    callback=cb)
+    assert sol.retcode_name == "Success"
+    n = int(sol.n_steps)
+    t_star = float(sol.ts[n])
+    t_true = np.log((1 - u0) / u0) / p0      # analytic crossing time
+    np.testing.assert_allclose(t_star, t_true, rtol=1e-8)
+    np.testing.assert_allclose(float(sol.u[n, 0]), 0.5, atol=1e-8)
+
+
+def test_continuous_callback_affect_impulse():
+    """Non-terminal event with an affect: fires at the located root and
+    saves the post-affect state as a dt == 0 duplicate row."""
+    from odefilters.ops.filtering import condition_on
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+
+    def affect(x, t, p):
+        D = x.mean.shape[-1]
+        H = jnp.zeros((1, D)).at[0, 0].set(1.0)
+        return condition_on(x, H, jnp.array([-1.2]))
+
+    cb = odf.ContinuousCallback(
+        lambda u, t, p: u[0] + 1.5, affect=affect, direction=-1
+    )
+    sol = odf.solve(prob, odf.EK1(order=3), abstol=1e-8, reltol=1e-6,
+                    callback=cb)
+    assert sol.retcode_name == "Success"
+    n = int(sol.n_steps)
+    ts = np.asarray(sol.ts[: n + 1])
+    us = np.asarray(sol.u[: n + 1])
+    # find the duplicate (event) rows: pre-affect value 1.0, post 0.5
+    dup = np.where(np.diff(ts) == 0)[0]
+    assert len(dup) >= 1
+    i = dup[0]
+    # pre-affect state: read the *filter* value (smoothing deliberately
+    # copies the post-affect state across the dt == 0 duplicate)
+    np.testing.assert_allclose(
+        float(sol.x_filt.mean[i, 0]), -1.5, atol=1e-6
+    )
+    np.testing.assert_allclose(us[i + 1, 0], -1.2, atol=1e-6)
+    assert np.all(np.isfinite(us))
