@@ -164,6 +164,48 @@ def main(quick=False):
             "finite": bool(np.isfinite(np.asarray(sol.u)).all()),
         }
 
+    # ---- configs 1-3 on-chip: adaptive single-solve latency (f32) -------
+    # The adaptive while-loop driver on the TPU chip itself. Compile time
+    # reported separately (remote-TPU tunnel). Stiff VdP at mu=1e5 is not
+    # f32-viable (initial dt underflows against t); it stays a CPU/f64
+    # config above — recorded here with its retcode for honesty.
+    def _bench_chip(prob, alg, kw, iters=5):
+        run = jax.jit(
+            lambda u0, p: odf.solve(
+                odf.remake(prob, u0=u0, p=p), alg, **kw
+            ).n_steps
+        )
+        u0 = prob.u0.astype(jnp.float32)
+        p = prob.p.astype(jnp.float32)
+        t0 = time.time()
+        n = int(run(u0, p))
+        compile_s = time.time() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            n = run(u0, p)
+        n = int(n)
+        t = (time.perf_counter() - t0) / iters
+        return {
+            "compile_s": compile_s, "runtime_s": t, "steps": n,
+            "steps_per_sec": n / t if n else 0.0,
+            "device": str(jax.devices()[0]),
+        }
+
+    results["tpu_single_fhn_ek0_1"] = _bench_chip(
+        odf.models.fitzhugh_nagumo(), odf.EK0(order=1),
+        dict(abstol=1e-1, reltol=1e-2),
+    )
+    results["tpu_single_lv_ek1_3"] = _bench_chip(
+        odf.models.lotka_volterra(), odf.EK1(order=3),
+        dict(abstol=1e-8, reltol=1e-6),
+    )
+    vdp32 = _bench_chip(
+        odf.models.van_der_pol(mu=1e5, tspan=(0.0, 0.5)), odf.EK1(order=5),
+        dict(abstol=1e-7, reltol=1e-5, max_steps=8192), iters=2,
+    )
+    vdp32["note"] = "stiff VdP mu=1e5 is not f32-viable on chip; CPU f64 config above is authoritative"
+    results["tpu_single_vdp_ek1_5_f32"] = vdp32
+
     # ------- config 5: 8192 FHN ensemble (Pallas kernel, on TPU) ---------
     prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
     B, T = 8192, 500
