@@ -1406,17 +1406,28 @@ def ek1_fused_solve(
     """Fused EK1 solve (dynamic diffusion) over an ensemble: the full
     D x D square-root extended Kalman filter (+ optional RTS smoother)
     inside Pallas kernels. ``jac(u, p, t) -> (d, d[, batch...])`` must be
-    index-and-stack style like ``f``. Returns ``(us, stds)`` with shapes
-    (T+1, d, B) each (per-dimension marginal stds)."""
+    index-and-stack style like ``f``; pass ``None`` to derive it inside the
+    kernel via forward-mode JVP columns (trace-time autodiff). Returns
+    ``(us, stds)`` with shapes (T+1, d, B) each (per-dimension marginal
+    stds)."""
     if jac is None:
-        raise ValueError(
-            "the fused EK1 kernel requires an analytic Jacobian "
-            "jac(u, p, t) -> (d, d[, batch...]) written in index-and-stack "
-            "style (like odefilters.models.*_jac); jax.jacfwd cannot be "
-            "traced inside the kernel's lane layout. Either supply one or "
-            "use the XLA path (odefilters.parallel.solve_ensemble_fixed), "
-            "which derives the Jacobian automatically."
-        )
+        # Derive the Jacobian inside the kernel: d forward-mode JVP columns
+        # against one-hot tangents in the lane layout (trace-time autodiff;
+        # the reference uses ForwardDiff the same way, perform_step.jl:116-122).
+        def jac(u, p, t, _f=f):
+            dd = u.shape[0]
+            cols = []
+            for b in range(dd):
+                # one-hot tangent via stack (a .at[b].set would lower to
+                # scatter, which Mosaic does not support)
+                tangent = jnp.stack(
+                    [jnp.ones_like(u[b]) if i == b else jnp.zeros_like(u[b])
+                     for i in range(dd)]
+                )
+                _, col = jax.jvp(lambda uu: _f(uu, p, t), (u,), (tangent,))
+                cols.append(col)                    # J[:, b]
+            return jnp.stack(cols, axis=1)          # (d, d[, batch...])
+
     nq = q + 1
     _, d, B = m0.shape
     D = d * nq
@@ -1690,7 +1701,12 @@ def _ek0_adaptive_kernel(
         qold_acc = jnp.maximum(EEst, _QOLDINIT)
         dt_rej = dt_eff / jnp.minimum(1.0 / _QMIN, q11 / _GAMMA)
         dt_new = jnp.where(accept, dt_acc, dt_rej)
-        newly_failed = active & ~accept & ~hit_save & (dt_new < dtmin)
+        # a lane fails when its next dt collapses below dtmin (accepted or
+        # not: accepts can shrink dt too) or when an accepted step makes no
+        # floating-point progress (t + dt == t would spin forever)
+        newly_failed = active & ~hit_save & (
+            (dt_new < dtmin) | (accept & (t_new <= t))
+        )
         failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
         not_failed = failed < 0.5
 
@@ -1710,9 +1726,9 @@ def _ek0_adaptive_kernel(
         u_prev = [jnp.where(accept, u_filt[j], u_prev[j]) for j in range(d)]
         nacc = nacc + jnp.where(accept, one, zero)
         nrej = nrej + jnp.where(active & ~accept, one, zero)
-        # failed lanes stop blocking the barrier (their output is garbage
-        # and flagged): treat them as parked at t_save
-        t = jnp.where(not_failed, t, jnp.maximum(t, t_save))
+        # failed lanes stop blocking barriers (their output is garbage and
+        # flagged): park them past every future save point
+        t = jnp.where(not_failed, t, zero + jnp.asarray(1e30, zero.dtype))
 
         # -- barrier: all lanes at the save point -> emit one row --
         seg_done = jnp.min(jnp.where(t >= t_save, one, zero)) > 0.5
@@ -1780,7 +1796,11 @@ def ek0_adaptive_filter(
     S = int(n_save)
     dt_save = (float(t1) - float(t0)) / S
     if dtmin is None:
-        dtmin = 1e-14 * (float(t1) - float(t0))
+        # below ~eps * span a step cannot advance t at all (t + dt == t),
+        # so the lane would spin forever without tripping the dtmin guard
+        span = float(t1) - float(t0)
+        eps = float(jnp.finfo(m0.dtype).eps)
+        dtmin = max(1e-14 * span, 4.0 * eps * span)
 
     At_np, _, QLt_np = _ibm_small_np(q)
     Qt_np = QLt_np @ QLt_np.T
@@ -2098,4 +2118,411 @@ def solve_brusselator_ek0_pallas(
     return ek0_kron_grid_solve(
         f_grids, m0, None, float(t0), float(dt), n_steps, q,
         save_every=save_every,
+    )
+
+
+def _ek1_adaptive_kernel(
+    m0_ref, p_ref, dt0_ref, us_ref, std_ref, ll_ref, nacc_ref, nrej_ref,
+    fail_ref, *,
+    f: Callable, jac: Callable, At: np.ndarray, QLt: np.ndarray,
+    S: int, dt_save: float, t0: float, d: int, nq: int,
+    abstol: float, reltol: float, max_iters: int, dtmin: float,
+    beta1: float, beta2: float,
+):
+    """Per-lane adaptive EK1(dynamic): the full D x D square-root EKF per
+    member with its own PI controller, sharing the barrier/save-grid
+    machinery of `_ek0_adaptive_kernel`."""
+    D = d * nq
+    Af = np.kron(At, np.eye(d))
+    QLf = np.kron(QLt, np.eye(d))
+    q_half = nq - 1 + 0.5
+
+    h0 = dt0_ref[0]
+    lh0 = jnp.log(h0)
+    zero = jnp.zeros_like(h0)
+    one = zero + 1.0
+
+    m = [m0_ref[r // d, r % d] * jnp.exp((r // d - q_half) * lh0)
+         for r in range(D)]
+    L = [[zero for _ in range(D)] for _ in range(D)]
+    p_block = p_ref[:]
+
+    for j in range(d):
+        us_ref[0, j] = m0_ref[0, j]
+        std_ref[0, j] = zero
+    u_prev = [m0_ref[0, j] for j in range(d)]
+
+    def Amul_vec(v):
+        return [
+            functools.reduce(
+                lambda a, b: a + b,
+                [Af[r, c] * v[c] for c in range(D) if Af[r, c] != 0.0],
+            )
+            for r in range(D)
+        ]
+
+    def cond(carry):
+        seg, iters = carry[0], carry[1]
+        return (seg < S) & (iters < max_iters)
+
+    def body(carry):
+        (seg, iters, t, dt, h_cur, qold, ll, nacc, nrej, failed,
+         m, L, u_prev) = carry
+        dtype = zero.dtype
+        t_save = jnp.asarray(t0, dtype) + jnp.asarray(dt_save, dtype) * (
+            seg.astype(dtype) + 1.0
+        )
+        not_failed = failed < 0.5
+        active = (t < t_save) & not_failed
+        remaining = t_save - t
+        hit_save = dt >= remaining
+        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), h_cur)
+
+        # rescale h_cur -> dt_eff (exact coordinate change, per block row)
+        lr = jnp.log(dt_eff / h_cur)
+        rs = [jnp.exp((i - q_half) * lr) for i in range(nq)]
+        m = [m[r] * rs[r // d] for r in range(D)]
+        L = [[L[r][c] * (rs[r // d] * rs[c // d]) for c in range(D)]
+             for r in range(D)]
+        h_cur = dt_eff
+
+        lh = jnp.log(dt_eff)
+        pinv0 = jnp.exp(q_half * lh)
+        pinv1 = jnp.exp((q_half - 1.0) * lh)
+
+        mp = Amul_vec(m)
+        t_new = jnp.where(hit_save, t_save, t + dt_eff)
+        u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
+        du = f(u_pred, p_block, t_new)
+        J = jac(u_pred, p_block, t_new)
+        z = [pinv1 * mp[d + a] - du[a] for a in range(d)]
+
+        def Hmul_cols(M, K):
+            out = []
+            for a in range(d):
+                row_ = []
+                for kk in range(K):
+                    v = pinv1 * M[d + a][kk]
+                    for b in range(d):
+                        v = v - J[a, b] * (pinv0 * M[b][kk])
+                    row_.append(v)
+                out.append(row_)
+            return out
+
+        # dynamic diffusion + error statistic from H Q H^T
+        QL_lists = [[jnp.zeros_like(zero) if QLf[r, c] == 0.0 else
+                     QLf[r, c] + zero for c in range(D)] for r in range(D)]
+        HQ = Hmul_cols(QL_lists, D)
+        Sq = [
+            [
+                functools.reduce(
+                    lambda x, y: x + y, [HQ[a][c] * HQ[b][c] for c in range(D)]
+                )
+                for b in range(d)
+            ]
+            for a in range(d)
+        ]
+        Lq = _list_chol(Sq, d)
+        w = _list_cho_solve(Lq, z, d)
+        s2 = functools.reduce(
+            lambda x, y: x + y, [z[a] * w[a] for a in range(d)]
+        ) / d
+        sq_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
+
+        AL = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [Af[r, c] * L[c][k] for c in range(D) if Af[r, c] != 0.0],
+                )
+                for k in range(D)
+            ]
+            for r in range(D)
+        ]
+        qT = [
+            [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else zero
+             for r in range(D)]
+            for c in range(D)
+        ]
+        Lp = _list_mgs_tril(_t_rows(AL, D) + qT, 2 * D, D)
+
+        Z = Hmul_cols(Lp, D)
+        Sm = [
+            [
+                functools.reduce(
+                    lambda x, y: x + y, [Z[a][c] * Z[b][c] for c in range(D)]
+                )
+                for b in range(d)
+            ]
+            for a in range(d)
+        ]
+        Ls = _list_chol(Sm, d)
+        LpZt = [
+            [
+                functools.reduce(
+                    lambda x, y: x + y, [Lp[r][c] * Z[a][c] for c in range(D)]
+                )
+                for a in range(d)
+            ]
+            for r in range(D)
+        ]
+        Kg = [_list_cho_solve(Ls, LpZt[r], d) for r in range(D)]
+        m_new = [
+            mp[r]
+            - functools.reduce(
+                lambda x, y: x + y, [Kg[r][a] * z[a] for a in range(d)]
+            )
+            for r in range(D)
+        ]
+        L_new = [
+            [
+                Lp[r][c]
+                - functools.reduce(
+                    lambda x, y: x + y, [Kg[r][a] * Z[a][c] for a in range(d)]
+                )
+                for c in range(D)
+            ]
+            for r in range(D)
+        ]
+        # log-likelihood increment: log N(z; 0, S) from the chol of S
+        wz = _list_cho_solve(Ls, z, d)
+        maha = functools.reduce(
+            lambda x, y: x + y, [z[a] * wz[a] for a in range(d)]
+        )
+        logdet = 2.0 * functools.reduce(
+            lambda x, y: x + y,
+            [jnp.log(jnp.maximum(Ls[a][a], 1e-30)) for a in range(d)],
+        )
+        ll_inc = -0.5 * (maha + logdet + d * _LOG_2PI)
+
+        u_filt = [pinv0 * m_new[j] for j in range(d)]
+
+        # error estimate: err_j = dt sqrt(s2 (H Q H^T)_jj) / sc_j
+        ee = zero
+        for j in range(d):
+            sc = abstol + reltol * jnp.maximum(
+                jnp.abs(u_prev[j]), jnp.abs(u_filt[j])
+            )
+            r_ = dt_eff * jnp.sqrt(jnp.maximum(s2 * Sq[j][j], 0.0)) / sc
+            ee = ee + r_ * r_
+        EEst = jnp.sqrt(ee / d)
+        EEst = jnp.where(jnp.isfinite(EEst), EEst, 1e10)
+        accept = active & (EEst <= 1.0)
+
+        eg = jnp.maximum(EEst, 1e-35)
+        leg = jnp.log(eg)
+        q11 = jnp.exp(beta1 * leg)
+        qq = q11 * jnp.exp(-beta2 * jnp.log(jnp.maximum(qold, 1e-35)))
+        qq = jnp.maximum(1.0 / _QMAX, jnp.minimum(1.0 / _QMIN, qq / _GAMMA))
+        dt_acc = dt_eff / qq
+        last_seg = seg >= S - 1
+        dt_acc = jnp.where(hit_save & ~last_seg, jnp.maximum(dt_acc, dt), dt_acc)
+        qold_acc = jnp.maximum(EEst, _QOLDINIT)
+        dt_rej = dt_eff / jnp.minimum(1.0 / _QMIN, q11 / _GAMMA)
+        dt_new = jnp.where(accept, dt_acc, dt_rej)
+        # a lane fails when its next dt collapses below dtmin (accepted or
+        # not: accepts can shrink dt too) or when an accepted step makes no
+        # floating-point progress (t + dt == t would spin forever)
+        newly_failed = active & ~hit_save & (
+            (dt_new < dtmin) | (accept & (t_new <= t))
+        )
+        failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
+        not_failed = failed < 0.5
+
+        m = [jnp.where(accept, m_new[r], m[r]) for r in range(D)]
+        L = [
+            [jnp.where(accept, L_new[r][c], L[r][c]) for c in range(D)]
+            for r in range(D)
+        ]
+        t = jnp.where(accept, t_new, t)
+        dt = jnp.where(active & not_failed, dt_new, dt)
+        qold = jnp.where(accept, qold_acc, qold)
+        ll = jnp.where(accept, ll + ll_inc, ll)
+        u_prev = [jnp.where(accept, u_filt[j], u_prev[j]) for j in range(d)]
+        nacc = nacc + jnp.where(accept, one, zero)
+        nrej = nrej + jnp.where(active & ~accept, one, zero)
+        t = jnp.where(not_failed, t, zero + jnp.asarray(1e30, zero.dtype))
+
+        seg_done = jnp.min(jnp.where(t >= t_save, one, zero)) > 0.5
+
+        @pl.when(seg_done)
+        def _():
+            seg1 = seg + jnp.ones((), seg.dtype)
+            lhc = jnp.log(h_cur)
+            pz = jnp.exp(q_half * lhc)
+            for j in range(d):
+                us_ref[seg1, j] = pz * m[j]
+                std_ref[seg1, j] = pz * jnp.sqrt(
+                    functools.reduce(
+                        lambda a, b: a + b,
+                        [L[j][c] * L[j][c] for c in range(D)],
+                    )
+                )
+
+        seg = jnp.where(seg_done, seg + 1, seg)
+        return (seg, iters + 1, t, dt, h_cur, qold, ll, nacc, nrej, failed,
+                m, L, u_prev)
+
+    init = (
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        zero + jnp.asarray(t0, zero.dtype), h0, h0,
+        zero + _QOLDINIT, zero, zero, zero,
+        jnp.zeros_like(h0), m, L, u_prev,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    ll_ref[...] = out[6]
+    nacc_ref[...] = out[7]
+    nrej_ref[...] = out[8]
+    fail_ref[...] = jnp.where(
+        (out[9] > 0.5) | (out[0] < S),
+        jnp.ones_like(out[6]), jnp.zeros_like(out[6]),
+    )
+
+
+@_no_x64
+def ek1_adaptive_filter(
+    f: Callable,
+    jac: Optional[Callable],
+    m0: jax.Array,      # (q+1, d, B)
+    ps: jax.Array,      # (n_params, B)
+    dt0s: jax.Array,    # (B,)
+    t0: float,
+    t1: float,
+    n_save: int,
+    q: int,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 100_000,
+    dtmin: Optional[float] = None,
+):
+    """Adaptive-step fused EK1(dynamic) ensemble filter, per-lane dt.
+
+    Like :func:`ek0_adaptive_filter` but with the full D x D square-root
+    extended Kalman filter per member (EK1 linearization; ``jac=None``
+    derives the Jacobian in-kernel via JVP columns). Returns
+    ``(us, stds, lls, nacc, nrej, failed)`` where ``stds`` is per-dimension
+    (S+1, d, B).
+    """
+    if jac is None:
+        def jac(u, p, t, _f=f):
+            dd = u.shape[0]
+            cols = []
+            for b in range(dd):
+                # one-hot tangent via stack (a .at[b].set would lower to
+                # scatter, which Mosaic does not support)
+                tangent = jnp.stack(
+                    [jnp.ones_like(u[b]) if i == b else jnp.zeros_like(u[b])
+                     for i in range(dd)]
+                )
+                _, col = jax.jvp(lambda uu: _f(uu, p, t), (u,), (tangent,))
+                cols.append(col)                    # J[:, b]
+            return jnp.stack(cols, axis=1)          # (d, d[, batch...])
+
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    S = int(n_save)
+    dt_save = (float(t1) - float(t0)) / S
+    if dtmin is None:
+        # below ~eps * span a step cannot advance t at all (t + dt == t),
+        # so the lane would spin forever without tripping the dtmin guard
+        span = float(t1) - float(t0)
+        eps = float(jnp.finfo(m0.dtype).eps)
+        dtmin = max(1e-14 * span, 4.0 * eps * span)
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    m0_b = m0.reshape(nq, d, nb, _SUB, _LANE).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    dt0_b = dt0s.reshape(nb, 1, _SUB, _LANE)
+
+    kernel = functools.partial(
+        _ek1_adaptive_kernel,
+        f=f, jac=jac, At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+        S=S, dt_save=dt_save, t0=float(t0), d=d, nq=nq,
+        abstol=float(abstol), reltol=float(reltol),
+        max_iters=int(max_iters), dtmin=float(dtmin),
+        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq),
+    )
+
+    def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
+              nr_blk, fl_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            dt0_blk.at[jnp.int32(0)],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)], na_blk.at[jnp.int32(0)],
+            nr_blk.at[jnp.int32(0)], fl_blk.at[jnp.int32(0)],
+        )
+
+    lane = lambda: pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    us, stds, lls, nacc, nrej, fail = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            lane(), lane(), lane(), lane(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        ],
+    )(m0_b, ps_b, dt0_b)
+
+    us = us.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    stds = stds.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    return (us, stds, lls.reshape(B), nacc.reshape(B), nrej.reshape(B),
+            fail.reshape(B))
+
+
+def solve_ensemble_ek1_adaptive_pallas(
+    prob_f: Callable,
+    prob_jac: Optional[Callable],
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_save: int,
+    q: int = 3,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 100_000,
+):
+    """Taylor-init + per-lane-adaptive fused EK1 kernel over an ensemble."""
+    from odefilters.problem import ode_problem
+    from odefilters.solve import initial_dt
+    from odefilters.taylor import taylor_coefficients
+
+    t0, t1 = tspan
+    B, d = u0s.shape
+
+    def init_one(u0, p):
+        m = jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+        pr = ode_problem(prob_f, u0, tspan, p=p)
+        return m, initial_dt(pr, q, abstol, reltol)
+
+    m0, dt0s = jax.vmap(init_one)(u0s, ps)
+    m0 = m0.transpose(1, 2, 0)
+    return ek1_adaptive_filter(
+        prob_f, prob_jac, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
+        abstol=abstol, reltol=reltol, max_iters=max_iters,
     )

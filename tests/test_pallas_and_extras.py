@@ -487,3 +487,69 @@ def test_continuous_callback_affect_impulse():
     )
     np.testing.assert_allclose(us[i + 1, 0], -1.2, atol=1e-6)
     assert np.all(np.isfinite(us))
+
+
+def test_pallas_ek1_autojac_matches_analytic():
+    """jac=None derives the Jacobian inside the EK1 kernel (forward-mode
+    JVP columns) and matches the analytic-Jacobian kernel exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    B, T = pk.BLOCK, 12
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        ua, sa = pk.solve_ensemble_ek1_pallas(
+            prob.f, None, u0s, ps, prob.tspan, T, q=3, smooth=False
+        )
+        ur, sr = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, T, q=3, smooth=False
+        )
+    np.testing.assert_allclose(np.asarray(ua), np.asarray(ur), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sr), rtol=1e-10, atol=1e-14)
+
+
+def test_pallas_ek1_adaptive_matches_driver_interpret():
+    """Per-lane adaptive EK1 kernel vs the XLA adaptive driver with tstops
+    on the same save grid. Unlike EK0 (bit-identical statistic), the EK1
+    innovation algebra differs at the 1e-12 level (MGS+Cholesky-of-Gram vs
+    QR), so accept/reject sequences can diverge slightly — trajectories
+    agree to ~1e-7 and step counts within a few percent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, S = pk.BLOCK, 8
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, lls, nacc, nrej, fail = pk.solve_ensemble_ek1_adaptive_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, S, q=3,
+            abstol=1e-8, reltol=1e-6,
+        )
+    assert int(jnp.sum(fail)) == 0
+
+    grid = np.linspace(0.0, 2.0, S + 1)
+    for idx in [0, 300]:
+        pr = odf.remake(prob, u0=u0s[idx], p=ps[idx])
+        sol = odf.solve(
+            pr, odf.EK1(order=3, smooth=False),
+            abstol=1e-8, reltol=1e-6, tstops=jnp.asarray(grid[1:-1]),
+        )
+        n = int(sol.n_steps)
+        assert abs(int(nacc[idx]) - n) <= max(3, n // 20)
+        ts = np.asarray(sol.ts[: n + 1])
+        for si, tg in enumerate(grid):
+            j = int(np.argmin(np.abs(ts - tg)))
+            np.testing.assert_allclose(
+                np.asarray(us[si, :, idx]), np.asarray(sol.u[j]),
+                rtol=1e-6, atol=1e-8,
+            )
+        np.testing.assert_allclose(
+            float(lls[idx]), float(sol.log_likelihood), rtol=1e-2
+        )
