@@ -256,7 +256,7 @@ def main(quick=False):
     # config 4 on-chip: fused Kron-grid kernel (whole PDE solve in VMEM)
     run_br = jax.jit(
         lambda: pk.solve_brusselator_ek0_pallas(
-            70, (0.0, 0.01), 1000, q=3, save_every=50
+            70, (0.0, 0.01), 1000, q=3, save_every=50, dtype=jnp.float32
         )[0]
     )
     t = _time(run_br, iters=5)
@@ -286,6 +286,19 @@ def main(quick=False):
         "solves_per_sec": B / t,
         "mean_accepted_steps": float(nacc.mean()),
         "failed_members": int(fail.sum()),
+        "device": str(jax.devices()[0]),
+    }
+
+    run_ad1 = jax.jit(
+        lambda u, p: pk.solve_ensemble_ek1_adaptive_pallas(
+            prob.f, prob.jac, u, p, prob.tspan, 20, q=3,
+            abstol=1e-6, reltol=1e-4, max_iters=20_000,
+        )[0]
+    )
+    t = _time(run_ad1, u0s, ps, iters=5)
+    results["ensemble_8192_pallas_adaptive_ek1"] = {
+        "B": B, "save_points": 20, "runtime_s": t,
+        "solves_per_sec": B / t,
         "device": str(jax.devices()[0]),
     }
 

@@ -2080,9 +2080,12 @@ def solve_brusselator_ek0_pallas(
     q: int = 3,
     alpha: float = 0.1,
     save_every: Optional[int] = None,
+    dtype=None,
 ):
     """Taylor-init + fused Kron-grid EK0 solve of the 2-D Brusselator
-    (BASELINE config #4, d = 2 N^2 states on one chip)."""
+    (BASELINE config #4, d = 2 N^2 states on one chip). ``dtype`` pins the
+    kernel precision (pass float32 on TPU when the global x64 flag is on —
+    Mosaic has no 64-bit types)."""
     from odefilters.models import brusselator_2d
     from odefilters.taylor import taylor_coefficients
 
@@ -2096,6 +2099,8 @@ def solve_brusselator_ek0_pallas(
         taylor_coefficients(prob.f, prob.u0, prob.p, t0, q)
     )                                    # (q+1, d)
     m0 = m0_flat.reshape(q + 1, 2, N, N)
+    if dtype is not None:
+        m0 = m0.astype(dtype)
 
     A_, B_ = 3.4, 1.0
     alpha_f = float(alpha)  # static: baked into the stencil

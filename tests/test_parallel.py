@@ -315,3 +315,29 @@ def test_2d_ensemble_time_mesh_sqrt_filter(rng):
     np.testing.assert_allclose(out_m, ref_m, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(out_U, ref_U, rtol=1e-12, atol=1e-14)
     assert "ens" in str(out_m.sharding) and "time" in str(out_m.sharding)
+
+
+def test_time_sharded_parallel_solve_matches_unsharded():
+    """solve_fixed_parallel with the element time axis pinned to a mesh
+    axis (time_shard_axis) matches the unsharded solve bit-for-bit."""
+    import numpy as np_
+    from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    ts = jnp.linspace(0.0, 1.0, 33)
+    mesh = Mesh(
+        np_.asarray(jax.devices()[:4]).reshape(4), ("time",),
+        axis_types=(AxisType.Auto,),
+    )
+    u_ref, ustd_ref, *_ = solve_fixed_parallel(
+        prob, odf.EK1(order=2), ts=ts, iterations=3
+    )
+    with jax.sharding.set_mesh(mesh):
+        u_sh, ustd_sh, *_ = jax.jit(
+            lambda: solve_fixed_parallel(
+                prob, odf.EK1(order=2), ts=ts, iterations=3,
+                time_shard_axis="time",
+            )[:2]
+        )()
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(ustd_sh), np.asarray(ustd_ref), rtol=1e-9, atol=1e-12)
