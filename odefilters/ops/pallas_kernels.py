@@ -1577,15 +1577,16 @@ def _ek0_adaptive_kernel(
     Qt11 = Qt[1, 1]
 
     h0 = dt0_ref[0]                                  # (8, 128) per-lane dt0
-    lh0 = jnp.log(h0)
     zero = jnp.zeros_like(h0)
     one = zero + 1.0
 
-    # precondition the initial state at each lane's own h0
-    m = [
-        [m0_ref[i, j] * jnp.exp((i - q_half) * lh0) for j in range(d)]
-        for i in range(nq)
-    ]
+    # the carry is UNPRECONDITIONED: preconditioning is applied freshly
+    # from the canonical state each attempt (as the XLA driver does,
+    # `step.py`). Carrying the preconditioned state and rescaling it
+    # incrementally on h changes compounds exp/log roundoff across steps
+    # and floors the error estimate ~25x above the XLA driver's at
+    # reltol=1e-6 in f32 (measured).
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
     C = [[zero for _ in range(nq)] for _ in range(nq)]
     p_block = p_ref[:]
 
@@ -1600,7 +1601,7 @@ def _ek0_adaptive_kernel(
         return (seg < S) & (iters < max_iters)
 
     def body(carry):
-        (seg, iters, t, dt, h_cur, qold, ll, nacc, nrej, failed,
+        (seg, iters, t, dt, qold, ll, nacc, nrej, failed,
          m, C, u_prev) = carry
         dtype = zero.dtype
         t_save = jnp.asarray(t0, dtype) + jnp.asarray(dt_save, dtype) * (
@@ -1610,16 +1611,14 @@ def _ek0_adaptive_kernel(
         active = (t < t_save) & not_failed
         remaining = t_save - t
         hit_save = dt >= remaining
-        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), h_cur)
+        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), one)
 
-        # -- rescale coordinates h_cur -> dt_eff (exact) --
-        lr = jnp.log(dt_eff / h_cur)
-        rs = [jnp.exp((i - q_half) * lr) for i in range(nq)]
-        m = [[m[i][j] * rs[i] for j in range(d)] for i in range(nq)]
-        C = [[C[i][l] * (rs[i] * rs[l]) for l in range(nq)] for i in range(nq)]
-        h_cur = dt_eff
-
+        # -- precondition at this attempt's h (fresh from canonical) --
         lh = jnp.log(dt_eff)
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        mh = [[m[i][j] * ps_[i] for j in range(d)] for i in range(nq)]
+        Ch = [[C[i][l] * (ps_[i] * ps_[l]) for l in range(nq)]
+              for i in range(nq)]
         pinv0 = jnp.exp(q_half * lh)
         pinv1 = jnp.exp((q_half - 1.0) * lh)
         hq = pinv1 * pinv1 * Qt11
@@ -1629,7 +1628,7 @@ def _ek0_adaptive_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, l] * m[l][j] for l in range(i, nq)],
+                    [At[i, l] * mh[l][j] for l in range(i, nq)],
                 )
                 for j in range(d)
             ]
@@ -1645,7 +1644,7 @@ def _ek0_adaptive_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, a] * C[a][b] for a in range(i, nq)],
+                    [At[i, a] * Ch[a][b] for a in range(i, nq)],
                 )
                 for b in range(nq)
             ]
@@ -1710,7 +1709,12 @@ def _ek0_adaptive_kernel(
         failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
         not_failed = failed < 0.5
 
-        # -- masked commits --
+        # -- un-precondition, then masked commits --
+        m_new = [[m_new[i][j] / ps_[i] for j in range(d)] for i in range(nq)]
+        C_new = [
+            [C_new[i][l] / (ps_[i] * ps_[l]) for l in range(nq)]
+            for i in range(nq)
+        ]
         m = [
             [jnp.where(accept, m_new[i][j], m[i][j]) for j in range(d)]
             for i in range(nq)
@@ -1736,30 +1740,28 @@ def _ek0_adaptive_kernel(
         @pl.when(seg_done)
         def _():
             seg1 = seg + jnp.ones((), seg.dtype)
-            lhc = jnp.log(h_cur)
-            pz = jnp.exp(q_half * lhc)
             for j in range(d):
-                us_ref[seg1, j] = pz * m[0][j]
-            std_ref[seg1] = pz * jnp.sqrt(jnp.maximum(C[0][0], 0.0))
+                us_ref[seg1, j] = m[0][j]
+            std_ref[seg1] = jnp.sqrt(jnp.maximum(C[0][0], 0.0))
 
         seg = jnp.where(seg_done, seg + 1, seg)
-        return (seg, iters + 1, t, dt, h_cur, qold, ll, nacc, nrej, failed,
+        return (seg, iters + 1, t, dt, qold, ll, nacc, nrej, failed,
                 m, C, u_prev)
 
     init = (
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        zero + jnp.asarray(t0, zero.dtype), h0, h0,
+        zero + jnp.asarray(t0, zero.dtype), h0,
         zero + _QOLDINIT, zero, zero, zero,
         jnp.zeros_like(h0), m, C, u_prev,
     )
     out = jax.lax.while_loop(cond, body, init)
-    ll_ref[...] = out[6]
-    nacc_ref[...] = out[7]
-    nrej_ref[...] = out[8]
+    ll_ref[...] = out[5]
+    nacc_ref[...] = out[6]
+    nrej_ref[...] = out[7]
     # lanes that never completed (iters exhausted) are failures too
     fail_ref[...] = jnp.where(
-        (out[9] > 0.5) | (out[0] < S),
-        jnp.ones_like(out[6]), jnp.zeros_like(out[6]),
+        (out[8] > 0.5) | (out[0] < S),
+        jnp.ones_like(out[5]), jnp.zeros_like(out[5]),
     )
 
 
@@ -2143,12 +2145,11 @@ def _ek1_adaptive_kernel(
     q_half = nq - 1 + 0.5
 
     h0 = dt0_ref[0]
-    lh0 = jnp.log(h0)
     zero = jnp.zeros_like(h0)
     one = zero + 1.0
 
-    m = [m0_ref[r // d, r % d] * jnp.exp((r // d - q_half) * lh0)
-         for r in range(D)]
+    # carry is UNPRECONDITIONED (see _ek0_adaptive_kernel)
+    m = [m0_ref[r // d, r % d] for r in range(D)]
     L = [[zero for _ in range(D)] for _ in range(D)]
     p_block = p_ref[:]
 
@@ -2171,7 +2172,7 @@ def _ek1_adaptive_kernel(
         return (seg < S) & (iters < max_iters)
 
     def body(carry):
-        (seg, iters, t, dt, h_cur, qold, ll, nacc, nrej, failed,
+        (seg, iters, t, dt, qold, ll, nacc, nrej, failed,
          m, L, u_prev) = carry
         dtype = zero.dtype
         t_save = jnp.asarray(t0, dtype) + jnp.asarray(dt_save, dtype) * (
@@ -2181,21 +2182,18 @@ def _ek1_adaptive_kernel(
         active = (t < t_save) & not_failed
         remaining = t_save - t
         hit_save = dt >= remaining
-        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), h_cur)
+        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), one)
 
-        # rescale h_cur -> dt_eff (exact coordinate change, per block row)
-        lr = jnp.log(dt_eff / h_cur)
-        rs = [jnp.exp((i - q_half) * lr) for i in range(nq)]
-        m = [m[r] * rs[r // d] for r in range(D)]
-        L = [[L[r][c] * (rs[r // d] * rs[c // d]) for c in range(D)]
-             for r in range(D)]
-        h_cur = dt_eff
-
+        # precondition at this attempt's h (fresh from the canonical state)
         lh = jnp.log(dt_eff)
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        mh = [m[r] * ps_[r // d] for r in range(D)]
+        Lh = [[L[r][c] * (ps_[r // d] * ps_[c // d]) for c in range(D)]
+              for r in range(D)]
         pinv0 = jnp.exp(q_half * lh)
         pinv1 = jnp.exp((q_half - 1.0) * lh)
 
-        mp = Amul_vec(m)
+        mp = Amul_vec(mh)
         t_new = jnp.where(hit_save, t_save, t + dt_eff)
         u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
         du = f(u_pred, p_block, t_new)
@@ -2238,7 +2236,7 @@ def _ek1_adaptive_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [Af[r, c] * L[c][k] for c in range(D) if Af[r, c] != 0.0],
+                    [Af[r, c] * Lh[c][k] for c in range(D) if Af[r, c] != 0.0],
                 )
                 for k in range(D)
             ]
@@ -2334,6 +2332,12 @@ def _ek1_adaptive_kernel(
         failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
         not_failed = failed < 0.5
 
+        # un-precondition, then masked commits
+        m_new = [m_new[r] / ps_[r // d] for r in range(D)]
+        L_new = [
+            [L_new[r][c] / (ps_[r // d] * ps_[c // d]) for c in range(D)]
+            for r in range(D)
+        ]
         m = [jnp.where(accept, m_new[r], m[r]) for r in range(D)]
         L = [
             [jnp.where(accept, L_new[r][c], L[r][c]) for c in range(D)]
@@ -2353,11 +2357,9 @@ def _ek1_adaptive_kernel(
         @pl.when(seg_done)
         def _():
             seg1 = seg + jnp.ones((), seg.dtype)
-            lhc = jnp.log(h_cur)
-            pz = jnp.exp(q_half * lhc)
             for j in range(d):
-                us_ref[seg1, j] = pz * m[j]
-                std_ref[seg1, j] = pz * jnp.sqrt(
+                us_ref[seg1, j] = m[j]
+                std_ref[seg1, j] = jnp.sqrt(
                     functools.reduce(
                         lambda a, b: a + b,
                         [L[j][c] * L[j][c] for c in range(D)],
@@ -2365,22 +2367,22 @@ def _ek1_adaptive_kernel(
                 )
 
         seg = jnp.where(seg_done, seg + 1, seg)
-        return (seg, iters + 1, t, dt, h_cur, qold, ll, nacc, nrej, failed,
+        return (seg, iters + 1, t, dt, qold, ll, nacc, nrej, failed,
                 m, L, u_prev)
 
     init = (
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        zero + jnp.asarray(t0, zero.dtype), h0, h0,
+        zero + jnp.asarray(t0, zero.dtype), h0,
         zero + _QOLDINIT, zero, zero, zero,
         jnp.zeros_like(h0), m, L, u_prev,
     )
     out = jax.lax.while_loop(cond, body, init)
-    ll_ref[...] = out[6]
-    nacc_ref[...] = out[7]
-    nrej_ref[...] = out[8]
+    ll_ref[...] = out[5]
+    nacc_ref[...] = out[6]
+    nrej_ref[...] = out[7]
     fail_ref[...] = jnp.where(
-        (out[9] > 0.5) | (out[0] < S),
-        jnp.ones_like(out[6]), jnp.zeros_like(out[6]),
+        (out[8] > 0.5) | (out[0] < S),
+        jnp.ones_like(out[5]), jnp.zeros_like(out[5]),
     )
 
 
@@ -2531,3 +2533,40 @@ def solve_ensemble_ek1_adaptive_pallas(
         prob_f, prob_jac, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
         abstol=abstol, reltol=reltol, max_iters=max_iters,
     )
+
+
+def solve_adaptive_pallas_single(
+    prob_f: Callable,
+    u0: jax.Array,
+    p: jax.Array,
+    tspan,
+    n_save: int,
+    q: int = 3,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 100_000,
+    jac: Optional[Callable] = None,
+    ek1: bool = False,
+):
+    """Single-trajectory adaptive solve at kernel latency.
+
+    Broadcasts the problem across one 1024-lane block of the per-lane
+    adaptive kernel and reads member 0 back — all lanes take identical
+    steps, so this is exactly one adaptive solve with ~2x lower per-step
+    latency than the XLA while-loop driver and ~1 s compiles (vs the
+    driver's 20 s+ on the remote chip). Returns
+    ``(us, stds, ll, nacc, nrej, failed)`` for the save grid.
+    """
+    u0s = jnp.broadcast_to(u0, (BLOCK,) + u0.shape)
+    ps = jnp.broadcast_to(p, (BLOCK,) + jnp.shape(p))
+    if ek1:
+        us, stds, lls, nacc, nrej, fail = solve_ensemble_ek1_adaptive_pallas(
+            prob_f, jac, u0s, ps, tspan, n_save, q=q,
+            abstol=abstol, reltol=reltol, max_iters=max_iters,
+        )
+        return (us[..., 0], stds[..., 0], lls[0], nacc[0], nrej[0], fail[0])
+    us, stds, lls, nacc, nrej, fail = solve_ensemble_ek0_adaptive_pallas(
+        prob_f, u0s, ps, tspan, n_save, q=q,
+        abstol=abstol, reltol=reltol, max_iters=max_iters,
+    )
+    return us[..., 0], stds[..., 0], lls[0], nacc[0], nrej[0], fail[0]
