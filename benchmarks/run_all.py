@@ -206,6 +206,32 @@ def main(quick=False):
     vdp32["note"] = "stiff VdP mu=1e5 is not f32-viable on chip; CPU f64 config above is authoritative"
     results["tpu_single_vdp_ek1_5_f32"] = vdp32
 
+    # single-solve kernel latency: one problem broadcast across a block of
+    # the per-lane adaptive kernel — ~1-2 s compiles vs 20 s+ for the XLA
+    # driver, and in f32 also more accurate (docs/kernels.md)
+    prob_lv = odf.models.lotka_volterra()
+    u0_lv = prob_lv.u0.astype(jnp.float32)
+    p_lv = prob_lv.p.astype(jnp.float32)
+    run_single = jax.jit(
+        lambda u0, p: pk.solve_adaptive_pallas_single(
+            prob_lv.f, u0, p, prob_lv.tspan, 20, q=3,
+            abstol=1e-8, reltol=1e-6, ek1=True, jac=prob_lv.jac,
+        )
+    )
+    t0 = time.time()
+    r = run_single(u0_lv, p_lv)
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r = run_single(u0_lv, p_lv)
+    _sync(r[0])
+    t = (time.perf_counter() - t0) / 5
+    n = float(r[3])
+    results["tpu_single_lv_ek1_3_pallas"] = {
+        "compile_s": compile_s, "runtime_s": t, "steps": n,
+        "steps_per_sec": n / t, "device": str(jax.devices()[0]),
+    }
+
     # ------- config 5: 8192 FHN ensemble (Pallas kernel, on TPU) ---------
     prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
     B, T = 8192, 500

@@ -553,3 +553,33 @@ def test_pallas_ek1_adaptive_matches_driver_interpret():
         np.testing.assert_allclose(
             float(lls[idx]), float(sol.log_likelihood), rtol=1e-2
         )
+
+
+def test_pallas_single_solve_wrapper_interpret():
+    """solve_adaptive_pallas_single == the adaptive driver with tstops on
+    the same save grid (all lanes identical; member 0 read back)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    S = 4
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, ll, nacc, nrej, fail = pk.solve_adaptive_pallas_single(
+            prob.f, prob.u0.astype(jnp.float64), prob.p.astype(jnp.float64),
+            prob.tspan, S, q=3, abstol=1e-8, reltol=1e-6,
+        )
+    assert float(fail) == 0.0
+    grid = np.linspace(0.0, 1.0, S + 1)
+    sol = odf.solve(
+        prob, odf.EK0(order=3, smooth=False), abstol=1e-8, reltol=1e-6,
+        tstops=jnp.asarray(grid[1:-1]),
+    )
+    n = int(sol.n_steps)
+    assert int(nacc) == n
+    ts = np.asarray(sol.ts[: n + 1])
+    for si, tg in enumerate(grid):
+        j = int(np.argmin(np.abs(ts - tg)))
+        np.testing.assert_allclose(
+            np.asarray(us[si]), np.asarray(sol.u[j]), rtol=1e-9, atol=1e-11
+        )
