@@ -298,15 +298,10 @@ def main(quick=False):
         lambda u, p: pk.solve_ensemble_ek0_adaptive_pallas(
             prob.f, u, p, prob.tspan, 20, q=3,
             abstol=1e-6, reltol=1e-4, max_iters=20_000,
-        )[0]
-    )
-    t = _time(run_ad, u0s, ps, iters=5)
-    _, _, _, nacc, _, fail = jax.jit(
-        lambda u, p: pk.solve_ensemble_ek0_adaptive_pallas(
-            prob.f, u, p, prob.tspan, 20, q=3,
-            abstol=1e-6, reltol=1e-4, max_iters=20_000,
         )
-    )(u0s, ps)
+    )
+    t = _time(lambda u, p: run_ad(u, p)[0], u0s, ps, iters=5)
+    _, _, _, nacc, _, fail = run_ad(u0s, ps)
     results["ensemble_8192_pallas_adaptive"] = {
         "B": B, "save_points": 20, "runtime_s": t,
         "solves_per_sec": B / t,

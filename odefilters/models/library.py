@@ -119,26 +119,49 @@ def van_der_pol(u0=(2.0, 0.0), mu=1e5, tspan=(0.0, 2.0)) -> ODEProblem:
     return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(mu), jac=jac)
 
 
-def brusselator_2d(N: int = 16, tspan=(0.0, 1.0), alpha: float = 0.1) -> ODEProblem:
-    """2D Brusselator reaction-diffusion, semi-discretized on an N x N
-    periodic grid -> d = 2 N^2 states (BASELINE config 4: ~1e4 states with
-    EK0 + Kronecker covariance)."""
+BRUSSELATOR_A, BRUSSELATOR_B = 3.4, 1.0
 
-    A_, B_ = 3.4, 1.0
 
-    def f(u, p, t):
-        a = u[: N * N].reshape(N, N)
-        b = u[N * N :].reshape(N, N)
+def brusselator_2d_f_grids(N: int, alpha=None):
+    """Grid-form Brusselator vector field: ``[a, b] -> [da, db]`` on
+    (N, N) arrays — the single source of the stencil, shared by the flat
+    :func:`brusselator_2d` and the fused Pallas kernel path.
+
+    ``alpha``: static diffusivity baked into the stencil (the Pallas
+    kernel path, where parameters are compile-time constants); ``None``
+    reads the traced diffusivity from ``p`` at call time.
+    """
+    A_, B_ = BRUSSELATOR_A, BRUSSELATOR_B
+    scale = float((N - 1) ** 2)
+
+    def f_grids(fields, p, t):
+        a, b = fields
+        al = float(alpha) if alpha is not None else p
 
         def lap(x):
             return (
                 jnp.roll(x, 1, 0) + jnp.roll(x, -1, 0)
                 + jnp.roll(x, 1, 1) + jnp.roll(x, -1, 1)
-                - 4 * x
-            ) * (N - 1) ** 2
+                - 4.0 * x
+            ) * scale
 
-        da = B_ + a * a * b - (A_ + 1) * a + p * lap(a)
-        db = A_ * a - a * a * b + p * lap(b)
+        da = B_ + a * a * b - (A_ + 1.0) * a + al * lap(a)
+        db = A_ * a - a * a * b + al * lap(b)
+        return [da, db]
+
+    return f_grids
+
+
+def brusselator_2d(N: int = 16, tspan=(0.0, 1.0), alpha: float = 0.1) -> ODEProblem:
+    """2D Brusselator reaction-diffusion, semi-discretized on an N x N
+    periodic grid -> d = 2 N^2 states (BASELINE config 4: ~1e4 states with
+    EK0 + Kronecker covariance)."""
+    f_grids = brusselator_2d_f_grids(N)
+
+    def f(u, p, t):
+        a = u[: N * N].reshape(N, N)
+        b = u[N * N :].reshape(N, N)
+        da, db = f_grids([a, b], p, t)
         return jnp.concatenate([da.ravel(), db.ravel()])
 
     key_x = jnp.linspace(0, 1, N)

@@ -190,6 +190,29 @@ def _ek0_kernel(
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
+def _auto_jac(f: Callable) -> Callable:
+    """In-kernel Jacobian from d forward-mode JVP columns.
+
+    One-hot tangents are built with jnp.stack — a .at[b].set one-hot would
+    lower to scatter, which Mosaic does not support. The reference derives
+    Jacobians with ForwardDiff the same way (perform_step.jl:116-122).
+    """
+
+    def jac(u, p, t):
+        dd = u.shape[0]
+        cols = []
+        for b in range(dd):
+            tangent = jnp.stack(
+                [jnp.ones_like(u[b]) if i == b else jnp.zeros_like(u[b])
+                 for i in range(dd)]
+            )
+            _, col = jax.jvp(lambda uu: f(uu, p, t), (u,), (tangent,))
+            cols.append(col)                    # J[:, b]
+        return jnp.stack(cols, axis=1)          # (d, d[, batch...])
+
+    return jac
+
+
 
 def _ek0_consts(q: int, dt: float, np_dtype):
     """Shared static constants: (At, Qt, pinv0, pinv1) for a given order."""
@@ -1411,22 +1434,7 @@ def ek1_fused_solve(
     ``(us, stds)`` with shapes (T+1, d, B) each (per-dimension marginal
     stds)."""
     if jac is None:
-        # Derive the Jacobian inside the kernel: d forward-mode JVP columns
-        # against one-hot tangents in the lane layout (trace-time autodiff;
-        # the reference uses ForwardDiff the same way, perform_step.jl:116-122).
-        def jac(u, p, t, _f=f):
-            dd = u.shape[0]
-            cols = []
-            for b in range(dd):
-                # one-hot tangent via stack (a .at[b].set would lower to
-                # scatter, which Mosaic does not support)
-                tangent = jnp.stack(
-                    [jnp.ones_like(u[b]) if i == b else jnp.zeros_like(u[b])
-                     for i in range(dd)]
-                )
-                _, col = jax.jvp(lambda uu: _f(uu, p, t), (u,), (tangent,))
-                cols.append(col)                    # J[:, b]
-            return jnp.stack(cols, axis=1)          # (d, d[, batch...])
+        jac = _auto_jac(f)
 
     nq = q + 1
     _, d, B = m0.shape
@@ -2104,23 +2112,9 @@ def solve_brusselator_ek0_pallas(
     if dtype is not None:
         m0 = m0.astype(dtype)
 
-    A_, B_ = 3.4, 1.0
-    alpha_f = float(alpha)  # static: baked into the stencil
-    scale = float((N - 1) ** 2)
+    from odefilters.models.library import brusselator_2d_f_grids
 
-    def f_grids(fields, p, t):
-        a, b = fields
-
-        def lap(x):
-            return (
-                jnp.roll(x, 1, 0) + jnp.roll(x, -1, 0)
-                + jnp.roll(x, 1, 1) + jnp.roll(x, -1, 1)
-                - 4.0 * x
-            ) * scale
-
-        da = B_ + a * a * b - (A_ + 1.0) * a + alpha_f * lap(a)
-        db = A_ * a - a * a * b + alpha_f * lap(b)
-        return [da, db]
+    f_grids = brusselator_2d_f_grids(N, alpha)
 
     return ek0_kron_grid_solve(
         f_grids, m0, None, float(t0), float(dt), n_steps, q,
@@ -2411,19 +2405,7 @@ def ek1_adaptive_filter(
     (S+1, d, B).
     """
     if jac is None:
-        def jac(u, p, t, _f=f):
-            dd = u.shape[0]
-            cols = []
-            for b in range(dd):
-                # one-hot tangent via stack (a .at[b].set would lower to
-                # scatter, which Mosaic does not support)
-                tangent = jnp.stack(
-                    [jnp.ones_like(u[b]) if i == b else jnp.zeros_like(u[b])
-                     for i in range(dd)]
-                )
-                _, col = jax.jvp(lambda uu: _f(uu, p, t), (u,), (tangent,))
-                cols.append(col)                    # J[:, b]
-            return jnp.stack(cols, axis=1)          # (d, d[, batch...])
+        jac = _auto_jac(f)
 
     nq = q + 1
     _, d, B = m0.shape

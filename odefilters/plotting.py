@@ -60,6 +60,11 @@ def plot_solution(
 
     if vars is not None:
         if len(vars) == 3:
+            if getattr(ax, "name", "") != "3d":
+                raise ValueError(
+                    "vars=(i, j, k) needs a 3-D axes; pass "
+                    "ax=fig.add_subplot(projection='3d') or ax=None"
+                )
             i, j, k = vars
             ax.plot(mean[:, i], mean[:, j], mean[:, k], **line_kwargs)
             ax.set_xlabel(f"u[{i}]")

@@ -103,6 +103,7 @@ class _Carry:
     n: jax.Array               # accepted steps so far (== next write index - 1)
     iters: jax.Array
     failed: jax.Array
+    ev_armed: jax.Array        # continuous-event re-arm flag
     stats: DEStats
     ts_buf: jax.Array
     u_buf: jax.Array
@@ -157,6 +158,7 @@ def _init_carry(model: FilterModel, prob: ODEProblem, x0: Gaussian, dt0,
         n=jnp.zeros((), jnp.int32),
         iters=jnp.zeros((), jnp.int32),
         failed=jnp.zeros((), bool),
+        ev_armed=jnp.ones((), bool),
         stats=DEStats.zeros(),
         ts_buf=ts_buf,
         u_buf=u_buf,
@@ -253,7 +255,7 @@ def _make_loop_fns(
             from odefilters.priors import precond_full
 
             cc = ccallback
-            d_, q_ = model.d, model.q
+            d_, q_ = model.sol_d, model.q
             g_old = cc.condition(c.u[:d_], c.t, prob.p)
             g_new = cc.condition(res.u_filt[:d_], t_new, prob.p)
             crossed = (g_old * g_new) < 0
@@ -261,7 +263,10 @@ def _make_loop_fns(
                 crossed = crossed & (g_old < 0)
             elif cc.direction < 0:
                 crossed = crossed & (g_old > 0)
-            fired_ev = accept & crossed
+            # re-arm protection: after landing on a root, g(t*) ~ 0 with
+            # arbitrary sign, so the immediately following step must not
+            # re-detect the same crossing
+            fired_ev = accept & crossed & c.ev_armed
 
             QLh = diff.apply_diffusion_chol(model.QL, res.sigma2_local, q_)
             tiny = jnp.finfo(dtype).tiny
@@ -280,7 +285,7 @@ def _make_loop_fns(
                     scale_rows(p2, pred), scale_rows(p2, res.x_filt),
                     model.A, QLh,
                 )
-                return (p2i * sm.mean)[:d_]
+                return (p2i * sm.mean)[: model.sol_d]
 
             def _locate(_):
                 def bis(_, st):
@@ -297,13 +302,27 @@ def _make_loop_fns(
                 lo, hi, _ = jax.lax.fori_loop(
                     0, cc.root_iters, bis, (c.t, t_new, g_old)
                 )
-                t_star = jnp.maximum(0.5 * (lo + hi), c.t + tiny)
+                # floor the relocated step at 1e-3 of the original: a
+                # root within one ulp of c.t would give dt ~ 0, whose
+                # preconditioner entries (dt**negative) overflow
+                t_star = jnp.maximum(
+                    0.5 * (lo + hi), c.t + 1e-3 * (t_new - c.t)
+                )
                 res2 = attempt_step(
                     model, c.x, c.u, c.t, t_star - c.t,
                     c.sigma2, c.n.astype(jnp.int32),
                     abstol, reltol, prob.p, linearize_u,
                 )
-                return t_star, res2
+                # commit the relocated step only if it is finite; else
+                # keep the original accepted step (no event landing)
+                ok = jnp.all(jnp.isfinite(res2.x_filt.mean)) & jnp.all(
+                    jnp.isfinite(res2.x_filt.chol)
+                )
+                t_out = jnp.where(ok, t_star, t_new)
+                res_out = jax.tree.map(
+                    lambda a, b: jnp.where(ok, a, b), res2, res
+                )
+                return t_out, res_out
 
             t_new, res = jax.lax.cond(
                 fired_ev, _locate, lambda _: (t_new, res), None
@@ -382,6 +401,9 @@ def _make_loop_fns(
             n=jnp.where(accept, k, c.n),
             iters=c.iters + 1,
             failed=failed & ~accept & ~reach_end | c.failed,
+            # disarm for the step following a fired event; re-arm after
+            # the next accepted step
+            ev_armed=jnp.where(fired_ev, False, c.ev_armed | accept),
             stats=stats,
             ts_buf=ts_buf,
             u_buf=u_buf,

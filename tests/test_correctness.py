@@ -45,12 +45,33 @@ def prob_lv():
     return odf.models.lotka_volterra(tspan=(0.0, 3.0))
 
 
+def _np_rhs(prob):
+    """Pure-numpy RHS for the oracle (CLAUDE.md: routing the oracle RHS
+    through JAX costs a dispatch per evaluation — minutes for LSODA)."""
+    p = np.asarray(prob.p, dtype=np.float64)
+    if len(p) == 4 and float(p[2]) < 1.0:        # FitzHugh-Nagumo
+        a, b, tinv, iz = p
+
+        def f(t, y):
+            v, w = y
+            return [v - v**3 / 3 - w + iz, tinv * (v + a - b * w)]
+
+        return f
+    a, b, c, d_ = p                              # Lotka-Volterra
+
+    def f(t, y):
+        x, yy = y
+        return [a * x - b * x * yy, -c * yy + d_ * x * yy]
+
+    return f
+
+
 def oracle(prob, ts):
     r = solve_ivp(
-        lambda t, y: np.asarray(prob.f(y, prob.p, t)),
+        _np_rhs(prob),
         prob.tspan,
-        np.asarray(prob.u0),
-        t_eval=np.asarray(ts),
+        np.asarray(prob.u0, dtype=np.float64),
+        t_eval=np.asarray(ts, dtype=np.float64),
         rtol=1e-12,
         atol=1e-12,
         method="LSODA",

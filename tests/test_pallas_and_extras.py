@@ -583,3 +583,25 @@ def test_pallas_single_solve_wrapper_interpret():
         np.testing.assert_allclose(
             np.asarray(us[si]), np.asarray(sol.u[j]), rtol=1e-9, atol=1e-11
         )
+
+
+def test_continuous_callback_nonterminal_no_affect():
+    """Non-terminal event with no affect: the solve lands a step exactly on
+    the root, does not re-fire on the following step (re-arm protection),
+    and completes normally."""
+    u0, p0 = 0.1, 2.0
+    prob = odf.models.logistic(u0=(u0,), p=(p0,), tspan=(0.0, 3.0))
+    cb = odf.ContinuousCallback(lambda u, t, p: u[0] - 0.5, direction=+1)
+    sol = odf.solve(prob, odf.EK1(order=3), abstol=1e-10, reltol=1e-9,
+                    callback=cb)
+    assert sol.retcode_name == "Success"
+    n = int(sol.n_steps)
+    ts = np.asarray(sol.ts[: n + 1])
+    assert ts[-1] == 3.0
+    t_true = np.log((1 - u0) / u0) / p0
+    # exactly one grid point at the root, no duplicate refires around it
+    hits = np.where(np.abs(ts - t_true) < 1e-7)[0]
+    assert len(hits) == 1
+    # step count comparable to the no-event solve (no refire churn)
+    sol0 = odf.solve(prob, odf.EK1(order=3), abstol=1e-10, reltol=1e-9)
+    assert n <= int(sol0.n_steps) + 5
