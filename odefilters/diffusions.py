@@ -23,7 +23,7 @@ never materialized: applying it to the square-root factor is a row scaling).
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve
+from jax.scipy.linalg import solve_triangular
 
 from odefilters.linalg import cholesky_psd
 
@@ -59,11 +59,14 @@ def apply_diffusion_chol(QL: jnp.ndarray, sigma2, q: int) -> jnp.ndarray:
 
 
 def quad_form_solve(z: jnp.ndarray, M_factor: jnp.ndarray) -> jnp.ndarray:
-    """``z^T (F F^T)^{-1} z`` via a guarded Cholesky of ``F F^T``."""
+    """``z^T (F F^T)^{-1} z`` via a guarded Cholesky of ``F F^T``.
+
+    One triangular solve suffices: z^T S^{-1} z = |L^{-1} z|^2 (and it
+    broadcasts over leading batch dims, unlike jax.scipy cho_solve)."""
     S = M_factor @ jnp.swapaxes(M_factor, -1, -2)
     S_chol = cholesky_psd(S)
-    w = cho_solve((S_chol, True), z[..., None])[..., 0]
-    return jnp.sum(z * w, axis=-1)
+    w = solve_triangular(S_chol, z[..., None], lower=True)[..., 0]
+    return jnp.sum(w * w, axis=-1)
 
 
 # --------------------------------------------------------------------------

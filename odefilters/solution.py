@@ -160,12 +160,17 @@ def evaluate_states(
     ``x_smooth[i+1]`` with ``h2 = t_{i+1} - t``. Exact grid hits return the
     stored states (`solution.jl:172-176`).
     """
+    from odefilters.linalg import highest_precision
+
     if smoothed is None:
         smoothed = sol.alg.smooth
     t_arr = jnp.asarray(t, dtype=sol.ts.dtype)
-    if t_arr.ndim == 0:
-        return _evaluate_one(sol, t_arr, smoothed)
-    return jax.vmap(lambda tv: _evaluate_one(sol, tv, smoothed))(t_arr)
+    # highest_precision: dense output does D x D matmuls (predict/smooth)
+    # which would otherwise lower to bf16 MXU passes on TPU (CLAUDE.md)
+    with highest_precision():
+        if t_arr.ndim == 0:
+            return _evaluate_one(sol, t_arr, smoothed)
+        return jax.vmap(lambda tv: _evaluate_one(sol, tv, smoothed))(t_arr)
 
 
 def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
@@ -179,24 +184,28 @@ def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
     tval = jnp.maximum(tval, ts[0])
     i = jnp.clip(jnp.searchsorted(ts, tval, side="right") - 1, 0, n)
     exact = ts[i] == tval
-    # interpolation/extrapolation source index (exact hits don't use it)
-    ii = jnp.clip(i, 0, n)
 
-    diffusion = jnp.take(sol.diffusions, jnp.minimum(ii + 1, n), axis=0)
+    diffusion = jnp.take(sol.diffusions, jnp.minimum(i + 1, n), axis=0)
     QLh = diff.apply_diffusion_chol(QL, diffusion, q)
 
-    # Extrapolate from x_filt[ii] over h1 = t - t_ii
-    h1 = jnp.maximum(tval - ts[ii], jnp.finfo(ts.dtype).tiny)
+    # Extrapolate from x_filt[i] over h1 = t - t_i. On exact hits (and a
+    # non-positive h2 when extrapolating past t_end) the non-selected
+    # branch must still be FINITE: h**(negative) of a tiny h is inf, and
+    # under reverse-mode AD the zero cotangent into the unselected branch
+    # multiplies it (0 * inf = NaN), poisoning the shared x_filt cotangent.
+    one_h = jnp.ones((), ts.dtype)
+    h1 = jnp.where(exact, one_h, jnp.maximum(tval - ts[i], jnp.finfo(ts.dtype).tiny))
     p1, p1i = precond_full(h1, d, q)
-    x_prev = _gaussian_at(sol.x_filt, ii)
+    x_prev = _gaussian_at(sol.x_filt, i)
     pred = predict(scale_rows(p1, x_prev), A, QLh)
     pred = scale_rows(p1i, pred)
 
     if smoothed:
-        # Smooth against x_smooth[ii+1] over h2 = t_{ii+1} - t
-        h2 = jnp.maximum(ts[ii + 1] - tval, jnp.finfo(ts.dtype).tiny)
+        # Smooth against x_smooth[i+1] over h2 = t_{i+1} - t
+        h2_raw = ts[i + 1] - tval
+        h2 = jnp.where(exact | (h2_raw <= 0), one_h, h2_raw)
         p2, p2i = precond_full(h2, d, q)
-        x_next = _gaussian_at(sol.x_smooth, jnp.minimum(ii + 1, n))
+        x_next = _gaussian_at(sol.x_smooth, jnp.minimum(i + 1, n))
         sm, _ = smooth_step(
             scale_rows(p2, pred), scale_rows(p2, x_next), A, QLh
         )
@@ -247,8 +256,11 @@ def compact_saveat(sol: ProbODESolution, ts_save: jax.Array) -> ProbODESolution:
     sol_d = sol.d
     u = xs.mean[:, :sol_d]
     pu = Gaussian(xs.mean[:, :sol_d], xs.chol[:, :sol_d, :])
+    # side="left": an exact grid hit ts_save[j] == sol.ts[i] must map to
+    # the diffusion of the interval ENDING at i (side="right" would shift
+    # it one interval forward)
     idx = jnp.clip(
-        jnp.searchsorted(sol.ts, ts_save, side="right"), 1, sol.n_steps
+        jnp.searchsorted(sol.ts, ts_save, side="left"), 1, sol.n_steps
     )
     diffs = jnp.take(sol.diffusions, idx, axis=0)
     return dataclasses.replace(

@@ -217,7 +217,11 @@ def _make_loop_fns(
 
         res = attempt_step(
             model, c.x, c.u, c.t, dt_eff,
-            c.sigma2, c.n.astype(jnp.int32),
+            # success_count must be ACCEPTED steps (the reference's
+            # integ.success_iter) — c.n also counts dt==0 duplicate rows
+            # written by callbacks, which would corrupt the static
+            # diffusion running means
+            c.sigma2, c.stats.naccept.astype(jnp.int32),
             abstol, reltol, prob.p, linearize_u,
         )
         EEst = jnp.where(jnp.isfinite(res.err_est), res.err_est, 1e10)
@@ -310,7 +314,7 @@ def _make_loop_fns(
                 )
                 res2 = attempt_step(
                     model, c.x, c.u, c.t, t_star - c.t,
-                    c.sigma2, c.n.astype(jnp.int32),
+                    c.sigma2, c.stats.naccept.astype(jnp.int32),
                     abstol, reltol, prob.p, linearize_u,
                 )
                 # commit the relocated step only if it is finite; else

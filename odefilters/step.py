@@ -24,7 +24,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve
+from jax.scipy.linalg import solve_triangular
 
 from odefilters import diffusions as diff
 from odefilters.algorithms import AbstractEK
@@ -220,8 +220,13 @@ def attempt_step(
     ll = gaussian_logpdf_zero(z, S_chol)
 
     # -- update, Joseph square-root form (filtering.jl:79-91) --
+    # two triangular solves: batched-safe, unlike jax.scipy cho_solve
+    # (CLAUDE.md rule; matches ops/filtering.update)
     LZt = L_pred @ jnp.swapaxes(Z, -1, -2)            # (D, d)
-    K = jnp.swapaxes(cho_solve((S_chol, True), jnp.swapaxes(LZt, -1, -2)), -1, -2)
+    W = solve_triangular(S_chol, jnp.swapaxes(LZt, -1, -2), lower=True)
+    K = jnp.swapaxes(
+        solve_triangular(jnp.swapaxes(S_chol, -1, -2), W, lower=False), -1, -2
+    )
     m_filt = m_pred - jnp.einsum("...ij,...j->...i", K, z)
     L_filt = L_pred - K @ Z
 
@@ -230,7 +235,14 @@ def attempt_step(
     u_filt = x_filt.mean[: model.sol_d]
 
     # -- error estimate (perform_step.jl:78-84, 148-158) --
-    HQ_loc = Hmul(diff.apply_diffusion_chol(QL, sigma2_local, q))
+    # HQ_loc is a cheap scaling of the already-computed HQL: scalar
+    # diffusion commutes with H; the MV models are EK0-only (no Jacobian
+    # term in H), so the per-dimension scale factors out row-wise.
+    scale_loc = jnp.sqrt(sigma2_local)
+    if sigma2_local.ndim == 0:
+        HQ_loc = scale_loc * HQL
+    else:
+        HQ_loc = scale_loc[:, None] * HQL
     err_unscaled = jnp.sqrt(jnp.sum(HQ_loc * HQ_loc, axis=-1))  # sqrt diag
     scale = abstol + reltol * jnp.maximum(
         jnp.abs(u_prev[:d]), jnp.abs(u_filt[:d])

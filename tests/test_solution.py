@@ -105,3 +105,33 @@ def test_errors_vs_analytic():
     errs = odf.solution.errors_vs_analytic(sol)
     assert float(errs["final"]) < 1e-6
     assert float(errs["l2"]) < 1e-6
+
+
+def test_grad_through_dense_output_exact_hits():
+    """Reverse-mode gradients through dense output evaluated AT stored
+    grid points stay finite: the unselected interpolation branch used to
+    compute tiny**(-q-1/2) = inf, and 0 * inf = NaN poisoned the shared
+    x_filt cotangents."""
+    import jax
+
+    prob = odf.models.logistic(u0=(0.1,), p=(2.0,), tspan=(0.0, 1.0))
+
+    def loss(p):
+        s = odf.solve_fixed(odf.remake(prob, p=p), odf.EK1(order=2), dt=0.25)
+        # evaluate exactly on stored grid points (incl. t0) + one interior
+        g = s(jnp.asarray([0.0, 0.25, 0.6, 1.0]))
+        return jnp.sum(g.mean)
+
+    g = jax.grad(loss)(prob.p)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # saveat resampling (which always hits t0 exactly) is also grad-safe
+    def loss2(p):
+        s = odf.solve_fixed(odf.remake(prob, p=p), odf.EK1(order=2), dt=0.25)
+        from odefilters.solution import compact_saveat
+
+        s2 = compact_saveat(s, jnp.asarray([0.0, 0.5, 1.0]))
+        return jnp.sum(s2.u)
+
+    g2 = jax.grad(loss2)(prob.p)
+    assert np.all(np.isfinite(np.asarray(g2)))
