@@ -19,6 +19,7 @@ Quick start::
 """
 
 from odefilters.algorithms import EK0, EK1, IEKS, AbstractEK
+from odefilters.priors import IOUP, IWP, Matern
 from odefilters.linalg import Gaussian
 from odefilters.problem import ODEProblem, ode_problem, remake
 from odefilters.solution import MeanProbODESolution, ProbODESolution, evaluate
@@ -84,4 +85,7 @@ __all__ = [
     "models",
     "priors",
     "taylor",
+    "IWP",
+    "IOUP",
+    "Matern",
 ]

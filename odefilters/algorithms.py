@@ -27,16 +27,28 @@ MV_DIFFUSIONS = ("dynamicMV", "fixedMV")
 
 @dataclasses.dataclass(frozen=True)
 class AbstractEK:
-    """Shared config of the Gaussian ODE filters (`algorithms.jl:4-5`)."""
+    """Shared config of the Gaussian ODE filters (`algorithms.jl:4-5`).
 
-    prior: str = "ibm"
+    ``prior`` accepts the reference-compatible string ``"ibm"`` (the
+    default; `algorithms.jl:24` accepts nothing else) or a
+    :class:`odefilters.priors.IWP` / ``IOUP(rate)`` / ``Matern(lengthscale)``
+    instance — generalized Gauss-Markov priors beyond the reference,
+    supported on the dense solver paths (adaptive + fixed-grid, smoothing,
+    dense output, sampling). The Kronecker/Pallas/time-parallel fast paths
+    are IWP-only.
+    """
+
+    prior: object = "ibm"
     order: int = 3
     diffusionmodel: str = "dynamic"
     smooth: bool = True
 
     def __post_init__(self):
-        if self.prior != "ibm":
-            raise ValueError("Only the ibm prior is implemented so far")
+        from odefilters.priors import normalize_prior
+
+        # normalize so EK1(prior="ibm") and EK1(prior=IWP()) hash/compare
+        # equal (they are the same static jit key — no spurious recompiles)
+        object.__setattr__(self, "prior", normalize_prior(self.prior))
         if self.diffusionmodel not in DIFFUSION_MODELS:
             raise ValueError(
                 f"diffusionmodel must be one of {DIFFUSION_MODELS}, "

@@ -222,11 +222,12 @@ def _kron_smooth_all(model: KronModel, x_filt: KronGaussian, ts, diffusions,
         in_range = (i >= 1) & (i <= n_steps - 1)
         dt_safe = jnp.where(dt > 0, dt, 1.0)
         p, p_inv = precond_small(dt_safe, q)
+        At_i, QLt_i = model.transition(dt_safe)
         sigma2 = jnp.take(diffusions, i + 1, axis=0)
-        QLt_h = _apply_diff_chol(model.QLt, sigma2)
+        QLt_h = _apply_diff_chol(QLt_i, sigma2)
         xc = KronGaussian(p[:, None] * x_i.mean, _scale_rows(p, x_i.chol))
         xn = KronGaussian(p[:, None] * x_next.mean, _scale_rows(p, x_next.chol))
-        xs_p, _ = kron_smooth_step(xc, xn, model.At, QLt_h)
+        xs_p, _ = kron_smooth_step(xc, xn, At_i, QLt_h)
         xs = KronGaussian(
             p_inv[:, None] * xs_p.mean, _scale_rows(p_inv, xs_p.chol)
         )
@@ -255,11 +256,10 @@ def _evaluate_one(sol: KronProbODESolution, tval):
     """Dense output via small-factor predict/smooth between grid points."""
     from odefilters.ops.kron import kron_smooth_step
     from odefilters.linalg import tril_factor
-    from odefilters.priors import ibm_small
+    from odefilters.priors import IWP, ibm_small, transition_precond_small
 
     q, d = sol.q, sol.d
     dtype = sol.ts.dtype
-    At, QLt = ibm_small(q, dtype=dtype)
     ts, n = sol.ts, sol.n_steps
 
     # clamp below t0; extrapolate from the last state beyond t_end
@@ -268,9 +268,13 @@ def _evaluate_one(sol: KronProbODESolution, tval):
     exact = ts[i] == tval
     ii = jnp.clip(i, 0, n)
     sigma2 = jnp.take(sol.diffusions, jnp.minimum(ii + 1, n), axis=0)
-    QLt_h = _apply_diff_chol(QLt, sigma2)
 
     h1 = jnp.maximum(tval - ts[ii], jnp.finfo(dtype).tiny)
+    if isinstance(sol.alg.prior, IWP):
+        At, QLt = ibm_small(q, dtype=dtype)
+    else:
+        At, QLt = transition_precond_small(sol.alg.prior, q, h1, dtype)
+    QLt_h = _apply_diff_chol(QLt, sigma2)
     p1, p1i = precond_small(h1, q)
     xf = KronGaussian(sol.x_filt.mean[ii], sol.x_filt.chol[ii])
     m_p = At @ (p1[:, None] * xf.mean)
@@ -287,6 +291,11 @@ def _evaluate_one(sol: KronProbODESolution, tval):
 
     if sol.alg.smooth:
         h2 = jnp.maximum(ts[ii + 1] - tval, jnp.finfo(dtype).tiny)
+        if isinstance(sol.alg.prior, IWP):
+            At2, QLt2_h = At, QLt_h
+        else:
+            At2, QLt2 = transition_precond_small(sol.alg.prior, q, h2, dtype)
+            QLt2_h = _apply_diff_chol(QLt2, sigma2)
         p2, p2i = precond_small(h2, q)
         xn = KronGaussian(
             sol.x_smooth.mean[jnp.minimum(ii + 1, n)],
@@ -294,7 +303,7 @@ def _evaluate_one(sol: KronProbODESolution, tval):
         )
         xc = KronGaussian(p2[:, None] * pred.mean, _scale_rows(p2, pred.chol))
         xn_p = KronGaussian(p2[:, None] * xn.mean, _scale_rows(p2, xn.chol))
-        sm, _ = kron_smooth_step(xc, xn_p, At, QLt_h)
+        sm, _ = kron_smooth_step(xc, xn_p, At2, QLt2_h)
         sm = KronGaussian(p2i[:, None] * sm.mean, _scale_rows(p2i, sm.chol))
         inside = tval < ts[n]
         pred = jax.tree.map(lambda a, b: jnp.where(inside, a, b), sm, pred)
@@ -526,14 +535,14 @@ def sample(key, sol: KronProbODESolution, n: int = 1) -> jax.Array:
         )
     return _kron_sample_jit(
         key, sol.ts, sol.x_filt, sol.diffusions, sol.n_steps,
-        sol.d, sol.q, n,
+        sol.d, sol.q, n, sol.alg.prior,
     )
 
 
-@partial(jax.jit, static_argnames=("d", "q", "n"))
+@partial(jax.jit, static_argnames=("d", "q", "n", "prior"))
 def _kron_sample_jit(key, ts, x_filt: KronGaussian, diffusions, n_steps,
-                     d: int, q: int, n: int):
-    from odefilters.priors import ibm_small
+                     d: int, q: int, n: int, prior=None):
+    from odefilters.priors import IWP, ibm_small, transition_precond_small
 
     dtype = x_filt.mean.dtype
     At, QLt = ibm_small(q, dtype=dtype)
@@ -561,8 +570,12 @@ def _kron_sample_jit(key, ts, x_filt: KronGaussian, diffusions, n_steps,
         in_range = i <= n_steps - 1
         dt_safe = jnp.where(dt > 0, dt, 1.0)
         p, p_inv = precond_small(dt_safe, q)
+        if prior is None or isinstance(prior, IWP):
+            At_i, QLt_i = At, QLt
+        else:
+            At_i, QLt_i = transition_precond_small(prior, q, dt_safe, dtype)
         sigma2 = jnp.take(diffusions, jnp.minimum(i + 1, n_steps), axis=0)
-        QLt_h = _apply_diff_chol(QLt, sigma2)
+        QLt_h = _apply_diff_chol(QLt_i, sigma2)
         xf = KronGaussian(
             p[:, None] * x_filt.mean[i], p[:, None] * x_filt.chol[i]
         )
@@ -571,7 +584,7 @@ def _kron_sample_jit(key, ts, x_filt: KronGaussian, diffusions, n_steps,
             target = KronGaussian(
                 p[:, None] * s_next, jnp.zeros((nq, nq), dtype)
             )
-            cond, _ = kron_smooth_step(xf, target, At, QLt_h)
+            cond, _ = kron_smooth_step(xf, target, At_i, QLt_h)
             return p_inv[:, None] * draw(kk2, cond)
 
         keys_n = jax.random.split(kk, n)

@@ -55,6 +55,22 @@ class KronModel:
     QLt: jax.Array       # (q+1, q+1) preconditioned noise factor
     dtype: Any
 
+    @property
+    def is_iwp(self) -> bool:
+        from odefilters.priors import IWP
+
+        return isinstance(self.alg.prior, IWP)
+
+    def transition(self, dt):
+        """Preconditioned small transition pair for step ``dt``; constants
+        for IWP, per-step expm+quadrature otherwise (any Gauss-Markov prior
+        keeps the ``(q+1) ⊗ I_d`` Kronecker structure)."""
+        if self.is_iwp:
+            return self.At, self.QLt
+        from odefilters.priors import transition_precond_small
+
+        return transition_precond_small(self.alg.prior, self.q, dt, self.dtype)
+
 
 def make_kron_model(alg: AbstractEK, f, d: int, dtype) -> KronModel:
     if alg.is_ek1:
@@ -96,7 +112,7 @@ def kron_attempt_step(
     from odefilters import diffusions as diff
 
     alg, d, q = model.alg, model.d, model.q
-    At, QLt = model.At, model.QLt
+    At, QLt = model.transition(dt)
     t_new = t + dt
 
     p_s, pinv_s = precond_small(dt, q)               # (q+1,)

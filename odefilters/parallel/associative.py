@@ -228,9 +228,16 @@ def _solve_parallel_jit_inner(
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     N = n_steps
 
-    # Uniform-grid preconditioned coordinates: constant A, Q across steps.
+    # Uniform-grid preconditioned coordinates: constant A, Q across steps —
+    # for ANY Gauss-Markov prior (the step h is the same every interval, so
+    # non-IWP preconditioned transitions are constants here too).
     h = (ts[-1] - ts[0]) / N
-    A, QL = ibm(d, q, dtype=dtype)
+    from odefilters.priors import IWP, transition_precond_full
+
+    if isinstance(alg.prior, IWP):
+        A, QL = ibm(d, q, dtype=dtype)
+    else:
+        A, QL = transition_precond_full(alg.prior, d, q, h, dtype)
     Qm = QL @ QL.T
     p_full, pinv_full = precond_full(h, d, q)
 
@@ -372,7 +379,11 @@ def solve_fixed_parallel(
     covariance form (``sqrt_form=False``) also routes its element
     combinations through LU, which has no f64 lowering on TPU — use it for
     CPU/f64 cross-checks only. The grid must be *uniform* (constant
-    preconditioned transition per step).
+    preconditioned transition per step). Generalized priors (IOUP/Matern)
+    are supported: on a uniform grid their preconditioned transition is a
+    constant too, so the associative elements are unchanged (the EK0 warm
+    start runs its coarse Kronecker solve with the IWP prior — it only
+    seeds the linearization trajectory).
     """
     t0, t1 = prob.tspan
     if ts is None:

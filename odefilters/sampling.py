@@ -17,13 +17,13 @@ import jax.numpy as jnp
 from odefilters import diffusions as diff
 from odefilters.linalg import Gaussian, sample_gaussian, scale_rows
 from odefilters.ops.filtering import smooth_step
-from odefilters.priors import ibm, precond_full
+from odefilters.priors import IWP, ibm, precond_full, transition_precond_full
 from odefilters.solution import ProbODESolution, evaluate_states
 
 
 def _sample_states_impl(
     key, ts, x_filt: Gaussian, diffusions, difftimes, n_steps, d: int, q: int,
-    n: int,
+    n: int, prior=None,
 ):
     """Backward pass over the buffers; returns (N+1, D, n) samples.
 
@@ -53,6 +53,10 @@ def _sample_states_impl(
         in_range = i <= n_steps - 1
         dt_safe = jnp.where(dt > 0, dt, 1.0)
         p, p_inv = precond_full(dt_safe, d, q)
+        if prior is None or isinstance(prior, IWP):
+            A_i, QL_i = A, QL
+        else:
+            A_i, QL_i = transition_precond_full(prior, d, q, dt_safe, dtype)
 
         # diffusion of the interval containing ts[i]
         # (reference: i_diffusion = sum(difftimes .<= ts[i]),
@@ -61,13 +65,13 @@ def _sample_states_impl(
             jnp.searchsorted(difftimes, ts[i], side="right"), 1, n_steps
         )
         sigma2 = jnp.take(diffusions, i_diff, axis=0)
-        QLh = diff.apply_diffusion_chol(QL, sigma2, q)
+        QLh = diff.apply_diffusion_chol(QL_i, sigma2, q)
 
         x_prev_p = scale_rows(p, Gaussian(x_filt.mean[i], x_filt.chol[i]))
 
         def one(sample_col, kk):
             target = Gaussian(p * sample_col, jnp.zeros((D, D), dtype))
-            cond, _ = smooth_step(x_prev_p, target, A, QLh)
+            cond, _ = smooth_step(x_prev_p, target, A_i, QLh)
             draw = sample_gaussian(kk, cond, 1)[..., 0]
             return p_inv * draw
 
@@ -87,10 +91,11 @@ def _sample_states_impl(
     return path
 
 
-@partial(jax.jit, static_argnames=("n", "d", "q"))
-def _sample_states_jit(key, ts, x_filt, diffusions, difftimes, n_steps, d, q, n):
+@partial(jax.jit, static_argnames=("n", "d", "q", "prior"))
+def _sample_states_jit(key, ts, x_filt, diffusions, difftimes, n_steps, d, q,
+                       n, prior=None):
     return _sample_states_impl(
-        key, ts, x_filt, diffusions, difftimes, n_steps, d, q, n
+        key, ts, x_filt, diffusions, difftimes, n_steps, d, q, n, prior
     )
 
 
@@ -103,7 +108,7 @@ def sample_states(key, sol: ProbODESolution, n: int = 1) -> jax.Array:
         raise ValueError("sampling not implemented for non-smoothed posteriors")
     return _sample_states_jit(
         key, sol.ts, sol.x_filt, sol.diffusions, sol.ts, sol.n_steps,
-        sol.d, sol.q, n,
+        sol.d, sol.q, n, sol.alg.prior,
     )
 
 
@@ -123,7 +128,7 @@ def dense_sample_states(key, sol: ProbODESolution, n: int = 1, n_grid: int = 100
     states = evaluate_states(sol, times, smoothed=False)
     samples = _sample_states_jit(
         key, times, states, sol.diffusions, sol.ts,
-        jnp.asarray(n_grid - 1, jnp.int32), sol.d, sol.q, n,
+        jnp.asarray(n_grid - 1, jnp.int32), sol.d, sol.q, n, sol.alg.prior,
     )
     return samples, times
 

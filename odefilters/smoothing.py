@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from odefilters import diffusions as diff
 from odefilters.linalg import Gaussian, scale_rows
 from odefilters.ops.filtering import smooth_step
-from odefilters.priors import precond_full
+from odefilters.priors import IWP, precond_full, transition_precond_full
 
 
 def _select(pred, a, b):
@@ -32,6 +32,7 @@ def smooth_all(
     QL: jax.Array,
     d: int,
     q: int,
+    prior=None,
 ) -> Gaussian:
     """Backward pass producing the smoothed trajectory.
 
@@ -60,10 +61,16 @@ def smooth_all(
 
         dt_safe = jnp.where(dt > 0, dt, 1.0)
         p, p_inv = precond_full(dt_safe, d, q)
+        if prior is None or isinstance(prior, IWP):
+            A_i, QL_i = A, QL
+        else:  # non-IWP priors: per-interval preconditioned transition
+            A_i, QL_i = transition_precond_full(
+                prior, d, q, dt_safe, x_filt.mean.dtype
+            )
         sigma2 = jnp.take(diffusions, i + 1, axis=0)
-        QLh = diff.apply_diffusion_chol(QL, sigma2, q)
+        QLh = diff.apply_diffusion_chol(QL_i, sigma2, q)
         xs_p, _ = smooth_step(
-            scale_rows(p, x_i), scale_rows(p, x_next), A, QLh
+            scale_rows(p, x_i), scale_rows(p, x_next), A_i, QLh
         )
         xs = scale_rows(p_inv, xs_p)
 

@@ -22,7 +22,7 @@ from odefilters import diffusions as diff
 from odefilters.algorithms import AbstractEK
 from odefilters.linalg import Gaussian, scale_rows
 from odefilters.ops.filtering import predict, smooth_step
-from odefilters.priors import ibm, precond_full
+from odefilters.priors import IWP, ibm, precond_full, transition_precond_full
 from odefilters.problem import ODEProblem
 
 RETCODE_SUCCESS = 0
@@ -140,10 +140,14 @@ def _state_dim(sol: ProbODESolution) -> int:
     return sol.x_filt.mean.shape[-1] // (sol.q + 1)
 
 
-def _interp_model(sol: ProbODESolution):
+def _interp_model(sol: ProbODESolution, h):
+    """Preconditioned transition pair for an interpolation step ``h``
+    (h-independent constants for the IWP prior)."""
     dtype = sol.u.dtype
-    A, QL = ibm(_state_dim(sol), sol.q, dtype=dtype)
-    return A, QL
+    prior = sol.alg.prior
+    if isinstance(prior, IWP):
+        return ibm(_state_dim(sol), sol.q, dtype=dtype)
+    return transition_precond_full(prior, _state_dim(sol), sol.q, h, dtype)
 
 
 def _gaussian_at(g: Gaussian, i) -> Gaussian:
@@ -175,7 +179,6 @@ def evaluate_states(
 
 def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
     d, q = _state_dim(sol), sol.q
-    A, QL = _interp_model(sol)
     ts, n = sol.ts, sol.n_steps
 
     # clamp below t0 to the stored initial state (the reference raises,
@@ -186,7 +189,6 @@ def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
     exact = ts[i] == tval
 
     diffusion = jnp.take(sol.diffusions, jnp.minimum(i + 1, n), axis=0)
-    QLh = diff.apply_diffusion_chol(QL, diffusion, q)
 
     # Extrapolate from x_filt[i] over h1 = t - t_i. On exact hits (and a
     # non-positive h2 when extrapolating past t_end) the non-selected
@@ -195,19 +197,23 @@ def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
     # multiplies it (0 * inf = NaN), poisoning the shared x_filt cotangent.
     one_h = jnp.ones((), ts.dtype)
     h1 = jnp.where(exact, one_h, jnp.maximum(tval - ts[i], jnp.finfo(ts.dtype).tiny))
+    A1, QL1 = _interp_model(sol, h1)
+    QLh1 = diff.apply_diffusion_chol(QL1, diffusion, q)
     p1, p1i = precond_full(h1, d, q)
     x_prev = _gaussian_at(sol.x_filt, i)
-    pred = predict(scale_rows(p1, x_prev), A, QLh)
+    pred = predict(scale_rows(p1, x_prev), A1, QLh1)
     pred = scale_rows(p1i, pred)
 
     if smoothed:
         # Smooth against x_smooth[i+1] over h2 = t_{i+1} - t
         h2_raw = ts[i + 1] - tval
         h2 = jnp.where(exact | (h2_raw <= 0), one_h, h2_raw)
+        A2, QL2 = _interp_model(sol, h2)
+        QLh2 = diff.apply_diffusion_chol(QL2, diffusion, q)
         p2, p2i = precond_full(h2, d, q)
         x_next = _gaussian_at(sol.x_smooth, jnp.minimum(i + 1, n))
         sm, _ = smooth_step(
-            scale_rows(p2, pred), scale_rows(p2, x_next), A, QLh
+            scale_rows(p2, pred), scale_rows(p2, x_next), A2, QLh2
         )
         sm = scale_rows(p2i, sm)
         inside = tval < ts[n]

@@ -272,22 +272,25 @@ def _make_loop_fns(
             # re-detect the same crossing
             fired_ev = accept & crossed & c.ev_armed
 
-            QLh = diff.apply_diffusion_chol(model.QL, res.sigma2_local, q_)
             tiny = jnp.finfo(dtype).tiny
 
             def interp_u(tau):
                 # predict from x(t) over h1, smooth against x_filt(t_new)
                 # over h2 — the dense-output bridge (`solution.jl:165-210`)
                 h1 = jnp.maximum(tau - c.t, tiny)
+                A1, QL1 = model.transition(h1)
+                QLh1 = diff.apply_diffusion_chol(QL1, res.sigma2_local, q_)
                 p1, p1i = precond_full(h1, model.d, q_)
                 pred = scale_rows(
-                    p1i, _predict(scale_rows(p1, c.x), model.A, QLh)
+                    p1i, _predict(scale_rows(p1, c.x), A1, QLh1)
                 )
                 h2 = jnp.maximum(t_new - tau, tiny)
+                A2, QL2 = model.transition(h2)
+                QLh2 = diff.apply_diffusion_chol(QL2, res.sigma2_local, q_)
                 p2, p2i = precond_full(h2, model.d, q_)
                 sm, _ = _smooth_step(
                     scale_rows(p2, pred), scale_rows(p2, res.x_filt),
-                    model.A, QLh,
+                    A2, QLh2,
                 )
                 return (p2i * sm.mean)[: model.sol_d]
 
@@ -477,7 +480,8 @@ def _postprocess(
         ll = jnp.asarray(jnp.nan, dtype=model.dtype)
 
     if alg.smooth:
-        x_out = smooth_all(x_filt, ts, diffs, n, model.A, model.QL, d, q)
+        x_out = smooth_all(x_filt, ts, diffs, n, model.A, model.QL, d, q,
+                           prior=alg.prior)
     else:
         x_out = x_filt
 

@@ -29,7 +29,7 @@ from jax.scipy.linalg import solve_triangular
 from odefilters import diffusions as diff
 from odefilters.algorithms import AbstractEK
 from odefilters.linalg import Gaussian, gaussian_logpdf_zero, qr_stack2, tril_factor
-from odefilters.priors import ibm, precond_small
+from odefilters.priors import IWP, ibm, precond_small, transition_precond_full
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +60,24 @@ class FilterModel:
         """Dimension of the projected solution: [u] or [u; du]
         (the reference's SolProj 2nd-order branch, `caches.jl:66`)."""
         return 2 * self.d if self.second_order else self.d
+
+    @property
+    def is_iwp(self) -> bool:
+        return isinstance(self.alg.prior, IWP)
+
+    def transition(self, dt):
+        """Preconditioned transition pair ``(A_p, QL_p)`` for a step ``dt``.
+
+        IWP: the stored h-independent constants (the classic preconditioned
+        IBM trick, `priors.jl:7-59`). Other priors: computed per step in
+        preconditioned coordinates (h-power-overflow-free; see
+        ``odefilters/priors.py``).
+        """
+        if self.is_iwp:
+            return self.A, self.QL
+        return transition_precond_full(
+            self.alg.prior, self.d, self.q, dt, self.dtype
+        )
 
 
 def make_model(alg: AbstractEK, f, jac, d: int, dtype,
@@ -125,7 +143,7 @@ def attempt_step(
             predicted mean.
     """
     alg, d, q = model.alg, model.d, model.q
-    A, QL = model.A, model.QL
+    A, QL = model.transition(dt)
     t_new = t + dt
 
     # -- precondition (perform_step.jl:36-38) --

@@ -32,16 +32,39 @@ from odefilters.solution import ProbODESolution
 _ALG_CLASSES = {"EK0": EK0, "EK1": EK1, "IEKS": IEKS}
 
 
+def _prior_meta(prior) -> dict:
+    """JSON-encode a Prior instance (IWP/IOUP/Matern are frozen dataclasses
+    with float fields only)."""
+    return {
+        "prior_class": type(prior).__name__,
+        "params": dataclasses.asdict(prior),
+    }
+
+
+def _prior_from_meta(meta) -> object:
+    from odefilters import priors
+
+    if isinstance(meta, str):  # pre-generalized-priors checkpoints
+        return meta
+    return getattr(priors, meta["prior_class"])(**meta["params"])
+
+
 def _alg_meta(alg) -> dict:
     return {
         "alg_class": type(alg).__name__,
         "alg": {
-            "prior": alg.prior,
+            "prior": _prior_meta(alg.prior),
             "order": alg.order,
             "diffusionmodel": alg.diffusionmodel,
             "smooth": alg.smooth,
         },
     }
+
+
+def _alg_from_meta(meta) -> object:
+    kw = dict(meta["alg"])
+    kw["prior"] = _prior_from_meta(kw["prior"])
+    return _ALG_CLASSES[meta["alg_class"]](**kw)
 
 
 def save_integrator(path: str, integ) -> None:
@@ -73,7 +96,7 @@ def load_integrator(path: str, prob: ODEProblem):
     meta = json.loads(str(data["__meta__"]))
     if meta.get("kind") != "integrator":
         raise ValueError(f"{path} is not an integrator checkpoint")
-    alg = _ALG_CLASSES[meta["alg_class"]](**meta["alg"])
+    alg = _alg_from_meta(meta)
     abstol, reltol, max_steps, maxiters, dtmin = meta["opts"]
     integ = Integrator(
         prob, alg, abstol, reltol, int(max_steps), int(maxiters), dtmin,
@@ -94,16 +117,7 @@ def save_solution(path: str, sol: ProbODESolution) -> None:
         dataclasses.replace(sol, prob=None)  # type: ignore[arg-type]
     )
     arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    alg = sol.alg
-    meta = {
-        "alg_class": type(alg).__name__,
-        "alg": {
-            "prior": alg.prior,
-            "order": alg.order,
-            "diffusionmodel": alg.diffusionmodel,
-            "smooth": alg.smooth,
-        },
-    }
+    meta = _alg_meta(sol.alg)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrs)
 
 
@@ -111,7 +125,7 @@ def load_solution(path: str, prob: ODEProblem) -> ProbODESolution:
     """Reload a solution; ``prob`` must be the problem it was solved from."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
-    alg = _ALG_CLASSES[meta["alg_class"]](**meta["alg"])
+    alg = _alg_from_meta(meta)
     n = len([k for k in data.files if k.startswith("leaf_")])
     leaves = [data[f"leaf_{i}"] for i in range(n)]
     # Rebuild the treedef from a structural template with the same alg and
