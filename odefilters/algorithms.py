@@ -33,9 +33,10 @@ class AbstractEK:
     default; `algorithms.jl:24` accepts nothing else) or a
     :class:`odefilters.priors.IWP` / ``IOUP(rate)`` / ``Matern(lengthscale)``
     instance — generalized Gauss-Markov priors beyond the reference,
-    supported on the dense solver paths (adaptive + fixed-grid, smoothing,
-    dense output, sampling). The Kronecker/Pallas/time-parallel fast paths
-    are IWP-only.
+    supported everywhere except the fused Pallas kernels (which bake in
+    the IWP constants): dense adaptive + fixed-grid solvers, smoothing,
+    dense output, sampling, the EK0 Kronecker fast path, and the
+    time-parallel backend.
     """
 
     prior: object = "ibm"

@@ -256,7 +256,7 @@ def _evaluate_one(sol: KronProbODESolution, tval):
     """Dense output via small-factor predict/smooth between grid points."""
     from odefilters.ops.kron import kron_smooth_step
     from odefilters.linalg import tril_factor
-    from odefilters.priors import IWP, ibm_small, transition_precond_small
+    from odefilters.priors import transition_precond_small
 
     q, d = sol.q, sol.d
     dtype = sol.ts.dtype
@@ -270,10 +270,7 @@ def _evaluate_one(sol: KronProbODESolution, tval):
     sigma2 = jnp.take(sol.diffusions, jnp.minimum(ii + 1, n), axis=0)
 
     h1 = jnp.maximum(tval - ts[ii], jnp.finfo(dtype).tiny)
-    if isinstance(sol.alg.prior, IWP):
-        At, QLt = ibm_small(q, dtype=dtype)
-    else:
-        At, QLt = transition_precond_small(sol.alg.prior, q, h1, dtype)
+    At, QLt = transition_precond_small(sol.alg.prior, q, h1, dtype)
     QLt_h = _apply_diff_chol(QLt, sigma2)
     p1, p1i = precond_small(h1, q)
     xf = KronGaussian(sol.x_filt.mean[ii], sol.x_filt.chol[ii])
@@ -291,11 +288,8 @@ def _evaluate_one(sol: KronProbODESolution, tval):
 
     if sol.alg.smooth:
         h2 = jnp.maximum(ts[ii + 1] - tval, jnp.finfo(dtype).tiny)
-        if isinstance(sol.alg.prior, IWP):
-            At2, QLt2_h = At, QLt_h
-        else:
-            At2, QLt2 = transition_precond_small(sol.alg.prior, q, h2, dtype)
-            QLt2_h = _apply_diff_chol(QLt2, sigma2)
+        At2, QLt2 = transition_precond_small(sol.alg.prior, q, h2, dtype)
+        QLt2_h = _apply_diff_chol(QLt2, sigma2)
         p2, p2i = precond_small(h2, q)
         xn = KronGaussian(
             sol.x_smooth.mean[jnp.minimum(ii + 1, n)],
@@ -542,10 +536,9 @@ def sample(key, sol: KronProbODESolution, n: int = 1) -> jax.Array:
 @partial(jax.jit, static_argnames=("d", "q", "n", "prior"))
 def _kron_sample_jit(key, ts, x_filt: KronGaussian, diffusions, n_steps,
                      d: int, q: int, n: int, prior=None):
-    from odefilters.priors import IWP, ibm_small, transition_precond_small
+    from odefilters.priors import transition_precond_small
 
     dtype = x_filt.mean.dtype
-    At, QLt = ibm_small(q, dtype=dtype)
     nq = q + 1
     N1 = ts.shape[0]
 
@@ -570,10 +563,8 @@ def _kron_sample_jit(key, ts, x_filt: KronGaussian, diffusions, n_steps,
         in_range = i <= n_steps - 1
         dt_safe = jnp.where(dt > 0, dt, 1.0)
         p, p_inv = precond_small(dt_safe, q)
-        if prior is None or isinstance(prior, IWP):
-            At_i, QLt_i = At, QLt
-        else:
-            At_i, QLt_i = transition_precond_small(prior, q, dt_safe, dtype)
+        # per-interval preconditioned transition (IWP: h-free constants)
+        At_i, QLt_i = transition_precond_small(prior, q, dt_safe, dtype)
         sigma2 = jnp.take(diffusions, jnp.minimum(i + 1, n_steps), axis=0)
         QLt_h = _apply_diff_chol(QLt_i, sigma2)
         xf = KronGaussian(

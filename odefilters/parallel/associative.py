@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from odefilters.algorithms import AbstractEK
-from odefilters.priors import ibm, precond_full
+from odefilters.priors import precond_full
 from odefilters.problem import ODEProblem
 from odefilters.taylor import taylor_coefficients
 
@@ -232,12 +232,9 @@ def _solve_parallel_jit_inner(
     # for ANY Gauss-Markov prior (the step h is the same every interval, so
     # non-IWP preconditioned transitions are constants here too).
     h = (ts[-1] - ts[0]) / N
-    from odefilters.priors import IWP, transition_precond_full
+    from odefilters.priors import transition_precond_full
 
-    if isinstance(alg.prior, IWP):
-        A, QL = ibm(d, q, dtype=dtype)
-    else:
-        A, QL = transition_precond_full(alg.prior, d, q, h, dtype)
+    A, QL = transition_precond_full(alg.prior, d, q, h, dtype)
     Qm = QL @ QL.T
     p_full, pinv_full = precond_full(h, d, q)
 

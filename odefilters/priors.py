@@ -194,8 +194,12 @@ def precond_full(h, d: int, q: int):
 # For the IWP, M_p is nilpotent and the integrand polynomial, so this
 # machinery reproduces `ibm_small` exactly (tested); IWP keeps its
 # closed-form constant path. Quadrature with K nodes is exact for IWP
-# (degree 2q <= 2K-1) and accurate to ~1e-14 for |rate * h| (IOUP) or
-# |lambda * h| (Matern) up to ~15-20 with the default K.
+# (degree 2q <= 2K-1); for IOUP/Matern the integrand carries exp(alpha c)
+# factors with alpha ~ rate*h (IOUP) / lambda*h (Matern), and the default
+# K = 48 is accurate to <~1e-8 up to |alpha| ~ 130 (verified against an
+# adaptive scipy quad_vec oracle — NOT Van Loan, which itself loses all
+# relative accuracy beyond |alpha| ~ 30). Cost is negligible: a batched
+# expm of (K+1) matrices of size (q+1).
 # --------------------------------------------------------------------------
 
 
@@ -215,6 +219,10 @@ class IOUP:
 
     rate: float = -1.0
 
+    def __post_init__(self):
+        if not math.isfinite(self.rate):
+            raise ValueError(f"IOUP rate must be finite, got {self.rate!r}")
+
 
 @dataclasses.dataclass(frozen=True)
 class Matern:
@@ -227,6 +235,13 @@ class Matern:
     """
 
     lengthscale: float = 1.0
+
+    def __post_init__(self):
+        if not (math.isfinite(self.lengthscale) and self.lengthscale > 0):
+            raise ValueError(
+                f"Matern lengthscale must be positive and finite, got "
+                f"{self.lengthscale!r}"
+            )
 
 
 Prior = IWP | IOUP | Matern
@@ -313,7 +328,7 @@ def _gl_nodes(K: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def default_quad_nodes(q: int) -> int:
-    return max(q + 3, 20)
+    return max(q + 3, 48)
 
 
 def transition_precond_small(

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from odefilters import diffusions as diff
 from odefilters.linalg import Gaussian, sample_gaussian, scale_rows
 from odefilters.ops.filtering import smooth_step
-from odefilters.priors import IWP, ibm, precond_full, transition_precond_full
+from odefilters.priors import precond_full, transition_precond_full
 from odefilters.solution import ProbODESolution, evaluate_states
 
 
@@ -33,7 +33,6 @@ def _sample_states_impl(
     conditional.
     """
     dtype = x_filt.mean.dtype
-    A, QL = ibm(d, q, dtype=dtype)
     D = x_filt.mean.shape[-1]
     N1 = ts.shape[0]
 
@@ -53,10 +52,8 @@ def _sample_states_impl(
         in_range = i <= n_steps - 1
         dt_safe = jnp.where(dt > 0, dt, 1.0)
         p, p_inv = precond_full(dt_safe, d, q)
-        if prior is None or isinstance(prior, IWP):
-            A_i, QL_i = A, QL
-        else:
-            A_i, QL_i = transition_precond_full(prior, d, q, dt_safe, dtype)
+        # per-interval preconditioned transition (IWP: h-free constants)
+        A_i, QL_i = transition_precond_full(prior, d, q, dt_safe, dtype)
 
         # diffusion of the interval containing ts[i]
         # (reference: i_diffusion = sum(difftimes .<= ts[i]),

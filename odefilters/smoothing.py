@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from odefilters import diffusions as diff
 from odefilters.linalg import Gaussian, scale_rows
 from odefilters.ops.filtering import smooth_step
-from odefilters.priors import IWP, precond_full, transition_precond_full
+from odefilters.priors import precond_full, transition_precond_full
 
 
 def _select(pred, a, b):
@@ -28,8 +28,6 @@ def smooth_all(
     ts: jax.Array,
     diffusions: jax.Array,
     n_steps: jax.Array,
-    A: jax.Array,
-    QL: jax.Array,
     d: int,
     q: int,
     prior=None,
@@ -61,12 +59,11 @@ def smooth_all(
 
         dt_safe = jnp.where(dt > 0, dt, 1.0)
         p, p_inv = precond_full(dt_safe, d, q)
-        if prior is None or isinstance(prior, IWP):
-            A_i, QL_i = A, QL
-        else:  # non-IWP priors: per-interval preconditioned transition
-            A_i, QL_i = transition_precond_full(
-                prior, d, q, dt_safe, x_filt.mean.dtype
-            )
+        # per-interval preconditioned transition (IWP: h-free constants,
+        # hoisted out of the scan by XLA)
+        A_i, QL_i = transition_precond_full(
+            prior, d, q, dt_safe, x_filt.mean.dtype
+        )
         sigma2 = jnp.take(diffusions, i + 1, axis=0)
         QLh = diff.apply_diffusion_chol(QL_i, sigma2, q)
         xs_p, _ = smooth_step(

@@ -22,7 +22,7 @@ from odefilters import diffusions as diff
 from odefilters.algorithms import AbstractEK
 from odefilters.linalg import Gaussian, scale_rows
 from odefilters.ops.filtering import predict, smooth_step
-from odefilters.priors import IWP, ibm, precond_full, transition_precond_full
+from odefilters.priors import precond_full, transition_precond_full
 from odefilters.problem import ODEProblem
 
 RETCODE_SUCCESS = 0
@@ -143,11 +143,9 @@ def _state_dim(sol: ProbODESolution) -> int:
 def _interp_model(sol: ProbODESolution, h):
     """Preconditioned transition pair for an interpolation step ``h``
     (h-independent constants for the IWP prior)."""
-    dtype = sol.u.dtype
-    prior = sol.alg.prior
-    if isinstance(prior, IWP):
-        return ibm(_state_dim(sol), sol.q, dtype=dtype)
-    return transition_precond_full(prior, _state_dim(sol), sol.q, h, dtype)
+    return transition_precond_full(
+        sol.alg.prior, _state_dim(sol), sol.q, h, sol.u.dtype
+    )
 
 
 def _gaussian_at(g: Gaussian, i) -> Gaussian:

@@ -480,8 +480,7 @@ def _postprocess(
         ll = jnp.asarray(jnp.nan, dtype=model.dtype)
 
     if alg.smooth:
-        x_out = smooth_all(x_filt, ts, diffs, n, model.A, model.QL, d, q,
-                           prior=alg.prior)
+        x_out = smooth_all(x_filt, ts, diffs, n, d, q, prior=alg.prior)
     else:
         x_out = x_filt
 

@@ -46,7 +46,14 @@ def _prior_from_meta(meta) -> object:
 
     if isinstance(meta, str):  # pre-generalized-priors checkpoints
         return meta
-    return getattr(priors, meta["prior_class"])(**meta["params"])
+    classes = {"IWP": priors.IWP, "IOUP": priors.IOUP, "Matern": priors.Matern}
+    try:
+        cls = classes[meta["prior_class"]]
+    except KeyError:
+        raise ValueError(
+            f"unknown prior class in checkpoint: {meta.get('prior_class')!r}"
+        ) from None
+    return cls(**meta["params"])
 
 
 def _alg_meta(alg) -> dict:

@@ -185,6 +185,39 @@ def test_f32_ioup_adaptive_finite(prob_lv):
 # ---------------------------------------------------------------------------
 
 
+def test_quadrature_accurate_at_large_generator_norm():
+    """K=48 default nodes: accurate noise integrals even at |rate*h| = 50 /
+    |lambda*h| ~ 130 — checked against adaptive scipy quad_vec (Van Loan
+    itself loses all relative accuracy there: it mixes e^(+|a|) and
+    e^(-|a|) scales)."""
+    from scipy.integrate import quad_vec
+
+    q = 3
+    n = q + 1
+    for prior, h in [(IOUP(rate=-50.0), 1.0), (Matern(lengthscale=0.05), 1.0)]:
+        F = _drift_np(prior, q)
+
+        def integrand(tau):
+            a = sla.expm(F * tau)[:, q]
+            return np.outer(a, a)
+
+        Q_ref, _ = quad_vec(integrand, 0.0, h, epsabs=1e-15, epsrel=1e-13)
+        _, QL = discretize_small(prior, q, h)
+        np.testing.assert_allclose(
+            np.asarray(QL @ QL.T), Q_ref,
+            rtol=1e-7, atol=1e-10 * np.abs(Q_ref).max(),
+        )
+
+
+def test_prior_param_validation():
+    with pytest.raises(ValueError):
+        Matern(lengthscale=0.0)
+    with pytest.raises(ValueError):
+        Matern(lengthscale=-1.0)
+    with pytest.raises(ValueError):
+        IOUP(rate=float("nan"))
+
+
 def test_prior_normalization_and_hash_equality():
     assert normalize_prior("ibm") == IWP()
     assert normalize_prior("iwp") == IWP()
