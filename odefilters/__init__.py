@@ -30,6 +30,7 @@ from odefilters.kronsolve import (
     solve_adaptive_kron,
     solve_fixed_kron,
 )
+from odefilters.datalik import data_loglik, filter_with_data
 from odefilters.ieks import solve_ieks
 from odefilters.integrator import Integrator, init
 from odefilters.sampling import (
@@ -85,6 +86,8 @@ __all__ = [
     "models",
     "priors",
     "taylor",
+    "data_loglik",
+    "filter_with_data",
     "IWP",
     "IOUP",
     "Matern",

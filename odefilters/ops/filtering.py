@@ -77,6 +77,37 @@ def update(x_pred: Gaussian, z: jnp.ndarray, H: jnp.ndarray) -> tuple[Gaussian, 
     return Gaussian(m_out, L_out), S_chol
 
 
+def update_noisy(
+    x: Gaussian, y: jnp.ndarray, H: jnp.ndarray, R_chol: jnp.ndarray
+) -> tuple[Gaussian, jnp.ndarray, jnp.ndarray]:
+    """Kalman UPDATE on a NOISY observation ``y = H x + e``, ``e ~ N(0, R)``.
+
+    The reference supports only the R = 0 solver pseudo-observations
+    (`/root/reference/src/filtering.jl:81`); this noisy variant powers data
+    conditioning / parameter inference (`odefilters.datalik`). Square-root
+    Joseph form throughout:
+
+        z      = y - H m
+        S_chol = qr-factor of [ (H L)^T ; R_chol^T ]     (S = H Sigma H^T + R)
+        K      = Sigma H^T S^{-1}                        (triangular solves)
+        m_out  = m + K z
+        L_out  = qr-factor of [ (I - K H) L | K R_chol ]
+
+    Returns ``(x_out, z, S_chol)`` — innovation and its factor feed
+    ``log N(z; 0, S)`` marginal-likelihood terms.
+    """
+    L = x.chol
+    z = y - jnp.einsum("...ij,...j->...i", H, x.mean)
+    Z = H @ L                                  # (..., d_obs, D)
+    S_chol = tril_factor(jnp.concatenate([_T(Z), _T(R_chol)], axis=-2))
+    LZt = L @ _T(Z)                            # Sigma H^T = L (H L)^T
+    W = solve_triangular(S_chol, _T(LZt), lower=True)
+    K = _T(solve_triangular(_T(S_chol), W, lower=False))
+    m_out = x.mean + jnp.einsum("...ij,...j->...i", K, z)
+    L_out = qr_stack2(L - K @ Z, K @ R_chol)
+    return Gaussian(m_out, L_out), z, S_chol
+
+
 def update_loglikelihood(z: jnp.ndarray, S_chol: jnp.ndarray) -> jnp.ndarray:
     """``log N(z; 0, S)`` (`/root/reference/src/perform_step.jl:66`)."""
     return gaussian_logpdf_zero(z, S_chol)

@@ -1,0 +1,194 @@
+"""Data conditioning + marginal data likelihood (`odefilters.datalik`) —
+beyond the reference (its parameter-inference story is only ForwardDiff
+through the solver, `/root/reference/test/specific_problems.jl:141-156`).
+
+Tiers: (1) the noisy square-root update against the textbook dense formula;
+(2) behavioral checks of the conditioned posterior; (3) the likelihood as an
+inference objective — maximized near the true parameters, with
+finite-difference-consistent gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import odefilters as odf
+from odefilters.linalg import Gaussian
+from odefilters.ops.filtering import update_noisy
+
+
+def test_update_noisy_matches_textbook(rng):
+    D, d_obs = 6, 2
+    Lx = np.tril(rng.standard_normal((D, D))) + 3 * np.eye(D)
+    m = rng.standard_normal(D)
+    H = rng.standard_normal((d_obs, D))
+    Rc = np.tril(rng.standard_normal((d_obs, d_obs))) + 2 * np.eye(d_obs)
+    y = rng.standard_normal(d_obs)
+
+    x_out, z, S_chol = update_noisy(
+        Gaussian(jnp.asarray(m), jnp.asarray(Lx)), jnp.asarray(y),
+        jnp.asarray(H), jnp.asarray(Rc),
+    )
+
+    # dense reference
+    P = Lx @ Lx.T
+    R = Rc @ Rc.T
+    S = H @ P @ H.T + R
+    K = P @ H.T @ np.linalg.inv(S)
+    m_ref = m + K @ (y - H @ m)
+    P_ref = (np.eye(D) - K @ H) @ P @ (np.eye(D) - K @ H).T + K @ R @ K.T
+
+    np.testing.assert_allclose(np.asarray(z), y - H @ m, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(S_chol @ S_chol.T), S, rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(x_out.mean), m_ref, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(x_out.chol @ x_out.chol.T), P_ref, rtol=1e-9, atol=1e-11
+    )
+
+
+@pytest.fixture(scope="module")
+def lv_data():
+    """Noisy observations of a Lotka-Volterra trajectory."""
+    prob = odf.models.lotka_volterra(tspan=(0.0, 3.0))
+    sol = odf.solve(prob, odf.EK1(order=4), abstol=1e-10, reltol=1e-8)
+    ts_data = np.linspace(0.3, 2.7, 9)
+    truth = np.asarray(sol(jnp.asarray(ts_data)).mean)
+    rng = np.random.default_rng(7)
+    sigma = 0.05
+    ys = truth + sigma * rng.standard_normal(truth.shape)
+    return prob, ts_data, ys, sigma
+
+
+def test_conditioning_pulls_posterior_to_data(lv_data):
+    """Solve with WRONG parameters on a coarse grid (q=1: wide ODE
+    posterior), then condition on data — the posterior must move from the
+    wrong trajectory (error ~2) onto the observations (error < 0.2).
+
+    On fine grids / high orders the ODE posterior is (correctly) much
+    tighter than the 0.05 observation noise, so the pull is small — for
+    parameter inference the signal then lives in the likelihood, not the
+    posterior mean (see the tests below)."""
+    prob, ts_data, ys, sigma = lv_data
+    p_wrong = jnp.asarray(prob.p) * jnp.asarray([1.3, 0.8, 1.2, 0.9])
+    prob_w = odf.remake(prob, p=p_wrong)
+    alg = odf.EK0(order=1, smooth=True, diffusionmodel="dynamic")
+
+    ts_plain = np.union1d(np.linspace(0, 3, 13), ts_data)
+    sol_plain = odf.solve_fixed(prob_w, alg, ts=jnp.asarray(ts_plain))
+    sol_cond, dll = odf.filter_with_data(
+        prob_w, alg, ts_data, ys, sigma, n_grid=12
+    )
+    tq = jnp.asarray(ts_data)
+    err_plain = np.abs(np.asarray(sol_plain(tq).mean) - ys).mean()
+    err_cond = np.abs(np.asarray(sol_cond(tq).mean) - ys).mean()
+    assert np.isfinite(float(dll))
+    assert err_plain > 1.0          # the wrong trajectory misses the data
+    assert err_cond < 0.2 * err_plain   # conditioning lands on it
+    # and the conditioned posterior is tighter at the data points
+    std_plain = np.asarray(sol_plain(tq).std).mean()
+    std_cond = np.asarray(sol_cond(tq).std).mean()
+    assert std_cond < std_plain
+
+
+def test_loglik_peaks_at_true_parameters(lv_data):
+    prob, ts_data, ys, sigma = lv_data
+    alg = odf.EK1(order=3, smooth=False)
+
+    def ll(scale):
+        pr = odf.remake(prob, p=jnp.asarray(prob.p) * scale)
+        return odf.data_loglik(pr, alg, ts_data, ys, sigma, n_grid=60)
+
+    ll_true = float(ll(1.0))
+    for s in (0.8, 0.9, 1.1, 1.25):
+        assert ll_true > float(ll(s)), (s, ll_true, float(ll(s)))
+
+
+def test_loglik_gradient_matches_finite_differences(lv_data):
+    prob, ts_data, ys, sigma = lv_data
+    alg = odf.EK1(order=2, smooth=False)
+
+    def ll(p):
+        return odf.data_loglik(
+            odf.remake(prob, p=p), alg, ts_data, ys, sigma, n_grid=40
+        )
+
+    p0 = jnp.asarray(prob.p) * 1.05
+    g = np.asarray(jax.grad(ll)(p0))
+    assert np.all(np.isfinite(g))
+    eps = 1e-6
+    for i in range(p0.shape[0]):
+        e = np.zeros(p0.shape[0])
+        e[i] = eps
+        fd = (float(ll(p0 + e)) - float(ll(p0 - e))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-4, atol=1e-8)
+
+
+def test_gradient_step_improves_loglik(lv_data):
+    prob, ts_data, ys, sigma = lv_data
+    alg = odf.EK1(order=2, smooth=False)
+
+    def negll(p):
+        return -odf.data_loglik(
+            odf.remake(prob, p=p), alg, ts_data, ys, sigma, n_grid=40
+        )
+
+    vg = jax.jit(jax.value_and_grad(negll))
+    p = jnp.asarray(prob.p) * 1.15
+    v0, _ = vg(p)
+    lr = 1e-3
+    for _ in range(25):
+        v, g = vg(p)
+        p = p - lr * g / (1.0 + jnp.abs(g))
+    v1, _ = vg(p)
+    assert float(v1) < float(v0) - 1.0  # materially improved
+    # moved toward the true parameters
+    assert float(jnp.abs(p - prob.p).mean()) < float(
+        jnp.abs(jnp.asarray(prob.p) * 0.15).mean()
+    )
+
+
+def test_datalik_vmaps_over_parameters(lv_data):
+    """Likelihood sweeps: vmap the objective over a batch of parameter
+    candidates (the realistic inference workload — one compile, batched
+    solves)."""
+    prob, ts_data, ys, sigma = lv_data
+    alg = odf.EK1(order=2, smooth=False)
+
+    def ll(p):
+        return odf.data_loglik(
+            odf.remake(prob, p=p), alg, ts_data, ys, sigma, n_grid=40
+        )
+
+    scales = jnp.asarray([0.8, 0.9, 1.0, 1.1, 1.25])
+    ps = jnp.asarray(prob.p)[None, :] * scales[:, None]
+    lls = jax.vmap(ll)(ps)
+    assert lls.shape == (5,)
+    assert bool(jnp.all(jnp.isfinite(lls)))
+    assert int(jnp.argmax(lls)) == 2  # true parameters win
+
+
+def test_partial_observation_operator(lv_data):
+    """Observe only the first LV component through C = [1 0]."""
+    prob, ts_data, ys, sigma = lv_data
+    alg = odf.EK0(order=3, diffusionmodel="fixed")
+    C = np.array([[1.0, 0.0]])
+    sol, dll = odf.filter_with_data(
+        prob, alg, ts_data, ys[:, :1], sigma, obs_matrix=C, n_grid=80
+    )
+    assert np.isfinite(float(dll))
+    assert bool(jnp.all(jnp.isfinite(sol.u)))
+
+
+def test_datalik_validation(lv_data):
+    prob, ts_data, ys, sigma = lv_data
+    alg = odf.EK0(order=2)
+    with pytest.raises(ValueError):
+        odf.filter_with_data(prob, alg, ts_data[::-1], ys, sigma)
+    with pytest.raises(ValueError):
+        odf.filter_with_data(prob, alg, ts_data + 10.0, ys, sigma)
+    with pytest.raises(ValueError):
+        odf.filter_with_data(prob, alg, ts_data, ys[:, :1], sigma,
+                             obs_matrix=np.eye(2))
