@@ -33,10 +33,11 @@ class AbstractEK:
     default; `algorithms.jl:24` accepts nothing else) or a
     :class:`odefilters.priors.IWP` / ``IOUP(rate)`` / ``Matern(lengthscale)``
     instance — generalized Gauss-Markov priors beyond the reference,
-    supported everywhere except the fused Pallas kernels (which bake in
-    the IWP constants): dense adaptive + fixed-grid solvers, smoothing,
-    dense output, sampling, the EK0 Kronecker fast path, and the
-    time-parallel backend.
+    supported on: dense adaptive + fixed-grid solvers, smoothing, dense
+    output, sampling, the EK0 Kronecker fast path, the time-parallel
+    backend, and the fixed-grid Pallas ensemble kernels (via their
+    ``prior=`` argument). Only the adaptive Pallas kernels and the
+    Kron-grid PDE kernel bake in the IWP constants.
     """
 
     prior: object = "ibm"

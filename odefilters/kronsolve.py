@@ -78,18 +78,35 @@ class KronProbODESolution:
         return jax.vmap(lambda tv: _evaluate_one(self, tv))(t_arr)
 
 
-def _block_std(chol: jax.Array, mean: jax.Array) -> jax.Array:
-    """Marginal std of derivative-block 0 for every dim.
+def _block_std(chol: jax.Array, mean: jax.Array, block: int = 0) -> jax.Array:
+    """Marginal std of one derivative block for every dim.
 
     ``mean`` is (..., q+1, d). The factor is isotropic (same trailing
     (q+1, q+1), per_dim == False) or per-dimension ((..., d, q+1, q+1)).
     """
     d = mean.shape[-1]
     per_dim = chol.ndim == mean.ndim + 1
-    s = jnp.sqrt(jnp.sum(chol[..., 0, :] ** 2, axis=-1))
+    s = jnp.sqrt(jnp.sum(chol[..., block, :] ** 2, axis=-1))
     if per_dim:
         return s  # (..., d)
     return jnp.broadcast_to(s[..., None], s.shape + (d,))
+
+
+def _sol_u(x: KronGaussian, second_order: bool) -> jax.Array:
+    """Projected solution means: block 0, or [u; du] for 2nd-order
+    problems (the dense path's SolProj 2nd-order branch, `caches.jl:66`)."""
+    if second_order:
+        return jnp.concatenate([x.mean[..., 0, :], x.mean[..., 1, :]], axis=-1)
+    return x.mean[..., 0, :]
+
+
+def _sol_u_std(x: KronGaussian, second_order: bool) -> jax.Array:
+    if second_order:
+        return jnp.concatenate(
+            [_block_std(x.chol, x.mean, 0), _block_std(x.chol, x.mean, 1)],
+            axis=-1,
+        )
+    return _block_std(x.chol, x.mean, 0)
 
 
 @partial(jax.jit, static_argnames=("alg", "n_steps", "taylor_method"))
@@ -116,12 +133,21 @@ def _solve_fixed_kron_jit_inner(
     d = prob.d
     q = alg.order
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
-    model = make_kron_model(alg, prob.f, d, dtype)
+    model = make_kron_model(alg, prob.f, d, dtype,
+                            second_order=prob.second_order)
 
-    derivs = taylor_coefficients(
-        prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], q,
-        method=taylor_method,
-    )
+    if prob.second_order:
+        from odefilters.taylor import taylor_coefficients_2nd
+
+        u0_full = prob.u0.astype(dtype)
+        derivs = taylor_coefficients_2nd(
+            prob.f, u0_full[:d], u0_full[d:], prob.p, prob.tspan[0], q
+        )
+    else:
+        derivs = taylor_coefficients(
+            prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], q,
+            method=taylor_method,
+        )
     m0 = jnp.stack(derivs)  # (q+1, d)
     if alg.diffusionmodel in ("dynamicMV",):
         L0 = jnp.zeros((d, q + 1, q + 1), dtype)
@@ -178,8 +204,8 @@ def _solve_fixed_kron_jit_inner(
     return KronProbODESolution(
         ts=ts,
         n_steps=n,
-        u=x_out.mean[:, 0, :],
-        u_std=_block_std(x_out.chol, x_out.mean),
+        u=_sol_u(x_out, prob.second_order),
+        u_std=_sol_u_std(x_out, prob.second_order),
         x_filt=x_filt,
         x_smooth=x_out,
         diffusions=diff_buf,
@@ -307,7 +333,8 @@ def _evaluate_one(sol: KronProbODESolution, tval):
         (sol.x_smooth if sol.alg.smooth else sol.x_filt).chol[i],
     )
     out = jax.tree.map(lambda a, b: jnp.where(exact, a, b), stored, pred)
-    return out.mean[0, :], _block_std(out.chol, out.mean)
+    so2 = sol.u.shape[-1] == 2 * sol.x_filt.mean.shape[-1]  # 2nd-order sol
+    return _sol_u(out, so2), _sol_u_std(out, so2)
 
 
 def solve_fixed_kron(
@@ -370,13 +397,22 @@ def _solve_adaptive_kron_impl(
 
     d, q = prob.d, alg.order
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
-    model = make_kron_model(alg, prob.f, d, dtype)
+    model = make_kron_model(alg, prob.f, d, dtype,
+                            second_order=prob.second_order)
     t0, t1 = prob.tspan
     N1 = max_steps + 1
 
-    derivs = taylor_coefficients(
-        prob.f, prob.u0.astype(dtype), prob.p, t0, q, method=taylor_method
-    )
+    if prob.second_order:
+        from odefilters.taylor import taylor_coefficients_2nd
+
+        u0_full = prob.u0.astype(dtype)
+        derivs = taylor_coefficients_2nd(
+            prob.f, u0_full[:d], u0_full[d:], prob.p, t0, q
+        )
+    else:
+        derivs = taylor_coefficients(
+            prob.f, prob.u0.astype(dtype), prob.p, t0, q, method=taylor_method
+        )
     m0 = jnp.stack(derivs)
     x0 = KronGaussian(m0, jnp.zeros((q + 1, q + 1), dtype))
     sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
@@ -465,7 +501,8 @@ def _solve_adaptive_kron_impl(
 
     return KronProbODESolution(
         ts=c["ts_buf"], n_steps=c["n"],
-        u=x_out.mean[:, 0, :], u_std=_block_std(x_out.chol, x_out.mean),
+        u=_sol_u(x_out, prob.second_order),
+        u_std=_sol_u_std(x_out, prob.second_order),
         x_filt=x_filt, x_smooth=x_out, diffusions=diffs,
         log_likelihood=ll, stats=c["stats"], retcode=retcode,
         prob=prob, alg=alg,
@@ -527,9 +564,11 @@ def sample(key, sol: KronProbODESolution, n: int = 1) -> jax.Array:
         raise NotImplementedError(
             "Kron-path sampling supports isotropic (scalar-diffusion) factors"
         )
+    d_state = sol.x_filt.mean.shape[-1]  # true per-block dim (sol.d is 2d
+    # for second-order solutions, whose samples expose the u block only)
     return _kron_sample_jit(
         key, sol.ts, sol.x_filt, sol.diffusions, sol.n_steps,
-        sol.d, sol.q, n, sol.alg.prior,
+        d_state, sol.q, n, sol.alg.prior,
     )
 
 

@@ -54,6 +54,7 @@ class KronModel:
     At: jax.Array        # (q+1, q+1) preconditioned IBM transition
     QLt: jax.Array       # (q+1, q+1) preconditioned noise factor
     dtype: Any
+    second_order: bool = False  # measure block 2: z = E2 x - f(du, u)
 
     @property
     def is_iwp(self) -> bool:
@@ -72,11 +73,15 @@ class KronModel:
         return transition_precond_small(self.alg.prior, self.q, dt, self.dtype)
 
 
-def make_kron_model(alg: AbstractEK, f, d: int, dtype) -> KronModel:
+def make_kron_model(alg: AbstractEK, f, d: int, dtype,
+                    second_order: bool = False) -> KronModel:
     if alg.is_ek1:
         raise ValueError("the Kronecker fast path requires EK0 structure")
+    if second_order and alg.order < 2:
+        raise ValueError("second-order problems need solver order >= 2")
     At, QLt = ibm_small(alg.order, dtype=dtype)
-    return KronModel(alg=alg, d=d, q=alg.order, f=f, At=At, QLt=QLt, dtype=dtype)
+    return KronModel(alg=alg, d=d, q=alg.order, f=f, At=At, QLt=QLt,
+                     dtype=dtype, second_order=second_order)
 
 
 @jax.tree_util.register_dataclass
@@ -121,12 +126,20 @@ def kron_attempt_step(
 
     m_pred = At @ m_p
     u_pred = pinv_s[0] * m_pred[0]
-    du = model.f(u_pred, p_params, t_new)
-    z = pinv_s[1] * m_pred[1] - du                   # (d,)
+    # measurement block: 1 for u' = f(u), 2 for u'' = f(du, u)
+    # (the dense path's SecondOrder branch, odefilters/step.py; EK0 keeps
+    # the Kronecker structure either way since H = E_b P^-1)
+    b = 2 if model.second_order else 1
+    if model.second_order:
+        du_pred = pinv_s[1] * m_pred[1]
+        fval = model.f(du_pred, u_pred, p_params, t_new)
+    else:
+        fval = model.f(u_pred, p_params, t_new)
+    z = pinv_s[b] * m_pred[b] - fval                 # (d,)
 
-    # H Q H^T = pinv1^2 * (Qt Qt^T)[1,1] * I_d
-    q11 = jnp.sum(QLt[1] * QLt[1])
-    hq = pinv_s[1] ** 2 * q11
+    # H Q H^T = pinv_b^2 * (Qt Qt^T)[b,b] * I_d
+    q11 = jnp.sum(QLt[b] * QLt[b])
+    hq = pinv_s[b] ** 2 * q11
 
     if alg.diffusionmodel == "dynamic":
         sigma2 = jnp.sum(z * z) / (hq * d)
@@ -135,7 +148,7 @@ def kron_attempt_step(
         Lt_pred = tril_factor(
             jnp.concatenate([(At @ Lt_p).T, QLt_h.T], axis=0)
         )
-        s = pinv_s[1] ** 2 * jnp.sum(Lt_pred[1] * Lt_pred[1])
+        s = pinv_s[b] ** 2 * jnp.sum(Lt_pred[b] * Lt_pred[b])
         sigma2_local = sigma2
         sigma2_global = sigma2
     elif alg.diffusionmodel == "dynamicMV":
@@ -149,7 +162,7 @@ def kron_attempt_step(
                 axis=-2,
             )
         )
-        s = pinv_s[1] ** 2 * jnp.sum(Lt_pred[..., 1, :] ** 2, axis=-1)  # (d,)
+        s = pinv_s[b] ** 2 * jnp.sum(Lt_pred[..., b, :] ** 2, axis=-1)  # (d,)
         sigma2_local = sigma2
         sigma2_global = sigma2
     else:
@@ -157,7 +170,7 @@ def kron_attempt_step(
         Lt_pred = tril_factor(
             jnp.concatenate([(At @ Lt_p).T, QLt.T], axis=0)
         )
-        s = pinv_s[1] ** 2 * jnp.sum(Lt_pred[1] * Lt_pred[1])
+        s = pinv_s[b] ** 2 * jnp.sum(Lt_pred[b] * Lt_pred[b])
         if alg.diffusionmodel == "fixedMV":
             sigma2_local = z * z / s
         else:
@@ -169,10 +182,10 @@ def kron_attempt_step(
 
     # ---- update: K = ktil ⊗ I_d with ktil = Cpred e1 pinv1 / s ----
     if alg.diffusionmodel == "dynamicMV":
-        c_col = jnp.einsum("dij,dj->di", Lt_pred, Lt_pred[:, 1, :])  # (d, q+1)
-        ktil = pinv_s[1] * c_col / s[:, None]                        # (d, q+1)
+        c_col = jnp.einsum("dij,dj->di", Lt_pred, Lt_pred[:, b, :])  # (d, q+1)
+        ktil = pinv_s[b] * c_col / s[:, None]                        # (d, q+1)
         m_filt = m_pred - ktil.T * z[None, :]
-        Zrow = pinv_s[1] * Lt_pred[:, 1, :]                          # (d, q+1)
+        Zrow = pinv_s[b] * Lt_pred[:, b, :]                          # (d, q+1)
         Lt_filt = Lt_pred - ktil[:, :, None] * Zrow[:, None, :]
         ll = -0.5 * (
             jnp.sum(z * z / s) + jnp.sum(jnp.log(s)) + d * jnp.log(2 * jnp.pi)
@@ -180,10 +193,10 @@ def kron_attempt_step(
         err_blocks = jnp.sqrt(sigma2_local * hq)                     # (d,)
         err_unscaled = err_blocks
     else:
-        c_col = Lt_pred @ Lt_pred[1]                                 # (q+1,)
-        ktil = pinv_s[1] * c_col / s
+        c_col = Lt_pred @ Lt_pred[b]                                 # (q+1,)
+        ktil = pinv_s[b] * c_col / s
         m_filt = m_pred - ktil[:, None] * z[None, :]
-        Zrow = pinv_s[1] * Lt_pred[1]                                # (q+1,)
+        Zrow = pinv_s[b] * Lt_pred[b]                                # (q+1,)
         Lt_filt = Lt_pred - jnp.outer(ktil, Zrow)
         ll = -0.5 * (
             jnp.sum(z * z) / s + d * jnp.log(2 * jnp.pi * s)

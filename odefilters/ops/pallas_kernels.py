@@ -72,6 +72,7 @@ def _ek0_step_lists(
     m, C, p_block, t_new, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, d: int, nq: int,
+    so: bool = False, pinv_b: float = 0.0,
 ):
     """One EK0(dynamic) step on list-of-lanes state; pure function of
     ``(m, C, p)`` so it is both the fused-kernel body and the target of the
@@ -79,13 +80,15 @@ def _ek0_step_lists(
 
     Returns ``(m_new, C_new, ll_inc, us_row, std_val)``.
     """
-    hq = pinv1 * pinv1 * Qt[1, 1]
+    b = 2 if so else 1               # measured derivative block
+    pb = pinv_b if so else pinv1     # its preconditioner entry
+    hq = pb * pb * Qt[b, b]
     # -- predict mean: mp = At m (At upper-triangular, unrolled) --
     mp = [
         [
             functools.reduce(
                 lambda a, b: a + b,
-                [At[i, l] * m[l][j] for l in range(i, nq)],
+                [At[i, l] * m[l][j] for l in range(nq) if At[i, l] != 0.0],
             )
             for j in range(d)
         ]
@@ -93,8 +96,12 @@ def _ek0_step_lists(
     ]
     # -- measure --
     u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
-    du = f(u_pred, p_block, t_new)
-    z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+    if so:  # z = E2 x - f(du, u): the 2nd-order measurement (step.py)
+        du_pred = jnp.stack([pinv1 * mp[1][j] for j in range(d)])
+        du = f(du_pred, u_pred, p_block, t_new)
+    else:
+        du = f(u_pred, p_block, t_new)
+    z = [pb * mp[b][j] - du[j] for j in range(d)]
     # -- dynamic diffusion: s2 = |z|^2 / (d hq) --
     zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
     s2 = zz / (d * hq)
@@ -103,7 +110,7 @@ def _ek0_step_lists(
         [
             functools.reduce(
                 lambda a, b: a + b,
-                [At[i, a] * C[a][b] for a in range(i, nq)],
+                [At[i, a] * C[a][b] for a in range(nq) if At[i, a] != 0.0],
             )
             for b in range(nq)
         ]
@@ -113,17 +120,17 @@ def _ek0_step_lists(
         [
             functools.reduce(
                 lambda a, b: a + b,
-                [tmp[i][b] * At[l, b] for b in range(l, nq)],
+                [tmp[i][b] * At[l, b] for b in range(nq) if At[l, b] != 0.0],
             )
             + Qt[i, l] * s2
             for l in range(nq)
         ]
         for i in range(nq)
     ]
-    # -- update (R = 0): s = pinv1^2 Cp[1,1]; K = pinv1 Cp[:,1] / s --
-    s = pinv1 * pinv1 * Cp[1][1]
+    # -- update (R = 0): s = pb^2 Cp[b,b]; K = pb Cp[:,b] / s --
+    s = pb * pb * Cp[b][b]
     inv_s = 1.0 / s
-    kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
+    kg = [pb * Cp[i][b] * inv_s for i in range(nq)]
     m_new = [
         [mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)
     ]
@@ -154,7 +161,7 @@ def _ek0_kernel(
     m0_ref, p_ref, us_ref, std_ref, ll_ref, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, T: int, dt: float, t0: float,
-    d: int, nq: int,
+    d: int, nq: int, so: bool = False, pinv_b: float = 0.0,
 ):
     # initial state (already preconditioned); zero covariance (exact init)
     m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
@@ -169,7 +176,7 @@ def _ek0_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq,
+        d=d, nq=nq, so=so, pinv_b=pinv_b,
     )
 
     def body(k, carry):
@@ -189,6 +196,16 @@ def _ek0_kernel(
 
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
+
+def _prior_consts_np(prior, q: int, dt: float):
+    """(At, QLt) float64 numpy transition constants for a static dt."""
+    if prior is None:
+        At_np, _, QLt_np = _ibm_small_np(q)
+        return At_np, QLt_np
+    from odefilters.priors import transition_precond_small_np
+
+    return transition_precond_small_np(prior, q, dt)
+
 
 def _auto_jac(f: Callable) -> Callable:
     """In-kernel Jacobian from d forward-mode JVP columns.
@@ -214,9 +231,14 @@ def _auto_jac(f: Callable) -> Callable:
 
 
 
-def _ek0_consts(q: int, dt: float, np_dtype):
-    """Shared static constants: (At, Qt, pinv0, pinv1) for a given order."""
-    At_np, _, QLt_np = _ibm_small_np(q)
+def _ek0_consts(q: int, dt: float, np_dtype, prior=None):
+    """Shared static constants: (At, Qt, pinv0, pinv1) for a given order.
+
+    ``prior``: None / IWP -> the h-free IBM constants; IOUP/Matern -> the
+    preconditioned transition at this (static) dt, computed host-side
+    (`priors.transition_precond_small_np`) — on a uniform grid it is a
+    compile-time constant for ANY Gauss-Markov prior."""
+    At_np, QLt_np = _prior_consts_np(prior, q, dt)
     Qt_np = QLt_np @ QLt_np.T
     j = np.arange(q + 1, dtype=np.float64)
     p_np = float(dt) ** (j - q - 0.5)
@@ -244,6 +266,7 @@ def _ek0_grad_fwd_kernel(
     m0_ref, p_ref, us_ref, std_ref, ll_ref, st_ref,
     row, sem, *,
     f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
+    so=False, pinv_b=0.0,
 ):
     """Forward pass with state streaming: packs (m | C) per step."""
     m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
@@ -277,7 +300,7 @@ def _ek0_grad_fwd_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq,
+        d=d, nq=nq, so=so, pinv_b=pinv_b,
     )
 
     def body(k, carry):
@@ -311,6 +334,7 @@ def _ek0_grad_bwd_kernel(
     dm0_ref, dp_ref,
     row, sem, *,
     f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
+    so=False, pinv_b=0.0,
 ):
     """Adjoint sweep: reads the streamed (m, C) states in reverse and
     applies the VJP of the step, accumulating input cotangents."""
@@ -331,7 +355,7 @@ def _ek0_grad_bwd_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq,
+        d=d, nq=nq, so=so, pinv_b=pinv_b,
     )
 
     dm0 = [[zero for _ in range(d)] for _ in range(nq)]
@@ -390,18 +414,19 @@ def _ek0_blocked_specs(nq, d, n_params, T):
     return in_specs, out_specs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _ek0_filter_blocked(f, q, T, dt, t0, m0_p, ps_b):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _ek0_filter_blocked(f, q, T, dt, t0, so, prior, m0_p, ps_b):
     """Blocked fused EK0 filter (differentiable): inputs/outputs in the
     (nb, ..., 8, 128) lane layout; ``m0_p`` already preconditioned."""
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
     dtype = m0_p.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
-    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype)
+    At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
+    pinv_b = float(1.0 / p_np[2]) if so else 0.0
     kernel = functools.partial(
         _ek0_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq,
+        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq, so=so, pinv_b=pinv_b,
     )
     in_specs, out_specs = _ek0_blocked_specs(nq, d, n_params, T)
 
@@ -426,15 +451,16 @@ def _ek0_filter_blocked(f, q, T, dt, t0, m0_p, ps_b):
 
 
 @_no_x64
-def _ek0_filter_blocked_fwd(f, q, T, dt, t0, m0_p, ps_b):
+def _ek0_filter_blocked_fwd(f, q, T, dt, t0, so, prior, m0_p, ps_b):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
     dtype = m0_p.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
-    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype)
+    At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
+    pinv_b = float(1.0 / p_np[2]) if so else 0.0
     kernel = functools.partial(
         _ek0_grad_fwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq,
+        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq, so=so, pinv_b=pinv_b,
     )
     in_specs, out_specs = _ek0_blocked_specs(nq, d, n_params, T)
     W = d + nq
@@ -468,7 +494,7 @@ def _ek0_filter_blocked_fwd(f, q, T, dt, t0, m0_p, ps_b):
 
 
 @_no_x64
-def _ek0_filter_blocked_bwd(f, q, T, dt, t0, res, cts):
+def _ek0_filter_blocked_bwd(f, q, T, dt, t0, so, prior, res, cts):
     st, ps_b = res
     dus, dstds, dlls = cts
     nb = st.shape[0]
@@ -477,10 +503,11 @@ def _ek0_filter_blocked_bwd(f, q, T, dt, t0, res, cts):
     n_params = ps_b.shape[1]
     dtype = ps_b.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
-    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype)
+    At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
+    pinv_b = float(1.0 / p_np[2]) if so else 0.0
     kernel = functools.partial(
         _ek0_grad_bwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq,
+        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq, so=so, pinv_b=pinv_b,
     )
     scratch = [
         pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
@@ -539,6 +566,8 @@ def ek0_fused_filter(
     dt: float,
     n_steps: int,
     q: int,
+    second_order: bool = False,
+    prior=None,
 ):
     """Run the fused EK0 filter over an ensemble of B members.
 
@@ -554,6 +583,8 @@ def ek0_fused_filter(
     likelihood gradients for parameter inference run at kernel speed.
     """
     nq = q + 1
+    if second_order and q < 2:
+        raise ValueError("second-order problems need solver order >= 2")
     _, d, B = m0.shape
     if B % BLOCK:
         raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
@@ -571,7 +602,7 @@ def ek0_fused_filter(
     ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
 
     us, stds, lls = _ek0_filter_blocked(
-        f, q, T, float(dt), float(t0), m0_p, ps_b
+        f, q, T, float(dt), float(t0), bool(second_order), prior, m0_p, ps_b
     )
 
     us = us.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
@@ -588,25 +619,41 @@ def solve_ensemble_ek0_pallas(
     n_steps: int,
     q: int = 3,
     p_template=None,
+    second_order: bool = False,
+    prior=None,
 ):
     """Convenience wrapper: Taylor-init the ensemble, run the fused kernel.
 
     ``prob_f(u, p, t)`` must be written in index-and-stack style so it
     vectorizes over trailing batch dims (all `odefilters.models` qualify).
+
+    ``second_order=True`` solves ``u'' = f(du, u, p, t)`` directly (the
+    measurement moves to derivative block 2, mirroring the dense path's
+    2nd-order branch in `odefilters/step.py`): pass ``u0s = [u0 | du0]``
+    of shape (B, 2d) and an ``f(du, u, p, t)``. Outputs expose the
+    position block u.
     """
-    from odefilters.taylor import taylor_coefficients
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
 
     t0, t1 = tspan
     dt = (t1 - t0) / n_steps
-    B, d = u0s.shape
+    B, d_in = u0s.shape
+    d = d_in // 2 if second_order else d_in
 
-    def init_one(u0, p):
-        return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+    if second_order:
+        def init_one(u0_full, p):
+            return jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+    else:
+        def init_one(u0, p):
+            return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
 
     m0 = jax.vmap(init_one)(u0s, ps)            # (B, q+1, d)
     m0 = m0.transpose(1, 2, 0)                  # (q+1, d, B)
     return ek0_fused_filter(
-        prob_f, m0, ps.T, float(t0), float(dt), n_steps, q
+        prob_f, m0, ps.T, float(t0), float(dt), n_steps, q,
+        second_order=second_order, prior=prior,
     )
 
 
@@ -757,7 +804,7 @@ def _ek0_filter_states_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, l] * m[l][j] for l in range(i, nq)],
+                    [At[i, l] * m[l][j] for l in range(nq) if At[i, l] != 0.0],
                 )
                 for j in range(d)
             ]
@@ -778,7 +825,7 @@ def _ek0_filter_states_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, a] * L[a][b] for a in range(i, nq)],
+                    [At[i, a] * L[a][b] for a in range(nq) if At[i, a] != 0.0],
                 )
                 for b in range(nq)
             ]
@@ -879,7 +926,7 @@ def _ek0_smoother_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, a] * L_f[a][b] for a in range(i, nq)],
+                    [At[i, a] * L_f[a][b] for a in range(nq) if At[i, a] != 0.0],
                 )
                 for b in range(nq)
             ]
@@ -908,7 +955,7 @@ def _ek0_smoother_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, l] * m_f[l][j] for l in range(i, nq)],
+                    [At[i, l] * m_f[l][j] for l in range(nq) if At[i, l] != 0.0],
                 )
                 for j in range(d)
             ]
@@ -971,6 +1018,7 @@ def ek0_fused_solve(
     n_steps: int,
     q: int,
     _debug: bool = False,
+    prior=None,
 ):
     """Complete fused probabilistic solve: filter + RTS smoother kernels.
 
@@ -984,8 +1032,7 @@ def ek0_fused_solve(
     nb = B // BLOCK
     T = int(n_steps)
 
-    At_np, _, QLt_np = _ibm_small_np(q)
-    Qt_np = QLt_np @ QLt_np.T
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
     j = np.arange(nq, dtype=np.float64)
     p_np = float(dt) ** (j - q - 0.5)
     dtype = m0.dtype
@@ -1083,8 +1130,13 @@ def solve_ensemble_ek0_pallas_smooth(
     tspan,
     n_steps: int,
     q: int = 3,
+    prior=None,
 ):
-    """Taylor-init + fused filter + fused RTS smoother over an ensemble."""
+    """Taylor-init + fused filter + fused RTS smoother over an ensemble.
+
+    ``prior``: optional IOUP/Matern instance — on the (uniform) kernel grid
+    any Gauss-Markov prior's preconditioned transition is a compile-time
+    constant, so generalized priors run at identical kernel speed."""
     from odefilters.taylor import taylor_coefficients
 
     t0, t1 = tspan
@@ -1095,7 +1147,8 @@ def solve_ensemble_ek0_pallas_smooth(
         return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
 
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
-    return ek0_fused_solve(prob_f, m0, ps.T, float(t0), float(dt), n_steps, q)
+    return ek0_fused_solve(prob_f, m0, ps.T, float(t0), float(dt), n_steps, q,
+                           prior=prior)
 
 
 # ==========================================================================
@@ -1425,6 +1478,7 @@ def ek1_fused_solve(
     n_steps: int,
     q: int,
     smooth: bool = True,
+    prior=None,
 ):
     """Fused EK1 solve (dynamic diffusion) over an ensemble: the full
     D x D square-root extended Kalman filter (+ optional RTS smoother)
@@ -1444,7 +1498,7 @@ def ek1_fused_solve(
     nb = B // BLOCK
     T = int(n_steps)
 
-    At_np, _, QLt_np = _ibm_small_np(q)
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
     j = np.arange(nq, dtype=np.float64)
     p_np = float(dt) ** (j - q - 0.5)
     dtype = m0.dtype
@@ -1535,6 +1589,7 @@ def solve_ensemble_ek1_pallas(
     n_steps: int,
     q: int = 3,
     smooth: bool = True,
+    prior=None,
 ):
     """Taylor-init + fused EK1 filter(+smoother) over an ensemble."""
     from odefilters.taylor import taylor_coefficients
@@ -1549,7 +1604,7 @@ def solve_ensemble_ek1_pallas(
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
     return ek1_fused_solve(
         prob_f, prob_jac, m0, ps.T, float(t0), float(dt), n_steps, q,
-        smooth=smooth,
+        smooth=smooth, prior=prior,
     )
 
 

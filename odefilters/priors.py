@@ -371,6 +371,40 @@ def transition_precond_small(
     return A_p, QL_p
 
 
+def transition_precond_small_np(prior: Prior, q: int, h: float):
+    """Host-side float64 numpy twin of :func:`transition_precond_small`.
+
+    For *static* step sizes (fixed grids, Pallas kernel constants) the
+    preconditioned transition pair of ANY Gauss-Markov prior is a
+    compile-time constant; this computes it with scipy expm + the same
+    square-root Gauss-Legendre quadrature, so kernels can bake it in
+    exactly like the IWP constants.
+    """
+    import scipy.linalg as _sla
+
+    prior = normalize_prior(prior)
+    if isinstance(prior, IWP):
+        A, _, L = _ibm_small_np(q)
+        return A, L
+    n = q + 1
+    h = float(h)
+    F = _drift_np(prior, q)
+    jj = np.arange(n)
+    expo = np.where(F != 0, jj[:, None] - jj[None, :] + 1, 0)
+    Mp = F * h**expo
+    A_p = _sla.expm(Mp)
+    K = default_quad_nodes(q)
+    c, w0 = _gl_nodes(K)
+    X = np.stack(
+        [np.sqrt(w0[k]) * _sla.expm(Mp * c[k])[:, q] for k in range(K)]
+    )  # (K, n)
+    R = np.linalg.qr(X, mode="r")
+    L = R.T
+    sign = np.sign(np.diag(L))
+    sign[sign == 0] = 1.0
+    return A_p, L * sign[None, :]
+
+
 def transition_precond_full(
     prior: Prior, d: int, q: int, h, dtype=jnp.float64,
     quad_nodes: int | None = None,

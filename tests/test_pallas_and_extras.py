@@ -165,6 +165,117 @@ def test_second_order_pendulum_ek0():
     assert np.abs(E - E[0]).max() < 1e-4
 
 
+def test_second_order_kron_matches_dense():
+    """Second-order problems on the EK0 Kronecker fast path (fixed AND
+    adaptive): H = E2 P^-1 keeps the Kronecker structure, so the fast path
+    must agree with the dense solver exactly. VERDICT r1 'missing #6'."""
+    from odefilters.kronsolve import solve_adaptive_kron
+
+    prob = odf.models.pendulum_2nd(tspan=(0.0, 2.0))
+    alg = odf.EK0(order=3)
+
+    ts = jnp.linspace(0.0, 2.0, 41)
+    sk = odf.solve_fixed_kron(prob, alg, ts=ts)
+    sd = odf.solve_fixed(prob, alg, ts=ts)
+    assert sk.u.shape == sd.u.shape == (41, 2)  # [u; du]
+    np.testing.assert_allclose(sk.u, sd.u, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(sk.u_std, sd.pu.std, rtol=1e-7, atol=1e-11)
+
+    # adaptive driver: identical accepted-step sequence and posterior
+    ska = solve_adaptive_kron(prob, alg, abstol=1e-8, reltol=1e-6)
+    sda = odf.solve(prob, alg, abstol=1e-8, reltol=1e-6)
+    assert int(ska.n_steps) == int(sda.n_steps)
+    n = int(ska.n_steps)
+    np.testing.assert_allclose(
+        ska.u[: n + 1], sda.u[: n + 1], rtol=1e-8, atol=1e-10
+    )
+    # dense output exposes [u, du] as well
+    um, us = ska(jnp.asarray(1.1))
+    g = sda(jnp.asarray(1.1))
+    np.testing.assert_allclose(um, g.mean, rtol=1e-6, atol=1e-8)
+
+
+def test_second_order_pallas_kernel_interpret():
+    """Second-order problems on the fused Pallas EK0 ensemble kernel: the
+    measurement moves to derivative block 2; must match the dense solver,
+    and the custom-VJP likelihood gradient must stay finite."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.pendulum_2nd(tspan=(0.0, 2.0))
+    B, T = pk.BLOCK, 30
+    d = prob.d
+    u0s = jnp.broadcast_to(prob.u0, (B, 2 * d)).astype(jnp.float64)
+    ps = jnp.broadcast_to(jnp.atleast_1d(prob.p), (B, 1)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, lls = pk.solve_ensemble_ek0_pallas(
+            prob.f, u0s, ps, prob.tspan, T, q=3, second_order=True
+        )
+    ts = jnp.linspace(0.0, 2.0, T + 1)
+    sd = odf.solve_fixed(prob, odf.EK0(order=3, smooth=False), ts=ts)
+    np.testing.assert_allclose(
+        np.asarray(us[:, :, 0]), np.asarray(sd.u[:, :d]), rtol=1e-10,
+        atol=1e-12,
+    )
+    assert bool(jnp.all(jnp.isfinite(lls)))
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss(ps_):
+            *_, lls_ = pk.solve_ensemble_ek0_pallas(
+                prob.f, u0s, ps_, prob.tspan, T, q=3, second_order=True
+            )
+            return jnp.sum(lls_[:4])
+
+        g = jax.grad(loss)(ps)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_pallas_kernels_with_generalized_priors_interpret():
+    """IOUP/Matern on the fixed-grid Pallas kernels: a uniform grid makes
+    any Gauss-Markov prior's preconditioned transition a compile-time
+    constant (host-side expm+quadrature), so the kernels support them at
+    identical speed. Must match the dense solver; Matern also exercises
+    the dense-transition zero-skip unrolling (its A_p has a full last
+    row, unlike the upper-triangular IWP/IOUP)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.priors import IOUP, Matern
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, T = pk.BLOCK, 30
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    ts = jnp.linspace(0.0, 2.0, T + 1)
+
+    for prior in (IOUP(rate=-1.0), Matern(lengthscale=1.5)):
+        sd = odf.solve_fixed(
+            prob, odf.EK0(order=3, smooth=True, prior=prior), ts=ts
+        )
+        with pltpu.force_tpu_interpret_mode():
+            us, stds = pk.solve_ensemble_ek0_pallas_smooth(
+                prob.f, u0s, ps, prob.tspan, T, q=3, prior=prior
+            )
+        np.testing.assert_allclose(
+            np.asarray(us[:, :, 0]), np.asarray(sd.u), rtol=1e-10, atol=1e-12
+        )
+
+    # EK1 pair with the Matern prior
+    prior = Matern(lengthscale=1.5)
+    sd1 = odf.solve_fixed(
+        prob, odf.EK1(order=3, smooth=True, prior=prior), ts=ts
+    )
+    with pltpu.force_tpu_interpret_mode():
+        us1, _ = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, T, q=3, smooth=True,
+            prior=prior,
+        )
+    np.testing.assert_allclose(
+        np.asarray(us1[:, :, 0]), np.asarray(sd1.u), rtol=1e-10, atol=1e-12
+    )
+
+
 def test_pallas_ek1_matches_xla_interpret():
     """Fused EK1 kernel (full DxD sqrt EKF in-kernel) == dense XLA path."""
     from jax.experimental.pallas import tpu as pltpu
