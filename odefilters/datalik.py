@@ -35,14 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from odefilters import diffusions as diff
 from odefilters.algorithms import AbstractEK
 from odefilters.linalg import Gaussian, gaussian_logpdf_zero
 from odefilters.ops.filtering import update_noisy
 from odefilters.problem import ODEProblem
 from odefilters.solution import RETCODE_SUCCESS, DEStats, ProbODESolution
-from odefilters.step import attempt_step, make_model
-from odefilters.taylor import initial_state
 
 
 def _obs_operator(C, d: int, q: int, dtype):
@@ -76,8 +73,11 @@ def _merged_grid(prob, ts_data, n_grid, dtype):
     base = np.linspace(t0, t1, int(n_grid) + 1)
     # drop base points within tol of a data time BEFORE merging: a uniform
     # grid point one ulp away from an observation time would create a
-    # ~1e-16 interval whose preconditioner h**(-q-1/2) overflows
-    tol = (t1 - t0) / (int(n_grid) + 1) * 1e-6
+    # ~1e-16 interval whose preconditioner h**(-q-1/2) overflows. The
+    # floor is dtype-aware: in f32 an interval of a few f32-ULPs of the
+    # span is just as fatal as an f64-ULP one in f64.
+    eps_span = (t1 - t0) * float(np.finfo(np.dtype(dtype)).eps)
+    tol = max((t1 - t0) / (int(n_grid) + 1) * 1e-6, 64.0 * eps_span)
     near = np.min(np.abs(base[:, None] - td[None, :]), axis=1) < tol
     near[0] = near[0] and td[0] - t0 < tol       # keep the endpoints unless
     near[-1] = near[-1] and t1 - td[-1] < tol    # a data time IS the endpoint
@@ -108,20 +108,14 @@ def _filter_with_data_jit(
     from odefilters.linalg import highest_precision
     from odefilters.solve import _postprocess
 
-    with highest_precision():
-        d = prob.d
-        dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
-        model = make_model(alg, prob.f, prob.jac, d, dtype,
-                           second_order=prob.second_order)
-        x0 = initial_state(
-            prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
-            method=taylor_method,
-        )
-        sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
+    from odefilters.fixedgrid import filter_fixed_grid
 
+    with highest_precision():
         def maybe_data_update(x: Gaussian, i):
-            """Masked noisy update on data row i (no-op rows use y = C m so
-            z = 0 — finite math either way, then a select)."""
+            """Masked noisy update on data row i. Non-data rows compute the
+            update against the (arbitrary but finite) ys[0] row and discard
+            it via the select — R > 0 keeps every intermediate finite, and
+            the zero cotangent through the unselected branch is safe."""
             y = jnp.take(ys, row_of[i], axis=0)
             xd, z, S_chol = update_noisy(x, y, C_full, R_chol)
             dll = gaussian_logpdf_zero(z, S_chol)
@@ -131,33 +125,10 @@ def _filter_with_data_jit(
             )
             return x_out, jnp.where(has, dll, 0.0)
 
-        # data at t0: condition the exact initial state as well
-        x0, dll0 = maybe_data_update(x0, 0)
-
-        def body(carry, inp):
-            x, sigma2, ll, dll_acc, k = carry
-            i = inp
-            t, dt = ts[i], ts[i + 1] - ts[i]
-            res = attempt_step(
-                model, x, x.mean[: model.sol_d], t, dt, sigma2, k, abstol,
-                reltol, prob.p,
-            )
-            x1, dll = maybe_data_update(res.x_filt, i + 1)
-            ll = ll + res.log_likelihood
-            out = (x1.mean, x1.chol, x1.mean[: model.sol_d], res.sigma2_global)
-            return (x1, res.sigma2_global, ll, dll_acc + dll, k + 1), out
-
-        init = (x0, sigma2_0, jnp.zeros((), dtype), dll0,
-                jnp.zeros((), jnp.int32))
-        (x_last, sigma2_last, ll, data_ll, _), (ms, Ls, us, sgs) = (
-            jax.lax.scan(body, init, jnp.arange(n_steps))
+        model, x_filt, diff_buf, ll, data_ll, sigma2_last = filter_fixed_grid(
+            prob, alg, ts, abstol, reltol, taylor_method,
+            obs_update=maybe_data_update,
         )
-
-        x_filt = Gaussian(
-            jnp.concatenate([x0.mean[None], ms], axis=0),
-            jnp.concatenate([x0.chol[None], Ls], axis=0),
-        )
-        diff_buf = jnp.concatenate([jnp.ones_like(sigma2_0)[None], sgs], axis=0)
         n = jnp.asarray(n_steps, jnp.int32)
         stats = DEStats(
             nf=n, njacs=n if alg.is_ek1 else jnp.zeros((), jnp.int32),
@@ -206,6 +177,19 @@ def filter_with_data(
     """
     if prob.second_order:
         raise NotImplementedError("data conditioning expects first-order problems")
+    if alg.is_static_diffusion:
+        # Static models calibrate sigma^2 AFTER the pass and rescale every
+        # covariance by it (`integrator_utils.jl:4-18`) — which would also
+        # rescale the data-conditioned, R-bounded part of the posterior
+        # (observed: 10x-too-wide credible bands), and the likelihood terms
+        # would mix sigma^2=1 process covariances with the absolute R.
+        # Calibrate-then-condition for static models is not implemented;
+        # the dynamic models calibrate per step BEFORE the data update.
+        raise NotImplementedError(
+            "filter_with_data requires a dynamic diffusion model "
+            "('dynamic'/'dynamicMV'): static models calibrate after the "
+            "pass, which breaks the absolute observation-noise scale"
+        )
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     ts, is_data, row_of = _merged_grid(prob, ts_data, n_grid, dtype)
     ys = jnp.asarray(ys, dtype)
@@ -227,6 +211,14 @@ def filter_with_data(
 def data_loglik(prob, alg, ts_data, ys, obs_noise, **kwargs) -> jax.Array:
     """Scalar ``log p(y | z = 0, u0, p)`` — the gradient-ready objective for
     parameter inference: ``jax.grad(lambda p: data_loglik(remake(prob, p=p),
-    ...))``."""
+    ...))``.
+
+    The likelihood only needs the forward filter, so smoothing is switched
+    off regardless of ``alg.smooth`` (an objective/gradient loop would
+    otherwise pay a discarded RTS pass per evaluation)."""
+    import dataclasses
+
+    if alg.smooth:
+        alg = dataclasses.replace(alg, smooth=False)
     _, dll = filter_with_data(prob, alg, ts_data, ys, obs_noise, **kwargs)
     return dll

@@ -33,17 +33,26 @@ def _solve_fixed_impl(*args, **kwargs):
         return _solve_fixed_impl_inner(*args, **kwargs)
 
 
-def _solve_fixed_impl_inner(
+def filter_fixed_grid(
     prob: ODEProblem,
     alg: AbstractEK,
     ts: jax.Array,
     abstol,
     reltol,
-    n_steps: int,
     taylor_method: str,
-    calibrate_errors: bool,
+    obs_update=None,
 ):
-    from odefilters.solve import _postprocess  # local import to avoid cycle
+    """The shared fixed-grid filter scan (model/Taylor init + one
+    ``lax.scan`` of `attempt_step` over the grid).
+
+    ``obs_update(x: Gaussian, i) -> (x, scalar)``: optional per-row hook
+    applied to the filtered state of grid row ``i`` (including the initial
+    state, i=0) — the data-conditioning entry point (`odefilters.datalik`);
+    the scalars are accumulated and returned as ``extra``.
+
+    Returns ``(model, x_filt, diff_buf, ll, extra, sigma2_last)``.
+    """
+    from odefilters import diffusions as diff
 
     d = prob.d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
@@ -61,25 +70,32 @@ def _solve_fixed_impl_inner(
             prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
             method=taylor_method,
         )
-    from odefilters import diffusions as diff
-
     sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
 
-    def body(carry, inp):
-        x, sigma2, ll, k = carry
-        t, dt = inp
+    extra0 = jnp.zeros((), dtype)
+    if obs_update is not None:
+        x0, extra0 = obs_update(x0, 0)
+
+    def body(carry, i):
+        x, sigma2, ll, extra, k = carry
+        t, dt = ts[i], ts[i + 1] - ts[i]
         res = attempt_step(
             model, x, x.mean[: model.sol_d], t, dt, sigma2, k, abstol,
             reltol, prob.p,
         )
+        x1 = res.x_filt
+        if obs_update is not None:
+            x1, e = obs_update(x1, i + 1)
+            extra = extra + e
         ll = ll + res.log_likelihood
-        out = (res.x_filt.mean, res.x_filt.chol, res.u_filt, res.sigma2_global)
-        return (res.x_filt, res.sigma2_global, ll, k + 1), out
+        out = (x1.mean, x1.chol, x1.mean[: model.sol_d], res.sigma2_global)
+        return (x1, res.sigma2_global, ll, extra, k + 1), out
 
-    dts = ts[1:] - ts[:-1]
-    init = (x0, sigma2_0, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
-    (x_last, sigma2_last, ll, _), (ms, Ls, us, sgs) = jax.lax.scan(
-        body, init, (ts[:-1], dts)
+    n_steps = ts.shape[0] - 1
+    init = (x0, sigma2_0, jnp.zeros((), dtype), extra0,
+            jnp.zeros((), jnp.int32))
+    (x_last, sigma2_last, ll, extra, _), (ms, Ls, us, sgs) = jax.lax.scan(
+        body, init, jnp.arange(n_steps)
     )
 
     x_filt = Gaussian(
@@ -88,6 +104,24 @@ def _solve_fixed_impl_inner(
     )
     diff_buf = jnp.concatenate(
         [jnp.ones_like(sigma2_0)[None], sgs], axis=0
+    )
+    return model, x_filt, diff_buf, ll, extra, sigma2_last
+
+
+def _solve_fixed_impl_inner(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    ts: jax.Array,
+    abstol,
+    reltol,
+    n_steps: int,
+    taylor_method: str,
+    calibrate_errors: bool,
+):
+    from odefilters.solve import _postprocess  # local import to avoid cycle
+
+    model, x_filt, diff_buf, ll, _, sigma2_last = filter_fixed_grid(
+        prob, alg, ts, abstol, reltol, taylor_method
     )
     n = jnp.asarray(n_steps, jnp.int32)
     stats = DEStats(

@@ -99,7 +99,7 @@ def update_noisy(
     L = x.chol
     z = y - jnp.einsum("...ij,...j->...i", H, x.mean)
     Z = H @ L                                  # (..., d_obs, D)
-    S_chol = tril_factor(jnp.concatenate([_T(Z), _T(R_chol)], axis=-2))
+    S_chol = qr_stack2(Z, R_chol)
     LZt = L @ _T(Z)                            # Sigma H^T = L (H L)^T
     W = solve_triangular(S_chol, _T(LZt), lower=True)
     K = _T(solve_triangular(_T(S_chol), W, lower=False))

@@ -638,6 +638,10 @@ def solve_ensemble_ek0_pallas(
     t0, t1 = tspan
     dt = (t1 - t0) / n_steps
     B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
     d = d_in // 2 if second_order else d_in
 
     if second_order:

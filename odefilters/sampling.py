@@ -103,9 +103,13 @@ def sample_states(key, sol: ProbODESolution, n: int = 1) -> jax.Array:
     """
     if not sol.alg.smooth:
         raise ValueError("sampling not implemented for non-smoothed posteriors")
+    from odefilters.solution import _state_dim
+
+    # NOT sol.d: that is the projected dim (2d for second-order problems);
+    # the transitions/preconditioners need the per-block state dim
     return _sample_states_jit(
         key, sol.ts, sol.x_filt, sol.diffusions, sol.ts, sol.n_steps,
-        sol.d, sol.q, n, sol.alg.prior,
+        _state_dim(sol), sol.q, n, sol.alg.prior,
     )
 
 
@@ -120,12 +124,15 @@ def dense_sample_states(key, sol: ProbODESolution, n: int = 1, n_grid: int = 100
     same backward conditioning. Returns ``(samples, times)``."""
     if not sol.alg.smooth:
         raise ValueError("sampling not implemented for non-smoothed posteriors")
+    from odefilters.solution import _state_dim
+
     t_end = jnp.take(sol.ts, sol.n_steps)
     times = jnp.linspace(sol.ts[0], t_end, n_grid)
     states = evaluate_states(sol, times, smoothed=False)
     samples = _sample_states_jit(
         key, times, states, sol.diffusions, sol.ts,
-        jnp.asarray(n_grid - 1, jnp.int32), sol.d, sol.q, n, sol.alg.prior,
+        jnp.asarray(n_grid - 1, jnp.int32), _state_dim(sol), sol.q, n,
+        sol.alg.prior,
     )
     return samples, times
 

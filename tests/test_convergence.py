@@ -77,3 +77,27 @@ def test_high_order_ek1():
     assert s6.retcode_name == "Success"
     n = int(s6.n_steps)
     assert abs(float(s6.u[n, 0]) - ref) < 1e-8
+
+
+def test_convergence_with_generalized_priors():
+    """IOUP/Matern priors keep the q+1 convergence order (their transitions
+    match the IWP to leading order in h, so the local error order is
+    unchanged)."""
+    from odefilters.priors import IOUP, Matern
+
+    prob = odf.models.linear_ode()
+    dts = [1 / 2**k for k in range(8, 2, -1)]
+    for prior, order in ((IOUP(rate=-1.0), 2), (Matern(lengthscale=2.0), 3)):
+        errs = []
+        for dt in dts:
+            sol = odf.solve_fixed(
+                prob, odf.EK1(order=order, smooth=False, prior=prior), dt=dt
+            )
+            n = int(sol.n_steps)
+            ref = np.asarray(prob.analytic(prob.u0, prob.p, sol.ts[n]))
+            errs.append(abs(float(sol.u[n, 0]) - float(ref[0])))
+        A = np.vstack([np.log(np.asarray(dts)), np.ones(len(dts))]).T
+        slope = float(
+            np.linalg.lstsq(A, np.log(np.asarray(errs)), rcond=None)[0][0]
+        )
+        assert abs(slope - (order + 1)) < 0.4, (prior, slope)

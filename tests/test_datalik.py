@@ -173,7 +173,7 @@ def test_datalik_vmaps_over_parameters(lv_data):
 def test_partial_observation_operator(lv_data):
     """Observe only the first LV component through C = [1 0]."""
     prob, ts_data, ys, sigma = lv_data
-    alg = odf.EK0(order=3, diffusionmodel="fixed")
+    alg = odf.EK0(order=3)
     C = np.array([[1.0, 0.0]])
     sol, dll = odf.filter_with_data(
         prob, alg, ts_data, ys[:, :1], sigma, obs_matrix=C, n_grid=80
@@ -192,3 +192,40 @@ def test_datalik_validation(lv_data):
     with pytest.raises(ValueError):
         odf.filter_with_data(prob, alg, ts_data, ys[:, :1], sigma,
                              obs_matrix=np.eye(2))
+    with pytest.raises(NotImplementedError):
+        # static diffusions calibrate after the pass, breaking the absolute
+        # observation-noise scale — rejected with a clear message
+        odf.filter_with_data(
+            prob, odf.EK0(order=2, diffusionmodel="fixed"), ts_data, ys, sigma
+        )
+
+
+def test_f32_data_time_near_grid_point(lv_data):
+    """f32: an observation time a few f32-ULPs away from a uniform grid
+    point must not create a collapsing interval (dtype-aware merge tol)."""
+    prob, _, ys, sigma = lv_data
+    prob32 = odf.remake(
+        prob, u0=prob.u0.astype(jnp.float32), p=prob.p.astype(jnp.float32)
+    )
+    ts_data = np.array([0.3 + 4e-8, 1.0, 2.0])
+    with jax.enable_x64(False):
+        sol, dll = odf.filter_with_data(
+            prob32, odf.EK0(order=4), ts_data, ys[:3].astype(np.float32),
+            sigma, n_grid=100,
+        )
+        ok = bool(jnp.isfinite(dll)) and bool(jnp.all(jnp.isfinite(sol.u)))
+    assert ok
+
+
+def test_second_order_dense_sampling():
+    """Dense-path sampling on a second-order solution (sol.d is 2d; the
+    sampler must use the per-block state dim)."""
+    prob = odf.models.pendulum_2nd(tspan=(0.0, 1.0))
+    sol = odf.solve_fixed(
+        prob, odf.EK0(order=3, smooth=True), ts=jnp.linspace(0.0, 1.0, 21)
+    )
+    s = odf.sample(jax.random.PRNGKey(0), sol, n=2)
+    assert s.shape[1] == 2  # [u; du]
+    assert bool(jnp.all(jnp.isfinite(s)))
+    spread = np.abs(np.asarray(s) - np.asarray(sol.u)[:, :, None]).max()
+    assert spread < 0.5
