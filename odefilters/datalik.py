@@ -24,6 +24,12 @@ regression (Tronarp, Bosch, Hennig, 2022), in square-root form.
 The returned solution is the data-conditioned posterior: smoothing, dense
 output and sampling all work on it unchanged (the RTS pass is valid for any
 per-node measurement structure).
+
+For LARGE candidate sweeps (SMC / MCMC / grid search) with full-state
+observations on a uniform grid, use the fused kernel
+``odefilters.ops.pallas_kernels.ensemble_data_loglik_pallas`` — the same
+chain-rule quantity (tested equal), entirely in-kernel, ~50x the batched
+XLA path on chip (2.6M vs 51k candidates/s @ 8192 members).
 """
 
 from __future__ import annotations

@@ -662,6 +662,213 @@ def solve_ensemble_ek0_pallas(
 
 
 # ==========================================================================
+# Fused data-likelihood kernel: physics-enhanced regression at kernel
+# speed. The ODE filter runs as usual; at observation rows a SECOND,
+# noisy Kalman update conditions on y_k = u(t_k) + e, e ~ N(0, r2 I_d).
+# Full-state EK0 observations keep the Kronecker structure exactly
+# (S_data = (pinv0^2 C[0,0] + r2) I_d, K = ktil (x) I_d), so the data
+# update is a handful of lane ops. The per-member accumulated
+# log N(y_k; u_pred, S_data) is the same chain-rule marginal likelihood
+# `odefilters.datalik.data_loglik` computes on the XLA path (tested
+# equal in interpret mode) — at fused-kernel throughput, for SMC / MCMC /
+# likelihood sweeps over thousands of parameter candidates per chip.
+# ==========================================================================
+
+
+def _ek0_data_update_lists(m, C, y_row, dmask, *, pinv0, r2, d, nq):
+    """Masked isotropic data update on derivative block 0 (lists-of-lanes).
+
+    ``y_row``: d SMEM scalars; ``dmask``: 0/1 scalar — rows without an
+    observation apply a zero-gain update (exact no-op, branch-free).
+    """
+    zd = [y_row[j] - pinv0 * m[0][j] for j in range(d)]
+    s_d = pinv0 * pinv0 * C[0][0] + r2
+    inv_sd = 1.0 / s_d
+    kgd = [dmask * pinv0 * C[i][0] * inv_sd for i in range(nq)]
+    m_new = [
+        [m[i][j] + kgd[i] * zd[j] for j in range(d)] for i in range(nq)
+    ]
+    C_new = [
+        [C[i][l] - kgd[i] * kgd[l] * s_d for l in range(nq)]
+        for i in range(nq)
+    ]
+    zzd = functools.reduce(lambda a, b: a + b, [z * z for z in zd])
+    dll_inc = dmask * (-0.5) * (
+        zzd * inv_sd + d * (jnp.log(s_d) + _LOG_2PI)
+    )
+    return m_new, C_new, dll_inc
+
+
+def _ek0_datalik_kernel(
+    m0_ref, p_ref, y_ref, dll_ref, ll_ref, *,
+    f: Callable, At: np.ndarray, Qt: np.ndarray,
+    pinv0: float, pinv1: float, r2: float, seg_lens: tuple,
+    dt: float, t0: float, d: int, nq: int,
+    so: bool = False, pinv_b: float = 0.0,
+):
+    """Filter + data updates with a STATICALLY segmented time loop.
+
+    ``seg_lens``: static tuple of inter-observation step counts (sum = T);
+    after each of the first len(seg_lens)-1 segments the observation with
+    the same index is applied unconditionally. This keeps every data access
+    a static SMEM index — a masked per-step dynamic read compiles ~100x
+    slower in Mosaic (measured 6 min for T=30).
+    """
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    zero = jnp.zeros_like(m[0][0])
+    C = [[zero for _ in range(nq)] for _ in range(nq)]
+    p_block = p_ref[:]
+
+    step = functools.partial(
+        _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq, so=so, pinv_b=pinv_b,
+    )
+    dupd = functools.partial(
+        _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
+    )
+    one = zero + 1.0
+
+    def body(k, carry):
+        m, C, ll = carry
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, C_new, ll_inc, _, _ = step(m, C, p_block, t_new)
+        return m_new, C_new, ll + ll_inc
+
+    ll = zero
+    dll = zero
+    k_base = 0
+    for si, L in enumerate(seg_lens):
+        if L > 0:
+            m, C, ll = jax.lax.fori_loop(
+                jnp.int32(k_base), jnp.int32(k_base + L), body, (m, C, ll)
+            )
+        k_base += L
+        if si < len(seg_lens) - 1:  # observation after this segment
+            y_row = [y_ref[si, j] for j in range(d)]    # static index
+            m, C, dll_inc = dupd(m, C, y_row, one)
+            dll = dll + dll_inc
+    dll_ref[...] = dll
+    ll_ref[...] = ll
+
+
+@_no_x64
+def _ek0_datalik_blocked(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
+    nb, nq, d = m0_p.shape[:3]
+    n_params = ps_b.shape[1]
+    n_obs = y_arr.shape[0]
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    kernel = functools.partial(
+        _ek0_datalik_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        r2=float(r2), seg_lens=tuple(seg_lens), dt=float(dt), t0=float(t0),
+        d=d, nq=nq,
+    )
+
+    def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)], y_blk,
+            dll_blk.at[jnp.int32(0)], ll_blk.at[jnp.int32(0)],
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # observations are SHARED across members: unblocked SMEM scalars
+        pl.BlockSpec((n_obs, d), lambda b: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        ],
+    )(m0_p, ps_b, y_arr)
+
+
+def ensemble_data_loglik_pallas(
+    prob_f: Callable,
+    u0s: jax.Array,      # (B, d)
+    ps: jax.Array,       # (B, n_params)
+    tspan,
+    n_steps: int,
+    ts_data,             # (n_obs,) concrete times ON the uniform grid
+    ys,                  # (n_obs, d) observations (shared by all members)
+    obs_noise_std: float,
+    q: int = 3,
+    prior=None,
+):
+    """Per-member marginal data log-likelihood from one fused kernel.
+
+    The kernel analogue of ``odefilters.datalik.data_loglik`` (same
+    chain-rule quantity; full-state observations, dynamic diffusion),
+    vectorized over B (u0, p) candidates: the inference sweep for
+    SMC/MCMC/grid search runs at fused-filter throughput instead of the
+    batched XLA path. ``ts_data`` must lie on the uniform solve grid
+    (within 1e-6 dt) and be strictly after t0.
+
+    Returns ``(data_ll, ode_ll)``, each ``(B,)``.
+    """
+    from odefilters.taylor import taylor_coefficients
+
+    t0, t1 = tspan
+    T = int(n_steps)
+    dt = (t1 - t0) / T
+    B, d = u0s.shape
+    td = np.asarray(ts_data, dtype=np.float64)
+    ys = np.asarray(ys)
+    if ys.shape != (td.shape[0], d):
+        raise ValueError("ys must have shape (len(ts_data), d)")
+    kidx = np.round((td - float(t0)) / float(dt)).astype(int)
+    if np.any(np.abs(td - (float(t0) + kidx * float(dt))) > 1e-6 * float(dt)):
+        raise ValueError(
+            "ts_data must lie on the uniform grid t0 + k (t1-t0)/n_steps "
+            "(use odefilters.datalik.filter_with_data for arbitrary times)"
+        )
+    if np.any(kidx < 1) or np.any(kidx > T):
+        raise ValueError("ts_data must be in (t0, t1]")
+    if np.any(np.diff(kidx) <= 0):
+        raise ValueError("ts_data must be strictly increasing (unique rows)")
+
+    dtype = u0s.dtype
+    # static segmentation: ODE steps between consecutive observations
+    bounds = np.concatenate([[0], kidx, [T]])
+    seg_lens = tuple(int(x) for x in np.diff(bounds))
+
+    def init_one(u0, p):
+        return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+
+    m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)   # (q+1, d, B)
+    nq = q + 1
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    m0_p = (jnp.asarray(p_np, dtype)[:, None, None] * m0).reshape(
+        nq, d, nb, _SUB, _LANE
+    ).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.T.reshape(ps.shape[1], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+
+    dll, ll = _ek0_datalik_blocked(
+        prob_f, q, float(dt), float(t0), float(obs_noise_std) ** 2,
+        prior, seg_lens, m0_p, ps_b, jnp.asarray(np.asarray(ys), dtype),
+    )
+    return dll.reshape(B), ll.reshape(B)
+
+
+# ==========================================================================
 # Filter + smoother kernel pair: the complete probabilistic solve fused.
 #
 # The forward kernel streams the full (preconditioned) filter state of each
