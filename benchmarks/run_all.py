@@ -410,6 +410,23 @@ def main(quick=False):
         "device": str(jax.devices()[0]),
     }
 
+    # ... and its gradient (custom VJP: streamed states + segmented
+    # adjoint kernel) — gradient-based inference at kernel speed
+    def kloss(u, p):
+        dll, _ = pk.ensemble_data_loglik_pallas(
+            prob_lv.f, u, p, prob_lv.tspan, Tk, ts_k, ys_k,
+            obs_noise_std=0.05, q=3,
+        )
+        return jnp.sum(dll)
+
+    kgrad = jax.jit(jax.grad(kloss, argnums=(0, 1)))
+    t = _time(lambda u, p: kgrad(u, p)[1], u0s_k, ps_k, iters=20)
+    results["tpu_datalik_grad_sweep_pallas"] = {
+        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "runtime_s": t,
+        "grad_candidates_per_sec": Bk / t,
+        "device": str(jax.devices()[0]),
+    }
+
     # time-parallel associative-scan smoother variant (same config, 1 solve)
     from odefilters.parallel.associative import solve_fixed_parallel
 

@@ -104,7 +104,23 @@ def update_noisy(
     W = solve_triangular(S_chol, _T(LZt), lower=True)
     K = _T(solve_triangular(_T(S_chol), W, lower=False))
     m_out = x.mean + jnp.einsum("...ij,...j->...i", K, z)
-    L_out = qr_stack2(L - K @ Z, K @ R_chol)
+    # The incoming factor can carry EXACT zero rows (the R = 0 ODE update
+    # annihilates the measured block: (I - KH)L row_1 = 0 identically for
+    # EK0), which the data update preserves — and the QR derivative at a
+    # rank-deficient stack divides by the zero diagonal (NaN gradients).
+    # A relative eps*I third block restores full rank; the covariance
+    # perturbation is O(eps^2) ~ dtype-roundoff of Sigma. (Same spirit as
+    # linalg.cholesky_psd's diagonal guard.)
+    D = L.shape[-1]
+    dtype = L.dtype
+    scale = jnp.sqrt(jnp.mean(L * L, axis=(-2, -1), keepdims=True) +
+                     jnp.finfo(dtype).tiny)
+    eps = scale * jnp.asarray(float(jnp.finfo(dtype).eps) ** 0.75, dtype)
+    from odefilters.linalg import qr_stack3
+
+    L_out = qr_stack3(
+        L - K @ Z, K @ R_chol, eps * jnp.eye(D, dtype=dtype)
+    )
     return Gaussian(m_out, L_out), z, S_chol
 
 

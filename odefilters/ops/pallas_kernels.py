@@ -797,6 +797,316 @@ def _ek0_datalik_blocked(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
     )(m0_p, ps_b, y_arr)
 
 
+def _seg_offsets(seg_lens):
+    offs = [0]
+    for L in seg_lens:
+        offs.append(offs[-1] + L)
+    return offs
+
+
+def _ek0_datalik_grad_fwd_kernel(
+    m0_ref, p_ref, y_ref, dll_ref, ll_ref, st_ref,
+    row, sem, *,
+    f, At, Qt, pinv0, pinv1, r2, seg_lens, dt, t0, d, nq,
+):
+    """Segmented data-likelihood filter, streaming the state at entry of
+    every ODE step (post any data update) for the adjoint sweep."""
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    zero = jnp.zeros_like(m[0][0])
+    C = [[zero for _ in range(nq)] for _ in range(nq)]
+    p_block = p_ref[:]
+    one = zero + 1.0
+
+    step = functools.partial(
+        _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq,
+    )
+    dupd = functools.partial(
+        _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
+    )
+
+    def pack_and_send(k_idx, m, C):
+        slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+        @pl.when(k_idx >= 2)
+        def _():
+            pltpu.make_async_copy(
+                row.at[slot], st_ref.at[k_idx], sem.at[slot]
+            ).wait()
+
+        for i in range(nq):
+            for j in range(d):
+                row[slot, i, j] = m[i][j]
+            for l in range(nq):
+                row[slot, i, d + l] = C[i][l]
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).start()
+
+    def body(k, carry):
+        m, C, ll = carry
+        pack_and_send(k, m, C)          # state at ENTRY of step k
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, C_new, ll_inc, _, _ = step(m, C, p_block, t_new)
+        return m_new, C_new, ll + ll_inc
+
+    ll = zero
+    dll = zero
+    k_base = 0
+    for si, L in enumerate(seg_lens):
+        if L > 0:
+            m, C, ll = jax.lax.fori_loop(
+                jnp.int32(k_base), jnp.int32(k_base + L), body, (m, C, ll)
+            )
+        k_base += L
+        if si < len(seg_lens) - 1:
+            y_row = [y_ref[si, j] for j in range(d)]
+            m, C, dll_inc = dupd(m, C, y_row, one)
+            dll = dll + dll_inc
+    dll_ref[...] = dll
+    ll_ref[...] = ll
+    T = sum(seg_lens)
+    # drain in-flight copies (entries T-1, T-2)
+    if T >= 1:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 1) % 2)], st_ref.at[jnp.int32(T - 1)],
+            sem.at[jnp.int32((T - 1) % 2)],
+        ).wait()
+    if T >= 2:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 2) % 2)], st_ref.at[jnp.int32(T - 2)],
+            sem.at[jnp.int32((T - 2) % 2)],
+        ).wait()
+
+
+def _ek0_datalik_grad_bwd_kernel(
+    p_ref, y_ref, ddll_ref, dall_ref, st_ref,
+    dm0_ref, dp_ref, dy_ref,
+    row, sem, *,
+    f, At, Qt, pinv0, pinv1, r2, seg_lens, dt, t0, d, nq,
+):
+    """Adjoint of the segmented data-likelihood filter: walks the streamed
+    states in reverse, vjp-ing the ODE step per step and (at the static
+    segment boundaries) the composed step+data-update."""
+    p_block = p_ref[:]
+    ddll = ddll_ref[:]                 # cotangent of the data-ll output
+    dall = dall_ref[:]                 # cotangent of the ODE-ll output
+    zero = jnp.zeros_like(ddll)
+
+    def load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        cp = pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot])
+        cp.start()
+        cp.wait()
+        m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
+        C = [[row[slot, i, d + l] for l in range(nq)] for i in range(nq)]
+        return m, C
+
+    step = functools.partial(
+        _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq,
+    )
+    dupd = functools.partial(
+        _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
+    )
+    one_c = zero + 1.0
+
+    def stepr(m, C, p, t_new):
+        m1, C1, ll_inc, _, _ = step(m, C, p, t_new)
+        return m1, C1, ll_inc
+
+    dm = [[zero for _ in range(d)] for _ in range(nq)]
+    dC = [[zero for _ in range(nq)] for _ in range(nq)]
+    dp = jnp.zeros_like(p_block)
+
+    def plain_body(s, carry, a, b):
+        del a  # segment start only fixes the static trip count
+        dm, dC, dp = carry
+        k = jnp.asarray(b - 1, jnp.int32) - s
+        m_k, C_k = load(k)
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        _, vjp_fn = jax.vjp(
+            lambda m, C, p: stepr(m, C, p, t_new), m_k, C_k, p_block
+        )
+        dm_k, dC_k, dp_k = vjp_fn((dm, dC, dall))
+        return dm_k, dC_k, dp + dp_k
+
+    offs = _seg_offsets(seg_lens)
+    n_obs = len(seg_lens) - 1
+    for si in range(len(seg_lens) - 1, -1, -1):
+        a, b = offs[si], offs[si + 1]
+        if si < n_obs:
+            # boundary step b-1: ODE step composed with data update si
+            y_row = [y_ref[si, j] for j in range(d)]
+            m_k, C_k = load(jnp.int32(b - 1))
+            t_new = _step_time(jnp.int32(b - 1), t0, dt, zero.dtype)
+
+            def comp(m, C, p, y):
+                m1, C1, ll_inc = stepr(m, C, p, t_new)
+                m2, C2, dll_inc = dupd(m1, C1, y, one_c)
+                return m2, C2, ll_inc, dll_inc
+
+            _, vjp_fn = jax.vjp(comp, m_k, C_k, p_block, y_row)
+            dm, dC, dp_k, dy_row = vjp_fn((dm, dC, dall, ddll))
+            dp = dp + dp_k
+            for j in range(d):
+                # the vjp of the scalar->lanes broadcast is already the
+                # lane sum: a scalar per (obs, dim), one partial per block,
+                # broadcast into a lane block (SMEM outputs of shape (9, 2)
+                # violate Mosaic's 128-lane tiling)
+                dy_ref[si, j] = dy_row[j] + jnp.zeros_like(ddll)
+            b = b - 1
+        if b > a:
+            dm, dC, dp = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(b - a),
+                functools.partial(plain_body, a=a, b=b), (dm, dC, dp),
+            )
+
+    for i in range(nq):
+        for j in range(d):
+            dm0_ref[i, j] = dm[i][j]
+    dp_ref[...] = dp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@_no_x64
+def _ek0_datalik_vjp(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
+    return _ek0_datalik_blocked(
+        f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr
+    )
+
+
+@_no_x64
+def _ek0_datalik_vjp_fwd(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
+    nb, nq, d = m0_p.shape[:3]
+    n_params = ps_b.shape[1]
+    n_obs = y_arr.shape[0]
+    T = int(sum(seg_lens))
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    kernel = functools.partial(
+        _ek0_datalik_grad_fwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
+        pinv1=pinv1, r2=float(r2), seg_lens=tuple(seg_lens),
+        dt=float(dt), t0=float(t0), d=d, nq=nq,
+    )
+    W = d + nq
+    scratch = [
+        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)], y_blk,
+            dll_blk.at[jnp.int32(0)], ll_blk.at[jnp.int32(0)],
+            st_hbm.at[b], row, sem,
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_obs, d), lambda b: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    dll, ll, st = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T, nq, W, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_p, ps_b, y_arr)
+    return (dll, ll), (st, ps_b, y_arr)
+
+
+@_no_x64
+def _ek0_datalik_vjp_bwd(f, q, dt, t0, r2, prior, seg_lens, res, cts):
+    st, ps_b, y_arr = res
+    ddll, dall = cts
+    nb = st.shape[0]
+    nq, W = st.shape[2], st.shape[3]
+    d = W - nq
+    n_params = ps_b.shape[1]
+    n_obs = y_arr.shape[0]
+    dtype = ps_b.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    kernel = functools.partial(
+        _ek0_datalik_grad_bwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
+        pinv1=pinv1, r2=float(r2), seg_lens=tuple(seg_lens),
+        dt=float(dt), t0=float(t0), d=d, nq=nq,
+    )
+    scratch = [
+        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def entry(p_blk, y_blk, ddll_blk, dall_blk, st_hbm,
+              dm0_blk, dp_blk, dy_blk, row, sem):
+        b = pl.program_id(0)
+        kernel(
+            p_blk.at[jnp.int32(0)], y_blk,
+            ddll_blk.at[jnp.int32(0)], dall_blk.at[jnp.int32(0)],
+            st_hbm.at[b],
+            dm0_blk.at[jnp.int32(0)], dp_blk.at[jnp.int32(0)],
+            dy_blk.at[jnp.int32(0)],
+            row, sem,
+        )
+
+    dm0, dps, dy_blocks = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_obs, d), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_obs, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, nq, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, n_params, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, n_obs, d, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(ps_b, y_arr, ddll, dall, st)
+    # y is SHARED by all members: every lane of a block holds the same
+    # per-block partial (the broadcast-vjp lane sum); take one lane and
+    # sum over blocks
+    dy = jnp.sum(dy_blocks[..., 0, 0], axis=0).astype(y_arr.dtype)
+    return dm0, dps, dy
+
+
+_ek0_datalik_vjp.defvjp(_ek0_datalik_vjp_fwd, _ek0_datalik_vjp_bwd)
+
+
 def ensemble_data_loglik_pallas(
     prob_f: Callable,
     u0s: jax.Array,      # (B, d)
@@ -827,7 +1137,7 @@ def ensemble_data_loglik_pallas(
     dt = (t1 - t0) / T
     B, d = u0s.shape
     td = np.asarray(ts_data, dtype=np.float64)
-    ys = np.asarray(ys)
+    ys = jnp.asarray(ys)  # may be traced (differentiable w.r.t. the data)
     if ys.shape != (td.shape[0], d):
         raise ValueError("ys must have shape (len(ts_data), d)")
     kidx = np.round((td - float(t0)) / float(dt)).astype(int)
@@ -861,9 +1171,9 @@ def ensemble_data_loglik_pallas(
     ).transpose(2, 0, 1, 3, 4)
     ps_b = ps.T.reshape(ps.shape[1], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
 
-    dll, ll = _ek0_datalik_blocked(
+    dll, ll = _ek0_datalik_vjp(
         prob_f, q, float(dt), float(t0), float(obs_noise_std) ** 2,
-        prior, seg_lens, m0_p, ps_b, jnp.asarray(np.asarray(ys), dtype),
+        prior, seg_lens, m0_p, ps_b, ys.astype(dtype),
     )
     return dll.reshape(B), ll.reshape(B)
 

@@ -276,6 +276,88 @@ def test_pallas_data_loglik_matches_xla_interpret():
         )
 
 
+def test_pallas_data_loglik_gradient_interpret():
+    """Custom VJP of the fused data-likelihood kernel (segmented adjoint
+    sweep): gradients w.r.t. parameters, initial values AND the
+    observations must match the XLA data_loglik gradients.
+
+    This also regression-tests the update_noisy rank-deficiency fix: the
+    EK0 R=0 update leaves exact zero rows in the covariance factor, and
+    the data update's QR derivative at that rank-deficient stack was NaN
+    before the relative-eps regularization."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.lotka_volterra(tspan=(0.0, 3.0))
+    T = 40
+    dt = 3.0 / T
+    ts_data = np.array([8, 20, 32]) * dt
+    rng = np.random.default_rng(3)
+    sol_ref = odf.solve(prob, odf.EK1(order=4), abstol=1e-10, reltol=1e-8)
+    ys = np.asarray(sol_ref(jnp.asarray(ts_data)).mean)
+    ys = ys + 0.05 * rng.standard_normal(ys.shape)
+    B = pk.BLOCK
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss(u, p, y):
+            dll, _ = pk.ensemble_data_loglik_pallas(
+                prob.f, u, p, prob.tspan, T, ts_data, y,
+                obs_noise_std=0.1, q=3,
+            )
+            return jnp.sum(dll[:1])
+
+        gu, gp, gy = jax.grad(loss, argnums=(0, 1, 2))(
+            u0s, ps, jnp.asarray(ys)
+        )
+
+    def f_dll(u0, p, y):
+        return odf.data_loglik(
+            odf.remake(prob, u0=u0, p=p), odf.EK0(order=3, smooth=False),
+            ts_data, y, 0.1, n_grid=T,
+        )
+
+    gux, gpx, gyx = jax.grad(f_dll, argnums=(0, 1, 2))(
+        prob.u0.astype(jnp.float64), ps[0], jnp.asarray(ys)
+    )
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gpx),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gu[0]), np.asarray(gux),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gyx),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_ek0_datalik_gradient_finite_and_fd_exact():
+    """XLA-path data_loglik with EK0: reverse gradients are finite (the
+    rank-deficient-QR NaN regression) and match central differences."""
+    prob = odf.models.lotka_volterra(tspan=(0.0, 3.0))
+    T = 40
+    ts_data = np.array([8, 20, 32]) * (3.0 / T)
+    rng = np.random.default_rng(3)
+    sol_ref = odf.solve(prob, odf.EK1(order=4), abstol=1e-10, reltol=1e-8)
+    ys = np.asarray(sol_ref(jnp.asarray(ts_data)).mean)
+    ys = ys + 0.05 * rng.standard_normal(ys.shape)
+
+    def f_dll(p):
+        return odf.data_loglik(
+            odf.remake(prob, p=p), odf.EK0(order=3, smooth=False),
+            ts_data, jnp.asarray(ys), 0.1, n_grid=T,
+        )
+
+    p0 = jnp.asarray(prob.p)
+    g = np.asarray(jax.grad(f_dll)(p0))
+    assert np.all(np.isfinite(g))
+    eps = 1e-6
+    for i in range(4):
+        e = np.zeros(4)
+        e[i] = eps
+        fd = (float(f_dll(p0 + e)) - float(f_dll(p0 - e))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-6)
+
+
 def test_pallas_kernels_with_generalized_priors_interpret():
     """IOUP/Matern on the fixed-grid Pallas kernels: a uniform grid makes
     any Gauss-Markov prior's preconditioned transition a compile-time
