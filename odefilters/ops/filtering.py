@@ -116,8 +116,6 @@ def update_noisy(
     scale = jnp.sqrt(jnp.mean(L * L, axis=(-2, -1), keepdims=True) +
                      jnp.finfo(dtype).tiny)
     eps = scale * jnp.asarray(float(jnp.finfo(dtype).eps) ** 0.75, dtype)
-    from odefilters.linalg import qr_stack3
-
     L_out = qr_stack3(
         L - K @ Z, K @ R_chol, eps * jnp.eye(D, dtype=dtype)
     )

@@ -279,22 +279,7 @@ def _ek0_grad_fwd_kernel(
     std_ref[0] = zero
 
     def pack_and_send(k_idx, m, C):
-        slot = jax.lax.rem(k_idx, jnp.int32(2))
-
-        @pl.when(k_idx >= 2)
-        def _():
-            pltpu.make_async_copy(
-                row.at[slot], st_ref.at[k_idx], sem.at[slot]
-            ).wait()
-
-        for i in range(nq):
-            for j in range(d):
-                row[slot, i, j] = m[i][j]
-            for l in range(nq):
-                row[slot, i, d + l] = C[i][l]
-        pltpu.make_async_copy(
-            row.at[slot], st_ref.at[k_idx], sem.at[slot]
-        ).start()
+        _pack_mc_and_send(row, st_ref, sem, k_idx, m, C, d, nq)
 
     pack_and_send(jnp.int32(0), m_init, C_init)
 
@@ -826,22 +811,7 @@ def _ek0_datalik_grad_fwd_kernel(
     )
 
     def pack_and_send(k_idx, m, C):
-        slot = jax.lax.rem(k_idx, jnp.int32(2))
-
-        @pl.when(k_idx >= 2)
-        def _():
-            pltpu.make_async_copy(
-                row.at[slot], st_ref.at[k_idx], sem.at[slot]
-            ).wait()
-
-        for i in range(nq):
-            for j in range(d):
-                row[slot, i, j] = m[i][j]
-            for l in range(nq):
-                row[slot, i, d + l] = C[i][l]
-        pltpu.make_async_copy(
-            row.at[slot], st_ref.at[k_idx], sem.at[slot]
-        ).start()
+        _pack_mc_and_send(row, st_ref, sem, k_idx, m, C, d, nq)
 
     def body(k, carry):
         m, C, ll = carry
@@ -893,11 +863,13 @@ def _ek0_datalik_grad_bwd_kernel(
     dall = dall_ref[:]                 # cotangent of the ODE-ll output
     zero = jnp.zeros_like(ddll)
 
-    def load(k):
+    def start_load(k):
         slot = jax.lax.rem(k, jnp.int32(2))
-        cp = pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot])
-        cp.start()
-        cp.wait()
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
         m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
         C = [[row[slot, i, d + l] for l in range(nq)] for i in range(nq)]
         return m, C
@@ -923,7 +895,12 @@ def _ek0_datalik_grad_bwd_kernel(
         del a  # segment start only fixes the static trip count
         dm, dC, dp = carry
         k = jnp.asarray(b - 1, jnp.int32) - s
-        m_k, C_k = load(k)
+        m_k, C_k = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.ones((), k.dtype))
+
         t_new = _step_time(k, t0, dt, zero.dtype)
         _, vjp_fn = jax.vjp(
             lambda m, C, p: stepr(m, C, p, t_new), m_k, C_k, p_block
@@ -933,12 +910,20 @@ def _ek0_datalik_grad_bwd_kernel(
 
     offs = _seg_offsets(seg_lens)
     n_obs = len(seg_lens) - 1
+    T = offs[-1]
+    # prefetch chain: start T-1 once; every consumer (fori body or static
+    # boundary single) waits on k and immediately starts k-1, so the next
+    # HBM->VMEM transfer overlaps the per-step vjp compute
+    if T >= 1:
+        start_load(jnp.int32(T - 1))
     for si in range(len(seg_lens) - 1, -1, -1):
         a, b = offs[si], offs[si + 1]
         if si < n_obs:
             # boundary step b-1: ODE step composed with data update si
             y_row = [y_ref[si, j] for j in range(d)]
-            m_k, C_k = load(jnp.int32(b - 1))
+            m_k, C_k = wait_and_read(jnp.int32(b - 1))
+            if b - 1 >= 1:
+                start_load(jnp.int32(b - 2))
             t_new = _step_time(jnp.int32(b - 1), t0, dt, zero.dtype)
 
             def comp(m, C, p, y):
@@ -1267,6 +1252,28 @@ def _list_mgs_tril(rows, K, nq):
     return [[R[l][i] if l <= i else zero for l in range(nq)] for i in range(nq)]
 
 
+
+
+def _pack_mc_and_send(row, st_ref, sem, k_idx, m, C, d, nq):
+    """Double-buffered (m | C) state-row DMA used by both streamed-state
+    gradient forward kernels: wait for the copy issued two rows earlier on
+    this slot, fill it, start the async store."""
+    slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+    @pl.when(k_idx >= 2)
+    def _():
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).wait()
+
+    for i in range(nq):
+        for j in range(d):
+            row[slot, i, j] = m[i][j]
+        for l in range(nq):
+            row[slot, i, d + l] = C[i][l]
+    pltpu.make_async_copy(
+        row.at[slot], st_ref.at[k_idx], sem.at[slot]
+    ).start()
 
 
 def _t_rows(X, nq):

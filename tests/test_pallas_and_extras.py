@@ -303,21 +303,24 @@ def test_pallas_data_loglik_gradient_interpret():
 
     with pltpu.force_tpu_interpret_mode():
         def loss(u, p, y):
-            dll, _ = pk.ensemble_data_loglik_pallas(
+            # weight BOTH outputs: exercises the data-ll AND the ODE-ll
+            # (dall) cotangent paths through the adjoint kernel
+            dll, ll = pk.ensemble_data_loglik_pallas(
                 prob.f, u, p, prob.tspan, T, ts_data, y,
                 obs_noise_std=0.1, q=3,
             )
-            return jnp.sum(dll[:1])
+            return jnp.sum(dll[:1]) + 0.5 * jnp.sum(ll[:1])
 
         gu, gp, gy = jax.grad(loss, argnums=(0, 1, 2))(
             u0s, ps, jnp.asarray(ys)
         )
 
     def f_dll(u0, p, y):
-        return odf.data_loglik(
+        sol, dll = odf.filter_with_data(
             odf.remake(prob, u0=u0, p=p), odf.EK0(order=3, smooth=False),
             ts_data, y, 0.1, n_grid=T,
         )
+        return dll + 0.5 * sol.log_likelihood
 
     gux, gpx, gyx = jax.grad(f_dll, argnums=(0, 1, 2))(
         prob.u0.astype(jnp.float64), ps[0], jnp.asarray(ys)
