@@ -25,6 +25,14 @@ The returned solution is the data-conditioned posterior: smoothing, dense
 output and sampling all work on it unchanged (the RTS pass is valid for any
 per-node measurement structure).
 
+Dynamic diffusion models calibrate per step BEFORE each data update, so a
+single pass suffices. Static models calibrate after a pass
+(`integrator_utils.jl:4-18`), so they run Fenrir's calibrate-then-condition:
+a plain pass estimates sigma^2, then the data pass runs against the
+pre-scaled prior (real-scale covariances meet the absolute R correctly).
+The calibrated sigma^2 is stop_gradient'd — gradients treat it as part of
+the (frozen) model, like the step-size controller.
+
 For LARGE candidate sweeps (SMC / MCMC / grid search) with full-state
 observations on a uniform grid, use the fused kernel
 ``odefilters.ops.pallas_kernels.ensemble_data_loglik_pallas`` — the same
@@ -131,18 +139,59 @@ def _filter_with_data_jit(
             )
             return x_out, jnp.where(has, dll, 0.0)
 
-        model, x_filt, diff_buf, ll, data_ll, sigma2_last = filter_fixed_grid(
-            prob, alg, ts, abstol, reltol, taylor_method,
-            obs_update=maybe_data_update,
-        )
         n = jnp.asarray(n_steps, jnp.int32)
         stats = DEStats(
             nf=n, njacs=n if alg.is_ek1 else jnp.zeros((), jnp.int32),
             naccept=n, nreject=jnp.zeros((), jnp.int32),
         )
+        retcode = jnp.asarray(RETCODE_SUCCESS, jnp.int32)
+
+        if alg.is_static_diffusion:
+            # Fenrir's calibrate-then-condition: a static diffusion is
+            # calibrated AFTER a pass (`integrator_utils.jl:4-18`), so a
+            # single data-conditioned pass would mix sigma^2 = 1 process
+            # covariances with the absolute observation noise R. Run the
+            # plain filter first to calibrate sigma^2, then run the data
+            # pass against the PRE-SCALED prior (real-scale covariances
+            # meet R correctly; the likelihood terms are exact).
+            import dataclasses
+
+            *_, sigma2_hat = filter_fixed_grid(
+                prob, alg, ts, abstol, reltol, taylor_method
+            )
+            sigma2_hat = jax.lax.stop_gradient(sigma2_hat)
+            model, x_filt, diff_buf, ll, data_ll, _ = filter_fixed_grid(
+                prob, alg, ts, abstol, reltol, taylor_method,
+                obs_update=maybe_data_update, prior_scale=sigma2_hat,
+            )
+            # assembly: the pass-2 states are already real-scale, so skip
+            # the static postamble rescale (pretend "dynamic"), hand the
+            # smoother per-interval diffusions = sigma2_hat against the
+            # UNSCALED prior transitions, and restore the user's alg on
+            # the solution. The ODE ll is NaN for static models, matching
+            # the reference.
+            alg_post = dataclasses.replace(alg, diffusionmodel="dynamic")
+            model_post = dataclasses.replace(
+                model, alg=alg_post,
+            )
+            diffs = jnp.broadcast_to(
+                sigma2_hat, diff_buf.shape
+            ).astype(diff_buf.dtype)
+            ll = jnp.asarray(jnp.nan, diff_buf.dtype)
+            sol = _postprocess(
+                model_post, prob, ts, x_filt, diffs, n, ll, sigma2_hat,
+                stats, retcode,
+            )
+            sol = dataclasses.replace(sol, alg=alg)
+            return sol, data_ll
+
+        model, x_filt, diff_buf, ll, data_ll, sigma2_last = filter_fixed_grid(
+            prob, alg, ts, abstol, reltol, taylor_method,
+            obs_update=maybe_data_update,
+        )
         sol = _postprocess(
             model, prob, ts, x_filt, diff_buf, n, ll, sigma2_last, stats,
-            jnp.asarray(RETCODE_SUCCESS, jnp.int32),
+            retcode,
         )
         return sol, data_ll
 
@@ -184,18 +233,16 @@ def filter_with_data(
     if prob.second_order:
         raise NotImplementedError("data conditioning expects first-order problems")
     if alg.is_static_diffusion:
-        # Static models calibrate sigma^2 AFTER the pass and rescale every
-        # covariance by it (`integrator_utils.jl:4-18`) — which would also
-        # rescale the data-conditioned, R-bounded part of the posterior
-        # (observed: 10x-too-wide credible bands), and the likelihood terms
-        # would mix sigma^2=1 process covariances with the absolute R.
-        # Calibrate-then-condition for static models is not implemented;
-        # the dynamic models calibrate per step BEFORE the data update.
-        raise NotImplementedError(
-            "filter_with_data requires a dynamic diffusion model "
-            "('dynamic'/'dynamicMV'): static models calibrate after the "
-            "pass, which breaks the absolute observation-noise scale"
-        )
+        from odefilters.priors import IWP
+
+        if not isinstance(alg.prior, IWP):
+            # the pre-scaled-prior pass bakes sigma^2 into the constant
+            # IWP factor; non-IWP transitions are rebuilt per step and
+            # would drop the scale
+            raise NotImplementedError(
+                "static diffusion models with non-IWP priors are not "
+                "supported by filter_with_data; use a dynamic diffusion"
+            )
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     ts, is_data, row_of = _merged_grid(prob, ts_data, n_grid, dtype)
     ys = jnp.asarray(ys, dtype)

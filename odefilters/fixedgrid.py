@@ -41,6 +41,7 @@ def filter_fixed_grid(
     reltol,
     taylor_method: str,
     obs_update=None,
+    prior_scale=None,
 ):
     """The shared fixed-grid filter scan (model/Taylor init + one
     ``lax.scan`` of `attempt_step` over the grid).
@@ -50,14 +51,26 @@ def filter_fixed_grid(
     state, i=0) — the data-conditioning entry point (`odefilters.datalik`);
     the scalars are accumulated and returned as ``extra``.
 
+    ``prior_scale``: optional pre-calibrated diffusion sigma^2 (scalar or
+    per-dimension) baked into the process-noise factor, so the pass runs
+    against the ALREADY-scaled prior (datalik's calibrate-then-condition
+    for static diffusion models).
+
     Returns ``(model, x_filt, diff_buf, ll, extra, sigma2_last)``.
     """
+    import dataclasses
+
     from odefilters import diffusions as diff
 
     d = prob.d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_model(alg, prob.f, prob.jac, d, dtype,
                        second_order=prob.second_order)
+    if prior_scale is not None:
+        model = dataclasses.replace(
+            model,
+            QL=diff.apply_diffusion_chol(model.QL, prior_scale, alg.order),
+        )
     if prob.second_order:
         from odefilters.taylor import initial_state_2nd
 

@@ -110,15 +110,22 @@ def update_noisy(
     # rank-deficient stack divides by the zero diagonal (NaN gradients).
     # A relative eps*I third block restores full rank; the covariance
     # perturbation is O(eps^2) ~ dtype-roundoff of Sigma. (Same spirit as
-    # linalg.cholesky_psd's diagonal guard.)
+    # linalg.cholesky_psd's diagonal guard.) The eps scale comes from the
+    # OUTPUT blocks, not the incoming factor: with a huge prior and a
+    # small R the posterior is R-sized, and an input-sized jitter would
+    # swamp it (observed with the astronomic sigma^2 a misspecified
+    # static-diffusion calibration produces).
     D = L.shape[-1]
     dtype = L.dtype
-    scale = jnp.sqrt(jnp.mean(L * L, axis=(-2, -1), keepdims=True) +
-                     jnp.finfo(dtype).tiny)
-    eps = scale * jnp.asarray(float(jnp.finfo(dtype).eps) ** 0.75, dtype)
-    L_out = qr_stack3(
-        L - K @ Z, K @ R_chol, eps * jnp.eye(D, dtype=dtype)
+    A1 = L - K @ Z
+    A2 = K @ R_chol
+    scale = jnp.sqrt(
+        jnp.mean(A1 * A1, axis=(-2, -1), keepdims=True)
+        + jnp.mean(A2 * A2, axis=(-2, -1), keepdims=True)
+        + jnp.finfo(dtype).tiny
     )
+    eps = scale * jnp.asarray(float(jnp.finfo(dtype).eps) ** 0.75, dtype)
+    L_out = qr_stack3(A1, A2, eps * jnp.eye(D, dtype=dtype))
     return Gaussian(m_out, L_out), z, S_chol
 
 

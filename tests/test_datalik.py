@@ -193,11 +193,56 @@ def test_datalik_validation(lv_data):
         odf.filter_with_data(prob, alg, ts_data, ys[:, :1], sigma,
                              obs_matrix=np.eye(2))
     with pytest.raises(NotImplementedError):
-        # static diffusions calibrate after the pass, breaking the absolute
-        # observation-noise scale — rejected with a clear message
+        # static diffusion + non-IWP prior: the pre-scaled-prior pass bakes
+        # sigma^2 into the constant IWP factor only
+        from odefilters.priors import IOUP
+
         odf.filter_with_data(
-            prob, odf.EK0(order=2, diffusionmodel="fixed"), ts_data, ys, sigma
+            prob, odf.EK0(order=2, diffusionmodel="fixed",
+                          prior=IOUP(rate=-1.0)),
+            ts_data, ys, sigma,
         )
+
+
+def test_static_diffusion_calibrate_then_condition(lv_data):
+    """Static diffusion models run Fenrir's calibrate-then-condition: a
+    plain pass calibrates sigma^2, the data pass runs against the
+    pre-scaled prior. With wrong parameters the calibrated prior is
+    (correctly) diffuse, so the posterior lands ON the data with std =
+    the observation noise — the regression this path originally shipped
+    with reported ~10x-too-wide bands."""
+    prob, ts_data, ys, sigma = lv_data
+    p_wrong = jnp.asarray(prob.p) * jnp.asarray([1.3, 0.8, 1.2, 0.9])
+    prob_w = odf.remake(prob, p=p_wrong)
+    for dm in ("fixed", "fixedMAP", "fixedMV"):
+        alg = odf.EK0(order=1, smooth=True, diffusionmodel=dm)
+        sol_c, dll = odf.filter_with_data(
+            prob_w, alg, ts_data, ys, sigma, n_grid=12
+        )
+        assert np.isfinite(float(dll))
+        tq = jnp.asarray(ts_data)
+        g = sol_c(tq)
+        err = np.abs(np.asarray(g.mean) - ys).mean()
+        std = np.asarray(g.std).mean()
+        assert err < 0.05, (dm, err)            # sits on the data
+        assert 0.2 * sigma < std < 3 * sigma, (dm, std)  # R-sized bands
+
+    # the likelihood remains a usable objective: peaks at the truth
+    def ll(scale):
+        pr = odf.remake(prob, p=jnp.asarray(prob.p) * scale)
+        return float(odf.data_loglik(
+            pr, odf.EK1(order=2, diffusionmodel="fixed", smooth=False),
+            ts_data, ys, sigma, n_grid=40,
+        ))
+
+    assert ll(1.0) > ll(0.9) and ll(1.0) > ll(1.1)
+    # and differentiable (stop_gradient on the calibrated sigma^2)
+    g = jax.grad(lambda p: odf.data_loglik(
+        odf.remake(prob, p=p),
+        odf.EK1(order=2, diffusionmodel="fixed", smooth=False),
+        ts_data, jnp.asarray(ys), sigma, n_grid=40,
+    ))(jnp.asarray(prob.p))
+    assert bool(jnp.all(jnp.isfinite(g)))
 
 
 def test_f32_data_time_near_grid_point(lv_data):
