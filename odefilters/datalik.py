@@ -49,6 +49,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from odefilters.algorithms import AbstractEK
 from odefilters.linalg import Gaussian, gaussian_logpdf_zero
 from odefilters.ops.filtering import update_noisy
@@ -154,12 +156,17 @@ def _filter_with_data_jit(
             # plain filter first to calibrate sigma^2, then run the data
             # pass against the PRE-SCALED prior (real-scale covariances
             # meet R correctly; the likelihood terms are exact).
-            import dataclasses
-
             *_, sigma2_hat = filter_fixed_grid(
                 prob, alg, ts, abstol, reltol, taylor_method
             )
             sigma2_hat = jax.lax.stop_gradient(sigma2_hat)
+            # two full passes ran: honest work counters (workprecision.py
+            # builds cost metrics from these)
+            stats = DEStats(
+                nf=2 * n,
+                njacs=2 * n if alg.is_ek1 else jnp.zeros((), jnp.int32),
+                naccept=n, nreject=jnp.zeros((), jnp.int32),
+            )
             model, x_filt, diff_buf, ll, data_ll, _ = filter_fixed_grid(
                 prob, alg, ts, abstol, reltol, taylor_method,
                 obs_update=maybe_data_update, prior_scale=sigma2_hat,
@@ -269,8 +276,6 @@ def data_loglik(prob, alg, ts_data, ys, obs_noise, **kwargs) -> jax.Array:
     The likelihood only needs the forward filter, so smoothing is switched
     off regardless of ``alg.smooth`` (an objective/gradient loop would
     otherwise pay a discarded RTS pass per evaluation)."""
-    import dataclasses
-
     if alg.smooth:
         alg = dataclasses.replace(alg, smooth=False)
     _, dll = filter_with_data(prob, alg, ts_data, ys, obs_noise, **kwargs)

@@ -67,6 +67,13 @@ def filter_fixed_grid(
     model = make_model(alg, prob.f, prob.jac, d, dtype,
                        second_order=prob.second_order)
     if prior_scale is not None:
+        if not model.is_iwp:
+            # the scale is baked into the constant IWP factor only;
+            # FilterModel.transition() rebuilds non-IWP transitions per
+            # step and would silently drop it
+            raise NotImplementedError(
+                "prior_scale requires the IWP prior"
+            )
         model = dataclasses.replace(
             model,
             QL=diff.apply_diffusion_chol(model.QL, prior_scale, alg.order),
