@@ -237,8 +237,10 @@ def filter_with_data(
     ``prob.u0`` / ``obs_noise`` runs reverse-mode through the whole scan —
     see :func:`data_loglik`.
     """
-    if prob.second_order:
-        raise NotImplementedError("data conditioning expects first-order problems")
+    # Second-order problems work unchanged: the default observation
+    # operator is the position block [I 0 ... 0] (observe u; pass a custom
+    # (d_obs, 2d)-acting C via obs_matrix columns over [u | du] is NOT
+    # supported — C acts on the first d state columns only).
     if alg.is_static_diffusion:
         from odefilters.priors import IWP
 

@@ -262,6 +262,36 @@ def test_f32_data_time_near_grid_point(lv_data):
     assert ok
 
 
+def test_second_order_data_conditioning():
+    """u'' = f(du, u): condition on noisy POSITION observations — the
+    default obs operator is the u block; the physical-parameter likelihood
+    peaks at the truth and is differentiable."""
+    prob = odf.models.pendulum_2nd(tspan=(0.0, 3.0))
+    sol = odf.solve(prob, odf.EK0(order=4), abstol=1e-10, reltol=1e-8)
+    ts_data = np.linspace(0.3, 2.7, 9)
+    truth = np.asarray(sol(jnp.asarray(ts_data)).mean)[:, :1]
+    rng = np.random.default_rng(5)
+    ys = truth + 0.02 * rng.standard_normal(truth.shape)
+
+    sol_c, dll = odf.filter_with_data(
+        prob, odf.EK0(order=3, smooth=True), ts_data, ys, 0.02, n_grid=60
+    )
+    assert np.isfinite(float(dll))
+    g = sol_c(jnp.asarray(ts_data))
+    assert np.abs(np.asarray(g.mean)[:, :1] - truth).max() < 0.01
+
+    def ll(gl):
+        return odf.data_loglik(
+            odf.remake(prob, p=gl), odf.EK0(order=3, smooth=False),
+            ts_data, ys, 0.02, n_grid=60,
+        )
+
+    assert float(ll(jnp.asarray(9.81))) > float(ll(jnp.asarray(8.0)))
+    assert float(ll(jnp.asarray(9.81))) > float(ll(jnp.asarray(12.0)))
+    gr = jax.grad(ll)(jnp.asarray(9.0))
+    assert np.isfinite(float(gr)) and float(gr) > 0  # pushes toward 9.81
+
+
 def test_second_order_dense_sampling():
     """Dense-path sampling on a second-order solution (sol.d is 2d; the
     sampler must use the per-block state dim)."""
