@@ -36,8 +36,9 @@ the (frozen) model, like the step-size controller.
 For LARGE candidate sweeps (SMC / MCMC / grid search) with full-state
 observations on a uniform grid, use the fused kernel
 ``odefilters.ops.pallas_kernels.ensemble_data_loglik_pallas`` — the same
-chain-rule quantity (tested equal), entirely in-kernel, ~50x the batched
-XLA path on chip (2.6M vs 51k candidates/s @ 8192 members).
+chain-rule quantity (tested equal), entirely in-kernel and
+differentiable, ~100x the batched XLA path on chip (5.1M forward / 4.3M
+gradient candidates/s vs 51k @ 8192 members).
 """
 
 from __future__ import annotations

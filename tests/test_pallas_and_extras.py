@@ -234,8 +234,8 @@ def test_second_order_pallas_kernel_interpret():
 def test_pallas_data_loglik_matches_xla_interpret():
     """Fused data-likelihood kernel (physics-enhanced regression at kernel
     speed): per-member log p(y | z=0, u0, p) must equal the XLA
-    `odefilters.data_loglik` on the same grid. 50x the batched XLA sweep
-    on chip (2.6M vs 51k candidates/s @ 8192)."""
+    `odefilters.data_loglik` on the same grid. ~100x the batched XLA sweep
+    on chip (5.1M vs 51k candidates/s @ 8192)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from odefilters.ops import pallas_kernels as pk
