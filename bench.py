@@ -52,11 +52,21 @@ def main():
     u0s = (u0 + 0.1 * jax.random.normal(key, (B, 2))).astype(dtype)
     ps = jnp.broadcast_to(p, (B, 4)).astype(dtype)
 
-    # --- TPU: fused Pallas ensemble solve (filter + RTS smoother) ---
+    # --- TPU: fused Pallas ensemble solve (filter + RTS smoother), run
+    # through the SHARDED entry point (shard_map over a 1-D ensemble mesh
+    # of all available devices — one real chip here gives the same number,
+    # but the code path is the multi-chip one; zero collectives) ---
+    import numpy as np
+    from jax.sharding import AxisType, Mesh
+
+    devs = jax.devices()
+    n_mesh = max(d for d in range(1, len(devs) + 1) if B % (d * pk.BLOCK) == 0)
+    mesh = Mesh(np.asarray(devs[:n_mesh]), ("ens",), axis_types=(AxisType.Auto,))
+
     @jax.jit
     def run(u0s, ps):
         us, stds = pk.solve_ensemble_ek0_pallas_smooth(
-            prob.f, u0s, ps, tspan, N_STEPS, q=3
+            prob.f, u0s, ps, tspan, N_STEPS, q=3, mesh=mesh
         )
         return us[-1].sum() + stds[0].sum()
 

@@ -33,11 +33,13 @@ class AbstractEK:
     default; `algorithms.jl:24` accepts nothing else) or a
     :class:`odefilters.priors.IWP` / ``IOUP(rate)`` / ``Matern(lengthscale)``
     instance — generalized Gauss-Markov priors beyond the reference,
-    supported on: dense adaptive + fixed-grid solvers, smoothing, dense
-    output, sampling, the EK0 Kronecker fast path, the time-parallel
-    backend, and the fixed-grid Pallas ensemble kernels (via their
-    ``prior=`` argument). Only the adaptive Pallas kernels and the
-    Kron-grid PDE kernel bake in the IWP constants.
+    supported on EVERY path: dense adaptive + fixed-grid solvers,
+    smoothing, dense output, sampling, the EK0 Kronecker fast path, the
+    time-parallel backend, and the Pallas kernels (via their ``prior=``
+    argument) — fixed-grid kernels and the Kron-grid PDE kernel bake the
+    per-dt constants in at compile time; the per-lane-dt ADAPTIVE kernels
+    evaluate the h-dependent preconditioned transition from a Chebyshev
+    tabulation (`priors.chebyshev_transition_fit`) per attempt.
     """
 
     prior: object = "ibm"

@@ -40,6 +40,59 @@ BLOCK = 1024
 _SUB, _LANE = 8, 128
 
 
+def _ens_spec(axis: int, name: str):
+    """PartitionSpec sharding dimension ``axis`` over mesh axis ``name``."""
+    from jax.sharding import PartitionSpec as P
+
+    return P(*([None] * axis + [name]))
+
+
+def _shard_over_ens(mesh, body, arrays, in_axes, out_axes):
+    """Run ``body(*arrays)`` under ``jax.shard_map`` over a 1-D device mesh.
+
+    The fused ensemble kernels are embarrassingly parallel over ensemble
+    blocks, so multi-chip execution shards the batch axis and runs the
+    unmodified single-device kernel per shard — **zero collectives in the
+    hot loop** (SURVEY.md §2 "Data-parallel sharding"); XLA's only inserted
+    communication is at already-sharded outputs. ``in_axes``/``out_axes``
+    give the batch-dimension index of each input/output array (``None`` =
+    fully replicated, e.g. shared observations).
+
+    Each shard's batch slice must itself be a multiple of ``BLOCK`` — the
+    per-shard kernel re-validates, so an uneven split fails loudly.
+
+    Interpret-mode caveat (tests/dryrun only, not hardware): the
+    kernels that STREAM state rows to HBM via DMA (the filter+smoother
+    pair and the custom-VJP forward passes) deadlock when the
+    interpret-mode DMA emulation runs on several virtual devices
+    concurrently; validate those on a 1-device mesh (same code path) and
+    the non-streaming kernels (filter / adaptive / datalik forward) on
+    the full mesh. Hardware chips have independent DMA engines.
+    """
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            "fused-kernel sharding expects a 1-D ensemble mesh, got axes "
+            f"{mesh.axis_names}; reshape your mesh (ens only) or use the "
+            "XLA path (odefilters.parallel.sharding) for 2-D meshes"
+        )
+    from jax.sharding import PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+    in_specs = tuple(
+        _ens_spec(a, ax) if a is not None else P() for a in in_axes
+    )
+    out_specs = tuple(_ens_spec(a, ax) for a in out_axes)
+    # check_vma=False: pallas_call outputs don't carry varying-mesh-axes
+    # metadata, so the vma checker rejects them; correctness of the
+    # sharded forward AND backward (incl. the psum of replicated inputs'
+    # cotangents) is covered by tests/test_parallel.py against the
+    # unsharded kernels.
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(*arrays)
+
+
 def _no_x64(fn):
     """Trace the kernel wrapper with 32-bit default types.
 
@@ -72,7 +125,7 @@ def _ek0_step_lists(
     m, C, p_block, t_new, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, d: int, nq: int,
-    so: bool = False, pinv_b: float = 0.0,
+    so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
 ):
     """One EK0(dynamic) step on list-of-lanes state; pure function of
     ``(m, C, p)`` so it is both the fused-kernel body and the target of the
@@ -105,6 +158,15 @@ def _ek0_step_lists(
     # -- dynamic diffusion: s2 = |z|^2 / (d hq) --
     zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
     s2 = zz / (d * hq)
+    if stop_calib:
+        # calibration treated as part of the (frozen) model in the
+        # adjoint: the innovations z sit at the solver-accuracy floor, so
+        # reverse-mode tangents through 1/s2 amplify f32 forward noise
+        # without bound in the horizon (measured: full data-ll gradient
+        # 6e3 x wrong at 500 steps, stop-calib 8e-5 — the same estimator
+        # choice as the static/Fenrir sigma^2 and the step controller,
+        # benchmarks/grad_horizon_experiment.py)
+        s2 = jax.lax.stop_gradient(s2)
     # -- predict cov: Cp = At C At^T + s2 Qt --
     tmp = [
         [
@@ -553,6 +615,7 @@ def ek0_fused_filter(
     q: int,
     second_order: bool = False,
     prior=None,
+    mesh=None,
 ):
     """Run the fused EK0 filter over an ensemble of B members.
 
@@ -566,7 +629,20 @@ def ek0_fused_filter(
     whose backward pass is itself a Pallas kernel (the exact adjoint of
     the filter recursion via in-kernel ``jax.vjp`` of the step), so
     likelihood gradients for parameter inference run at kernel speed.
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` — shards the ensemble
+    axis across devices via ``shard_map`` (B per shard still a multiple
+    of 1024); the custom VJP composes, so sharded gradients work too.
     """
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_: ek0_fused_filter(
+                f, m0_, ps_, t0, dt, n_steps, q,
+                second_order=second_order, prior=prior,
+            ),
+            (m0, ps), in_axes=(2, 1), out_axes=(2, 1, 0),
+        )
     nq = q + 1
     if second_order and q < 2:
         raise ValueError("second-order problems need solver order >= 2")
@@ -606,6 +682,7 @@ def solve_ensemble_ek0_pallas(
     p_template=None,
     second_order: bool = False,
     prior=None,
+    mesh=None,
 ):
     """Convenience wrapper: Taylor-init the ensemble, run the fused kernel.
 
@@ -642,7 +719,7 @@ def solve_ensemble_ek0_pallas(
     m0 = m0.transpose(1, 2, 0)                  # (q+1, d, B)
     return ek0_fused_filter(
         prob_f, m0, ps.T, float(t0), float(dt), n_steps, q,
-        second_order=second_order, prior=prior,
+        second_order=second_order, prior=prior, mesh=mesh,
     )
 
 
@@ -689,7 +766,7 @@ def _ek0_datalik_kernel(
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, r2: float, seg_lens: tuple,
     dt: float, t0: float, d: int, nq: int,
-    so: bool = False, pinv_b: float = 0.0,
+    so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
 ):
     """Filter + data updates with a STATICALLY segmented time loop.
 
@@ -706,7 +783,7 @@ def _ek0_datalik_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq, so=so, pinv_b=pinv_b,
+        d=d, nq=nq, so=so, pinv_b=pinv_b, stop_calib=stop_calib,
     )
     dupd = functools.partial(
         _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
@@ -737,17 +814,20 @@ def _ek0_datalik_kernel(
 
 
 @_no_x64
-def _ek0_datalik_blocked(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
+def _ek0_datalik_blocked(
+    f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr, so=False
+):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
     n_obs = y_arr.shape[0]
     dtype = m0_p.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
-    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
     kernel = functools.partial(
         _ek0_datalik_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
         r2=float(r2), seg_lens=tuple(seg_lens), dt=float(dt), t0=float(t0),
-        d=d, nq=nq,
+        d=d, nq=nq, so=bool(so),
+        pinv_b=float(1.0 / p_np[2]) if so else 0.0,
     )
 
     def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk):
@@ -793,6 +873,7 @@ def _ek0_datalik_grad_fwd_kernel(
     m0_ref, p_ref, y_ref, dll_ref, ll_ref, st_ref,
     row, sem, *,
     f, At, Qt, pinv0, pinv1, r2, seg_lens, dt, t0, d, nq,
+    stop_calib: bool = False,
 ):
     """Segmented data-likelihood filter, streaming the state at entry of
     every ODE step (post any data update) for the adjoint sweep."""
@@ -804,7 +885,7 @@ def _ek0_datalik_grad_fwd_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq,
+        d=d, nq=nq, stop_calib=stop_calib,
     )
     dupd = functools.partial(
         _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
@@ -854,6 +935,7 @@ def _ek0_datalik_grad_bwd_kernel(
     dm0_ref, dp_ref, dy_ref,
     row, sem, *,
     f, At, Qt, pinv0, pinv1, r2, seg_lens, dt, t0, d, nq,
+    stop_calib: bool = False,
 ):
     """Adjoint of the segmented data-likelihood filter: walks the streamed
     states in reverse, vjp-ing the ODE step per step and (at the static
@@ -876,7 +958,7 @@ def _ek0_datalik_grad_bwd_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq,
+        d=d, nq=nq, stop_calib=stop_calib,
     )
     dupd = functools.partial(
         _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
@@ -953,16 +1035,20 @@ def _ek0_datalik_grad_bwd_kernel(
     dp_ref[...] = dp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 @_no_x64
-def _ek0_datalik_vjp(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
+def _ek0_datalik_vjp(
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, m0_p, ps_b, y_arr
+):
     return _ek0_datalik_blocked(
         f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr
     )
 
 
 @_no_x64
-def _ek0_datalik_vjp_fwd(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
+def _ek0_datalik_vjp_fwd(
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, m0_p, ps_b, y_arr
+):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
     n_obs = y_arr.shape[0]
@@ -973,7 +1059,7 @@ def _ek0_datalik_vjp_fwd(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
     kernel = functools.partial(
         _ek0_datalik_grad_fwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
         pinv1=pinv1, r2=float(r2), seg_lens=tuple(seg_lens),
-        dt=float(dt), t0=float(t0), d=d, nq=nq,
+        dt=float(dt), t0=float(t0), d=d, nq=nq, stop_calib=bool(stop_calib),
     )
     W = d + nq
     scratch = [
@@ -1019,7 +1105,9 @@ def _ek0_datalik_vjp_fwd(f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr):
 
 
 @_no_x64
-def _ek0_datalik_vjp_bwd(f, q, dt, t0, r2, prior, seg_lens, res, cts):
+def _ek0_datalik_vjp_bwd(
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, res, cts
+):
     st, ps_b, y_arr = res
     ddll, dall = cts
     nb = st.shape[0]
@@ -1033,7 +1121,7 @@ def _ek0_datalik_vjp_bwd(f, q, dt, t0, r2, prior, seg_lens, res, cts):
     kernel = functools.partial(
         _ek0_datalik_grad_bwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
         pinv1=pinv1, r2=float(r2), seg_lens=tuple(seg_lens),
-        dt=float(dt), t0=float(t0), d=d, nq=nq,
+        dt=float(dt), t0=float(t0), d=d, nq=nq, stop_calib=bool(stop_calib),
     )
     scratch = [
         pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
@@ -1094,37 +1182,113 @@ _ek0_datalik_vjp.defvjp(_ek0_datalik_vjp_fwd, _ek0_datalik_vjp_bwd)
 
 def ensemble_data_loglik_pallas(
     prob_f: Callable,
-    u0s: jax.Array,      # (B, d)
+    u0s: jax.Array,      # (B, d) — or (B, 2d) = [u0 | du0] if second_order
     ps: jax.Array,       # (B, n_params)
     tspan,
     n_steps: int,
     ts_data,             # (n_obs,) concrete times ON the uniform grid
-    ys,                  # (n_obs, d) observations (shared by all members)
-    obs_noise_std: float,
+    ys,                  # (n_obs, d_obs) shared or (B, n_obs, d_obs) per-member
+    obs_noise_std,       # scalar std or (d_obs,) per-dimension stds
     q: int = 3,
     prior=None,
+    mesh=None,
+    obs_matrix=None,     # optional static (d_obs, d) observation operator
+    ek1: bool = False,
+    jac=None,
+    second_order: bool = False,
+    calib_grad: bool = True,
 ):
     """Per-member marginal data log-likelihood from one fused kernel.
 
     The kernel analogue of ``odefilters.datalik.data_loglik`` (same
-    chain-rule quantity; full-state observations, dynamic diffusion),
+    chain-rule quantity, dynamic diffusion; `datalik.py:127-214`),
     vectorized over B (u0, p) candidates: the inference sweep for
     SMC/MCMC/grid search runs at fused-filter throughput instead of the
     batched XLA path. ``ts_data`` must lie on the uniform solve grid
     (within 1e-6 dt) and be strictly after t0.
 
+    Observation models (VERDICT r2 item 3 — all tested against the XLA
+    path in interpret mode):
+
+    * default: full-state observations, scalar noise, observations shared
+      by all members — the isotropic fast path, differentiable via a
+      custom VJP whose backward pass is itself a Pallas kernel.
+    * ``obs_matrix``: static (d_obs, d) operator. (Scaled) one-hot rows
+      run on the per-dimension EK0 kernel; dense rows require
+      ``ek1=True``.
+    * ``obs_noise_std``: scalar or per-dimension (d_obs,) stds.
+    * per-member observations: pass ``ys`` with a leading batch axis
+      (B, n_obs, d_obs) — each candidate conditions on its own data set.
+    * ``ek1=True``: the full D x D square-root EK1(dynamic) filter with
+      joint noisy updates (Joseph square-root form) — stiff inference
+      problems and dense observation operators. ``jac`` optional.
+    * ``second_order=True``: u'' = f(du, u, p, t) with
+      ``u0s = [u0 | du0]``; full-state observations of u only.
+
+    The non-default observation models are forward-only (gradients of
+    partial-obs objectives use ``odefilters.datalik`` on the XLA path).
+
+    ``calib_grad=False`` (recommended for on-chip f32 gradients):
+    stop-gradient through the per-step dynamic-diffusion calibration in
+    the custom VJP — identical values, but the gradient stays
+    ~1e-4-accurate at 500-step horizons where the full f32 gradient is
+    orders of magnitude wrong (benchmarks/grad_horizon_experiment.py;
+    same estimator family as Fenrir's calibrate-then-condition).
+
     Returns ``(data_ll, ode_ll)``, each ``(B,)``.
+
+    ``mesh``: optional 1-D device mesh — candidates shard across chips;
+    shared observations are replicated (their cotangent is the psum of
+    per-shard contributions, inserted by shard_map), per-member
+    observations shard with their candidates.
     """
-    from odefilters.taylor import taylor_coefficients
+    if mesh is not None:
+        ys_m = jnp.asarray(ys)
+        return _shard_over_ens(
+            mesh,
+            lambda u0s_, ps_, ys_: ensemble_data_loglik_pallas(
+                prob_f, u0s_, ps_, tspan, n_steps, ts_data, ys_,
+                obs_noise_std, q=q, prior=prior, obs_matrix=obs_matrix,
+                ek1=ek1, jac=jac, second_order=second_order,
+                calib_grad=calib_grad,
+            ),
+            (u0s, ps, ys_m),
+            in_axes=(0, 0, 0 if ys_m.ndim == 3 else None),
+            out_axes=(0, 0),
+        )
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
 
     t0, t1 = tspan
     T = int(n_steps)
     dt = (t1 - t0) / T
-    B, d = u0s.shape
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
     td = np.asarray(ts_data, dtype=np.float64)
+    n_obs = td.shape[0]
     ys = jnp.asarray(ys)  # may be traced (differentiable w.r.t. the data)
-    if ys.shape != (td.shape[0], d):
-        raise ValueError("ys must have shape (len(ts_data), d)")
+
+    C_np = None if obs_matrix is None else np.asarray(obs_matrix, np.float64)
+    if C_np is not None and (C_np.ndim != 2 or C_np.shape[1] != d):
+        raise ValueError(f"obs_matrix must have shape (d_obs, {d})")
+    d_obs = d if C_np is None else C_np.shape[0]
+    y_batched = ys.ndim == 3
+    expect = (B, n_obs, d_obs) if y_batched else (n_obs, d_obs)
+    if ys.shape != expect:
+        raise ValueError(f"ys must have shape {expect}, got {ys.shape}")
+    r_std = np.asarray(obs_noise_std, np.float64)
+    if r_std.ndim == 0:
+        r2_vec = np.full(d_obs, float(r_std) ** 2)
+    elif r_std.shape == (d_obs,):
+        r2_vec = r_std**2
+    else:
+        raise ValueError(
+            f"obs_noise_std must be a scalar or ({d_obs},) vector"
+        )
+
     kidx = np.round((td - float(t0)) / float(dt)).astype(int)
     if np.any(np.abs(td - (float(t0) + kidx * float(dt))) > 1e-6 * float(dt)):
         raise ValueError(
@@ -1141,8 +1305,14 @@ def ensemble_data_loglik_pallas(
     bounds = np.concatenate([[0], kidx, [T]])
     seg_lens = tuple(int(x) for x in np.diff(bounds))
 
-    def init_one(u0, p):
-        return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+    if second_order:
+        def init_one(u0_full, p):
+            return jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+    else:
+        def init_one(u0, p):
+            return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
 
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)   # (q+1, d, B)
     nq = q + 1
@@ -1156,11 +1326,527 @@ def ensemble_data_loglik_pallas(
     ).transpose(2, 0, 1, 3, 4)
     ps_b = ps.T.reshape(ps.shape[1], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
 
-    dll, ll = _ek0_datalik_vjp(
-        prob_f, q, float(dt), float(t0), float(obs_noise_std) ** 2,
-        prior, seg_lens, m0_p, ps_b, ys.astype(dtype),
+    iso = (
+        not ek1 and not y_batched and C_np is None and r_std.ndim == 0
+    )
+    if iso and not second_order:
+        dll, ll = _ek0_datalik_vjp(
+            prob_f, q, float(dt), float(t0), float(r_std) ** 2,
+            prior, seg_lens, not calib_grad, m0_p, ps_b, ys.astype(dtype),
+        )
+        return dll.reshape(B), ll.reshape(B)
+    if second_order:
+        if not iso:
+            raise NotImplementedError(
+                "second_order data likelihood supports full-state "
+                "observations with scalar noise shared by all members"
+            )
+        dll, ll = _ek0_datalik_blocked(
+            prob_f, q, float(dt), float(t0), float(r_std) ** 2,
+            prior, seg_lens, m0_p, ps_b, ys.astype(dtype), so=True,
+        )
+        return dll.reshape(B), ll.reshape(B)
+
+    if y_batched:
+        y_arr = ys.astype(dtype).transpose(1, 2, 0).reshape(
+            n_obs, d_obs, nb, _SUB, _LANE
+        ).transpose(2, 0, 1, 3, 4)
+    else:
+        y_arr = ys.astype(dtype)
+
+    if ek1:
+        C_full = np.eye(d) if C_np is None else C_np
+        R_chol = np.diag(np.sqrt(r2_vec))
+        dll, ll = _ek1_datalik_blocked(
+            prob_f, jac if jac is not None else _auto_jac(prob_f),
+            q, float(dt), float(t0), prior, seg_lens, C_full, R_chol,
+            y_batched, m0_p, ps_b, y_arr,
+        )
+        return dll.reshape(B), ll.reshape(B)
+
+    # EK0 per-dim path: (scaled) one-hot observation rows only
+    C_sel = np.eye(d) if C_np is None else C_np
+    obs_dims, obs_scales = [], []
+    for a in range(d_obs):
+        nz = np.nonzero(C_sel[a])[0]
+        if nz.size != 1:
+            raise ValueError(
+                "EK0 partial observations require (scaled) one-hot "
+                "obs_matrix rows (each row observes one state dimension); "
+                "use ek1=True for dense observation operators"
+            )
+        obs_dims.append(int(nz[0]))
+        obs_scales.append(float(C_sel[a, nz[0]]))
+    dll, ll = _ek0_datalik_pd_blocked(
+        prob_f, q, float(dt), float(t0), prior, seg_lens,
+        tuple(obs_dims), tuple(obs_scales), tuple(float(r) for r in r2_vec),
+        y_batched, m0_p, ps_b, y_arr,
     )
     return dll.reshape(B), ll.reshape(B)
+
+
+# ==========================================================================
+# Generalized data-likelihood kernels (VERDICT r2 item 3): the realistic
+# inference observation models at fused-kernel speed.
+#
+#   * EK0 per-dim kernel: partial observations via a (scaled) one-hot
+#     observation matrix, per-dimension observation noise, and per-member
+#     observation sets. A one-hot row observes a single state dimension,
+#     so conditioning forks the shared (Kronecker) nq x nq covariance into
+#     d independent per-dimension nq x nq covariances — still exactly
+#     block-diagonal over dims (the EK0 ODE update and the IWP transition
+#     both preserve that structure), so the kernel stays pure-VPU lane
+#     arithmetic with d x the covariance state of the isotropic kernel.
+#     Sequential scalar conditioning on the rows of a diagonal-noise
+#     observation equals the joint update exactly (standard Kalman chain
+#     rule), including the accumulated log-likelihood.
+#
+#   * EK1 datalik kernel: the full D x D square-root EK1(dynamic) filter
+#     with noisy data updates for an ARBITRARY static observation matrix
+#     C (d_obs x d) and noise factor R — the joint d_obs-dim update in
+#     square-root form: S = Z Z^T + R R^T with Z = C P0 L, and the
+#     posterior factor re-orthonormalized by one in-kernel MGS QR of the
+#     (D + d_obs) x D stack [L - K Z | K R]^T (Joseph square-root form,
+#     exact for noisy updates where the plain L - K Z downdate is not).
+#
+# Semantics match `odefilters.datalik.filter_with_data` (same chain-rule
+# marginal likelihood; datalik.py:127-214) — tested equal in interpret
+# mode. Forward-only for now (the isotropic fast path keeps its custom
+# VJP); gradients of partial-obs sweeps use the XLA path.
+# ==========================================================================
+
+
+def _ek0_pd_step_lists(
+    m, C, p_block, t_new, *,
+    f: Callable, At: np.ndarray, Qt: np.ndarray,
+    pinv0: float, pinv1: float, d: int, nq: int,
+):
+    """One EK0(dynamic) step with PER-DIMENSION covariances.
+
+    ``m[i][j]``: mean lanes; ``C[j][i][l]``: dim j's nq x nq covariance.
+    Identical math to `_ek0_step_lists` except every covariance op runs
+    per dim (after a partial-obs data update the dims genuinely differ).
+    Returns ``(m_new, C_new, ll_inc)``.
+    """
+    hq = pinv1 * pinv1 * Qt[1, 1]
+    mp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [At[i, l] * m[l][j] for l in range(nq) if At[i, l] != 0.0],
+            )
+            for j in range(d)
+        ]
+        for i in range(nq)
+    ]
+    u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
+    du = f(u_pred, p_block, t_new)
+    z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+    zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
+    s2 = zz / (d * hq)
+
+    m_new = [[None] * d for _ in range(nq)]
+    C_new = [None] * d
+    ll_inc = None
+    for j in range(d):
+        Cj = C[j]
+        tmp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, a] * Cj[a][b] for a in range(nq) if At[i, a] != 0.0],
+                )
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        Cp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [tmp[i][b] * At[l, b] for b in range(nq) if At[l, b] != 0.0],
+                )
+                + Qt[i, l] * s2
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        s = pinv1 * pinv1 * Cp[1][1]
+        inv_s = 1.0 / s
+        kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
+        for i in range(nq):
+            m_new[i][j] = mp[i][j] - kg[i] * z[j]
+        C_new[j] = [
+            [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
+            for i in range(nq)
+        ]
+        inc = -0.5 * (
+            z[j] * z[j] * inv_s
+            + jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI
+        )
+        ll_inc = inc if ll_inc is None else ll_inc + inc
+    return m_new, C_new, ll_inc
+
+
+def _ek0_pd_data_update(
+    m, C, y_row, *, obs_dims, obs_scales, r2s, pinv0, nq,
+):
+    """Sequential scalar conditioning on one observation row.
+
+    ``obs_dims[a]``: the state dim observed by row a; ``obs_scales[a]``:
+    its (static) coefficient c in y_a = c u_jd + e; ``r2s[a]``: its noise
+    variance. Exact joint update for diagonal noise. Returns
+    ``(m, C, dll_inc)``; ``y_row[a]`` may be SMEM scalars or lane arrays.
+    """
+    dll = None
+    for a, jd in enumerate(obs_dims):
+        c = float(obs_scales[a])
+        r2 = float(r2s[a])
+        Cj = C[jd]
+        z = y_row[a] - c * pinv0 * m[0][jd]
+        s_d = c * c * pinv0 * pinv0 * Cj[0][0] + r2
+        inv_sd = 1.0 / s_d
+        kg = [c * pinv0 * Cj[i][0] * inv_sd for i in range(nq)]
+        for i in range(nq):
+            m[i][jd] = m[i][jd] + kg[i] * z
+        C[jd] = [
+            [Cj[i][l] - kg[i] * kg[l] * s_d for l in range(nq)]
+            for i in range(nq)
+        ]
+        inc = -0.5 * (z * z * inv_sd + jnp.log(s_d) + _LOG_2PI)
+        dll = inc if dll is None else dll + inc
+    return m, C, dll
+
+
+def _ek0_datalik_pd_kernel(
+    m0_ref, p_ref, y_ref, dll_ref, ll_ref, *,
+    f: Callable, At: np.ndarray, Qt: np.ndarray,
+    pinv0: float, pinv1: float, seg_lens: tuple,
+    obs_dims: tuple, obs_scales: tuple, r2s: tuple,
+    dt: float, t0: float, d: int, nq: int, y_batched: bool,
+):
+    """Statically segmented per-dim EK0 filter + partial-obs data updates.
+
+    ``y_ref``: (n_obs, d_obs) SMEM scalars when observations are shared,
+    or a (n_obs, d_obs, 8, 128) VMEM block when per-member
+    (``y_batched``). Static segment bounds keep every observation access
+    a static index (dynamic SMEM reads compile ~100x slower in Mosaic).
+    """
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    zero = jnp.zeros_like(m[0][0])
+    C = [
+        [[zero for _ in range(nq)] for _ in range(nq)] for _ in range(d)
+    ]
+    p_block = p_ref[:]
+
+    step = functools.partial(
+        _ek0_pd_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq,
+    )
+    dupd = functools.partial(
+        _ek0_pd_data_update, obs_dims=obs_dims, obs_scales=obs_scales,
+        r2s=r2s, pinv0=pinv0, nq=nq,
+    )
+
+    def body(k, carry):
+        m, C, ll = carry
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, C_new, ll_inc = step(m, C, p_block, t_new)
+        return m_new, C_new, ll + ll_inc
+
+    ll = zero
+    dll = zero
+    k_base = 0
+    d_obs = len(obs_dims)
+    for si, L in enumerate(seg_lens):
+        if L > 0:
+            m, C, ll = jax.lax.fori_loop(
+                jnp.int32(k_base), jnp.int32(k_base + L), body, (m, C, ll)
+            )
+        k_base += L
+        if si < len(seg_lens) - 1:
+            y_row = [y_ref[si, a] for a in range(d_obs)]
+            m, C, dll_inc = dupd(m, C, y_row)
+            dll = dll + dll_inc
+    dll_ref[...] = dll
+    ll_ref[...] = ll
+
+
+@_no_x64
+def _ek0_datalik_pd_blocked(
+    f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s, y_batched,
+    m0_p, ps_b, y_arr,
+):
+    nb, nq, d = m0_p.shape[:3]
+    n_params = ps_b.shape[1]
+    n_obs = len(seg_lens) - 1
+    d_obs = len(obs_dims)
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    kernel = functools.partial(
+        _ek0_datalik_pd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
+        pinv1=pinv1, seg_lens=tuple(seg_lens), obs_dims=tuple(obs_dims),
+        obs_scales=tuple(obs_scales), r2s=tuple(r2s), dt=float(dt),
+        t0=float(t0), d=d, nq=nq, y_batched=bool(y_batched),
+    )
+
+    def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            y_blk.at[jnp.int32(0)] if y_batched else y_blk,
+            dll_blk.at[jnp.int32(0)], ll_blk.at[jnp.int32(0)],
+        )
+
+    if y_batched:
+        y_spec = pl.BlockSpec(
+            (1, n_obs, d_obs, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        y_spec = pl.BlockSpec(
+            (n_obs, d_obs), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+    in_specs = [
+        pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        y_spec,
+    ]
+    out_specs = [
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        ],
+    )(m0_p, ps_b, y_arr)
+
+
+def _ek1_data_update_lists(
+    m, L, y_row, *, C_obs: np.ndarray, R_chol: np.ndarray,
+    pinv0: float, d: int, D: int,
+):
+    """Joint noisy data update in square-root form (dense covariance).
+
+    ``C_obs``: static (d_obs, d) observation matrix acting on the position
+    block; ``R_chol``: static (d_obs, d_obs) lower noise factor. Joseph
+    square-root form: the posterior factor is one MGS QR of the
+    (D + d_obs) x D stack [L - K Z | K R]^T — exact for noisy updates
+    (the plain L - K Z downdate drops the K R R^T K^T term). Returns
+    ``(m_new, L_new, dll_inc)``.
+    """
+    d_obs = C_obs.shape[0]
+    RRT = R_chol @ R_chol.T
+    zero = jnp.zeros_like(m[0])
+    # residual and projected factor rows: Z = C P0 L (d_obs x D)
+    z = []
+    for a in range(d_obs):
+        yhat = functools.reduce(
+            lambda x, y: x + y,
+            [C_obs[a, j] * (pinv0 * m[j]) for j in range(d)
+             if C_obs[a, j] != 0.0],
+            zero,
+        )
+        z.append(y_row[a] - yhat)
+    Z = [
+        [
+            functools.reduce(
+                lambda x, y: x + y,
+                [C_obs[a, j] * (pinv0 * L[j][c]) for j in range(d)
+                 if C_obs[a, j] != 0.0],
+                zero,
+            )
+            for c in range(D)
+        ]
+        for a in range(d_obs)
+    ]
+    S = [
+        [
+            functools.reduce(
+                lambda x, y: x + y, [Z[a][c] * Z[b][c] for c in range(D)]
+            )
+            + float(RRT[a, b])
+            for b in range(d_obs)
+        ]
+        for a in range(d_obs)
+    ]
+    Ls = _list_chol(S, d_obs)
+    w = _list_cho_solve(Ls, z, d_obs)
+    zSz = functools.reduce(
+        lambda x, y: x + y, [z[a] * w[a] for a in range(d_obs)]
+    )
+    logdet = functools.reduce(
+        lambda x, y: x + y,
+        [2.0 * jnp.log(jnp.maximum(Ls[a][a], 1e-30)) for a in range(d_obs)],
+    )
+    dll_inc = -0.5 * (zSz + logdet + d_obs * _LOG_2PI)
+    LZt = [
+        [
+            functools.reduce(
+                lambda x, y: x + y, [L[r][c] * Z[a][c] for c in range(D)]
+            )
+            for a in range(d_obs)
+        ]
+        for r in range(D)
+    ]
+    Kg = [_list_cho_solve(Ls, LZt[r], d_obs) for r in range(D)]
+    m_new = [
+        m[r]
+        + functools.reduce(
+            lambda x, y: x + y, [Kg[r][a] * z[a] for a in range(d_obs)]
+        )
+        for r in range(D)
+    ]
+    # Joseph sqrt: rows of [L - K Z | K R_chol]^T, re-orthonormalized
+    rows = [
+        [
+            L[r][k]
+            - functools.reduce(
+                lambda x, y: x + y, [Kg[r][a] * Z[a][k] for a in range(d_obs)]
+            )
+            for r in range(D)
+        ]
+        for k in range(D)
+    ] + [
+        [
+            functools.reduce(
+                lambda x, y: x + y,
+                [Kg[r][b] * float(R_chol[b, a]) for b in range(d_obs)
+                 if R_chol[b, a] != 0.0],
+                zero,
+            )
+            for r in range(D)
+        ]
+        for a in range(d_obs)
+    ]
+    L_new = _list_mgs_tril(rows, D + d_obs, D)
+    return m_new, L_new, dll_inc
+
+
+def _ek1_datalik_kernel(
+    m0_ref, p_ref, y_ref, dll_ref, ll_ref, *,
+    f, jac, At, QLt, pinv0, pinv1, seg_lens: tuple,
+    C_obs: np.ndarray, R_chol: np.ndarray,
+    dt: float, t0: float, d: int, nq: int, y_batched: bool,
+):
+    """Statically segmented EK1(dynamic) filter + noisy data updates.
+
+    The EK1 data-likelihood analogue of `_ek0_datalik_kernel` for stiff
+    inference problems and dense observation operators.
+    """
+    D = d * nq
+    d_obs = C_obs.shape[0]
+    Af = np.kron(At, np.eye(d))
+    QLf = np.kron(QLt, np.eye(d))
+    m = [m0_ref[i // d, i % d] for i in range(D)]
+    zero = jnp.zeros_like(m[0])
+    L = [[zero for _ in range(D)] for _ in range(D)]
+    p_block = p_ref[:]
+
+    dupd = functools.partial(
+        _ek1_data_update_lists, C_obs=C_obs, R_chol=R_chol,
+        pinv0=pinv0, d=d, D=D,
+    )
+
+    def body(k, carry):
+        m, L, ll = carry
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, L_new, _, ll_inc = _ek1_step_lists(
+            m, L, p_block, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
+            pinv0=pinv0, pinv1=pinv1, d=d, D=D, want_ll=True,
+        )
+        return m_new, L_new, ll + ll_inc
+
+    ll = zero
+    dll = zero
+    k_base = 0
+    for si, Lseg in enumerate(seg_lens):
+        if Lseg > 0:
+            m, L, ll = jax.lax.fori_loop(
+                jnp.int32(k_base), jnp.int32(k_base + Lseg), body, (m, L, ll)
+            )
+        k_base += Lseg
+        if si < len(seg_lens) - 1:
+            y_row = [y_ref[si, a] for a in range(d_obs)]
+            m, L, dll_inc = dupd(m, L, y_row)
+            dll = dll + dll_inc
+    dll_ref[...] = dll
+    ll_ref[...] = ll
+
+
+@_no_x64
+def _ek1_datalik_blocked(
+    f, jac, q, dt, t0, prior, seg_lens, C_obs, R_chol, y_batched,
+    m0_p, ps_b, y_arr,
+):
+    nb, nq, d = m0_p.shape[:3]
+    n_params = ps_b.shape[1]
+    n_obs = len(seg_lens) - 1
+    d_obs = C_obs.shape[0]
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    At = At_np.astype(fdtype)
+    QLt = QLt_np.astype(fdtype)
+    pinv0, pinv1 = float(1.0 / p_np[0]), float(1.0 / p_np[1])
+    kernel = functools.partial(
+        _ek1_datalik_kernel, f=f, jac=jac, At=At, QLt=QLt, pinv0=pinv0,
+        pinv1=pinv1, seg_lens=tuple(seg_lens),
+        C_obs=np.asarray(C_obs, fdtype), R_chol=np.asarray(R_chol, fdtype),
+        dt=float(dt), t0=float(t0), d=d, nq=nq, y_batched=bool(y_batched),
+    )
+
+    def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            y_blk.at[jnp.int32(0)] if y_batched else y_blk,
+            dll_blk.at[jnp.int32(0)], ll_blk.at[jnp.int32(0)],
+        )
+
+    if y_batched:
+        y_spec = pl.BlockSpec(
+            (1, n_obs, d_obs, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        y_spec = pl.BlockSpec(
+            (n_obs, d_obs), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+    in_specs = [
+        pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        y_spec,
+    ]
+    out_specs = [
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        ],
+    )(m0_p, ps_b, y_arr)
 
 
 # ==========================================================================
@@ -1547,12 +2233,25 @@ def ek0_fused_solve(
     q: int,
     _debug: bool = False,
     prior=None,
+    mesh=None,
 ):
     """Complete fused probabilistic solve: filter + RTS smoother kernels.
 
     Returns ``(us, stds)`` — the *smoothed* posterior means/stds of the
-    solution, shapes (T+1, d, B) / (T+1, B).
+    solution, shapes (T+1, d, B) / (T+1, B). ``mesh``: optional 1-D device
+    mesh sharding the ensemble axis (both kernels run per-shard; the
+    intermediate state stream stays shard-local, no collectives).
     """
+    if mesh is not None:
+        if _debug:
+            raise ValueError("_debug outputs are not available under mesh=")
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_: ek0_fused_solve(
+                f, m0_, ps_, t0, dt, n_steps, q, prior=prior,
+            ),
+            (m0, ps), in_axes=(2, 1), out_axes=(2, 1),
+        )
     nq = q + 1
     _, d, B = m0.shape
     if B % BLOCK:
@@ -1659,6 +2358,7 @@ def solve_ensemble_ek0_pallas_smooth(
     n_steps: int,
     q: int = 3,
     prior=None,
+    mesh=None,
 ):
     """Taylor-init + fused filter + fused RTS smoother over an ensemble.
 
@@ -1676,7 +2376,7 @@ def solve_ensemble_ek0_pallas_smooth(
 
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
     return ek0_fused_solve(prob_f, m0, ps.T, float(t0), float(dt), n_steps, q,
-                           prior=prior)
+                           prior=prior, mesh=mesh)
 
 
 # ==========================================================================
@@ -1688,6 +2388,140 @@ def solve_ensemble_ek0_pallas_smooth(
 # into the kernel alongside the vector field.
 # ==========================================================================
 
+
+
+def _ek1_step_lists(
+    m, L, p_block, t_new, *,
+    f, jac, Af, QLf, pinv0, pinv1, d, D, want_ll=False,
+):
+    """One square-root EK1(dynamic) step on D-vector mean / D x D factor
+    lists of lanes. Shared by the streamed-state filter kernel and the
+    EK1 data-likelihood kernel. Returns ``(m_new, L_new, s2, ll_inc)``
+    (``ll_inc`` is None unless ``want_ll``)."""
+    zero = jnp.zeros_like(m[0])
+
+    def Amul_vec(v):
+        return [
+            functools.reduce(
+                lambda a, b: a + b,
+                [Af[r, c] * v[c] for c in range(D) if Af[r, c] != 0.0],
+            )
+            for r in range(D)
+        ]
+
+    def Amul_mat(M):
+        return [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [Af[r, c] * M[c][k] for c in range(D) if Af[r, c] != 0.0],
+                )
+                for k in range(D)
+            ]
+            for r in range(D)
+        ]
+
+    mp = Amul_vec(m)
+    u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
+    du = f(u_pred, p_block, t_new)
+    J = jac(u_pred, p_block, t_new)          # (d, d, 8, 128)
+    z = [pinv1 * mp[d + a] - du[a] for a in range(d)]
+
+    def Hmul_cols(M, K):
+        # H M for H = (E1 - J E0) P^-1; M is D x K lists
+        out = []
+        for a in range(d):
+            row = []
+            for kk in range(K):
+                v = pinv1 * M[d + a][kk]
+                for b in range(d):
+                    v = v - J[a, b] * (pinv0 * M[b][kk])
+                row.append(v)
+            out.append(row)
+        return out
+
+    # dynamic diffusion: s2 = z^T (H Q H^T)^-1 z / d, with HQ = Hmul(QLf)
+    QL_lists = [[jnp.zeros_like(zero) if QLf[r, c] == 0.0 else
+                 QLf[r, c] + zero for c in range(D)] for r in range(D)]
+    HQ = Hmul_cols(QL_lists, D)              # d x D
+    Sq = [
+        [
+            functools.reduce(
+                lambda x, y: x + y, [HQ[a][c] * HQ[b][c] for c in range(D)]
+            )
+            for b in range(d)
+        ]
+        for a in range(d)
+    ]
+    Lq = _list_chol(Sq, d)
+    w = _list_cho_solve(Lq, z, d)
+    s2 = functools.reduce(
+        lambda x, y: x + y, [z[a] * w[a] for a in range(d)]
+    ) / d
+    sq_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
+
+    # predicted factor: MGS of [ (A L)^T ; sqrt(s2) QLf^T ]  (2D x D)
+    AL = Amul_mat(L)
+    qT = [
+        [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else zero
+         for r in range(D)]
+        for c in range(D)
+    ]
+    Lp = _list_mgs_tril(_t_rows(AL, D) + qT, 2 * D, D)
+
+    # update: Z = H Lp (d x D), S = Z Z^T, K = Lp Z^T S^-1
+    Z = Hmul_cols(Lp, D)
+    S = [
+        [
+            functools.reduce(
+                lambda x, y: x + y, [Z[a][c] * Z[b][c] for c in range(D)]
+            )
+            for b in range(d)
+        ]
+        for a in range(d)
+    ]
+    Ls = _list_chol(S, d)
+    # K rows: K[r] = (Lp Z^T)[r, :] S^-1
+    LpZt = [
+        [
+            functools.reduce(
+                lambda x, y: x + y, [Lp[r][c] * Z[a][c] for c in range(D)]
+            )
+            for a in range(d)
+        ]
+        for r in range(D)
+    ]
+    Kg = [_list_cho_solve(Ls, LpZt[r], d) for r in range(D)]
+    m_new = [
+        mp[r]
+        - functools.reduce(
+            lambda x, y: x + y, [Kg[r][a] * z[a] for a in range(d)]
+        )
+        for r in range(D)
+    ]
+    L_new = [
+        [
+            Lp[r][c]
+            - functools.reduce(
+                lambda x, y: x + y, [Kg[r][a] * Z[a][c] for a in range(d)]
+            )
+            for c in range(D)
+        ]
+        for r in range(D)
+    ]
+    ll_inc = None
+    if want_ll:
+        # log N(z; 0, S) via the already-computed Cholesky of S
+        ws = _list_cho_solve(Ls, z, d)
+        zSz = functools.reduce(
+            lambda x, y: x + y, [z[a] * ws[a] for a in range(d)]
+        )
+        logdet = functools.reduce(
+            lambda x, y: x + y,
+            [2.0 * jnp.log(jnp.maximum(Ls[a][a], 1e-30)) for a in range(d)],
+        )
+        ll_inc = -0.5 * (zSz + logdet + d * _LOG_2PI)
+    return m_new, L_new, s2, ll_inc
 
 
 def _ek1_filter_states_kernel(
@@ -1727,123 +2561,17 @@ def _ek1_filter_states_kernel(
 
     pack_and_send(jnp.int32(0), m_init, L_init, zero + 1.0)
 
-    def Amul_vec(m):
-        return [
-            functools.reduce(
-                lambda a, b: a + b,
-                [Af[r, c] * m[c] for c in range(D) if Af[r, c] != 0.0],
-            )
-            for r in range(D)
-        ]
-
-    def Amul_mat(L):
-        return [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [Af[r, c] * L[c][k] for c in range(D) if Af[r, c] != 0.0],
-                )
-                for k in range(D)
-            ]
-            for r in range(D)
-        ]
-
     def body(k, carry):
         m, L = carry
-        mp = Amul_vec(m)
         _dt = zero.dtype
         k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
         t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
             k.astype(_dt) + jnp.asarray(1.0, _dt)
         )
-        u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
-        du = f(u_pred, p_block, t_new)
-        J = jac(u_pred, p_block, t_new)          # (d, d, 8, 128)
-        z = [pinv1 * mp[d + a] - du[a] for a in range(d)]
-
-        def Hmul_cols(M, K):
-            # H M for H = (E1 - J E0) P^-1; M is D x K lists
-            out = []
-            for a in range(d):
-                row = []
-                for kk in range(K):
-                    v = pinv1 * M[d + a][kk]
-                    for b in range(d):
-                        v = v - J[a, b] * (pinv0 * M[b][kk])
-                    row.append(v)
-                out.append(row)
-            return out
-
-        # dynamic diffusion: s2 = z^T (H Q H^T)^-1 z / d, with HQ = Hmul(QLf)
-        QL_lists = [[jnp.zeros_like(zero) if QLf[r, c] == 0.0 else
-                     QLf[r, c] + zero for c in range(D)] for r in range(D)]
-        HQ = Hmul_cols(QL_lists, D)              # d x D
-        Sq = [
-            [
-                functools.reduce(
-                    lambda x, y: x + y, [HQ[a][c] * HQ[b][c] for c in range(D)]
-                )
-                for b in range(d)
-            ]
-            for a in range(d)
-        ]
-        Lq = _list_chol(Sq, d)
-        w = _list_cho_solve(Lq, z, d)
-        s2 = functools.reduce(
-            lambda x, y: x + y, [z[a] * w[a] for a in range(d)]
-        ) / d
-        sq_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
-
-        # predicted factor: MGS of [ (A L)^T ; sqrt(s2) QLf^T ]  (2D x D)
-        AL = Amul_mat(L)
-        qT = [
-            [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else zero
-             for r in range(D)]
-            for c in range(D)
-        ]
-        Lp = _list_mgs_tril(_t_rows(AL, D) + qT, 2 * D, D)
-
-        # update: Z = H Lp (d x D), S = Z Z^T, K = Lp Z^T S^-1
-        Z = Hmul_cols(Lp, D)
-        S = [
-            [
-                functools.reduce(
-                    lambda x, y: x + y, [Z[a][c] * Z[b][c] for c in range(D)]
-                )
-                for b in range(d)
-            ]
-            for a in range(d)
-        ]
-        Ls = _list_chol(S, d)
-        # K rows: K[r] = (Lp Z^T)[r, :] S^-1
-        LpZt = [
-            [
-                functools.reduce(
-                    lambda x, y: x + y, [Lp[r][c] * Z[a][c] for c in range(D)]
-                )
-                for a in range(d)
-            ]
-            for r in range(D)
-        ]
-        Kg = [_list_cho_solve(Ls, LpZt[r], d) for r in range(D)]
-        m_new = [
-            mp[r]
-            - functools.reduce(
-                lambda x, y: x + y, [Kg[r][a] * z[a] for a in range(d)]
-            )
-            for r in range(D)
-        ]
-        L_new = [
-            [
-                Lp[r][c]
-                - functools.reduce(
-                    lambda x, y: x + y, [Kg[r][a] * Z[a][c] for a in range(d)]
-                )
-                for c in range(D)
-            ]
-            for r in range(D)
-        ]
-
+        m_new, L_new, s2, _ = _ek1_step_lists(
+            m, L, p_block, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
+            pinv0=pinv0, pinv1=pinv1, d=d, D=D,
+        )
         pack_and_send(k1, m_new, L_new, s2)
         return m_new, L_new
 
@@ -2007,6 +2735,7 @@ def ek1_fused_solve(
     q: int,
     smooth: bool = True,
     prior=None,
+    mesh=None,
 ):
     """Fused EK1 solve (dynamic diffusion) over an ensemble: the full
     D x D square-root extended Kalman filter (+ optional RTS smoother)
@@ -2014,9 +2743,18 @@ def ek1_fused_solve(
     index-and-stack style like ``f``; pass ``None`` to derive it inside the
     kernel via forward-mode JVP columns (trace-time autodiff). Returns
     ``(us, stds)`` with shapes (T+1, d, B) each (per-dimension marginal
-    stds)."""
+    stds). ``mesh``: optional 1-D device mesh sharding the ensemble axis."""
     if jac is None:
         jac = _auto_jac(f)
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_: ek1_fused_solve(
+                f, jac, m0_, ps_, t0, dt, n_steps, q,
+                smooth=smooth, prior=prior,
+            ),
+            (m0, ps), in_axes=(2, 1), out_axes=(2, 2),
+        )
 
     nq = q + 1
     _, d, B = m0.shape
@@ -2118,6 +2856,7 @@ def solve_ensemble_ek1_pallas(
     q: int = 3,
     smooth: bool = True,
     prior=None,
+    mesh=None,
 ):
     """Taylor-init + fused EK1 filter(+smoother) over an ensemble."""
     from odefilters.taylor import taylor_coefficients
@@ -2132,7 +2871,7 @@ def solve_ensemble_ek1_pallas(
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
     return ek1_fused_solve(
         prob_f, prob_jac, m0, ps.T, float(t0), float(dt), n_steps, q,
-        smooth=smooth, prior=prior,
+        smooth=smooth, prior=prior, mesh=mesh,
     )
 
 
@@ -2156,16 +2895,62 @@ def solve_ensemble_ek1_pallas(
 _GAMMA, _QMIN, _QMAX, _QOLDINIT = 0.9, 0.2, 10.0, 1e-4
 
 
+def _cheb_transition_lists(cheb, lh, nq):
+    """Per-lane preconditioned transition for non-IWP priors in the
+    ADAPTIVE kernels: Clenshaw-evaluate the Chebyshev tabulation
+    (`priors.chebyshev_transition_fit`) of every (At(h), QLt(h)) entry at
+    each lane's log-step ``lh`` — pure VPU fma chains, no gathers.
+    Entries that are constant in h fold back to static floats (recovering
+    the IWP-like sparsity at trace time). Returns ``(At, QLt, Qt)`` as
+    nq x nq lists of lane arrays / floats.
+    """
+    llo, lhi = float(cheb["llo"]), float(cheb["lhi"])
+    xi = jnp.clip((2.0 * lh - (llo + lhi)) / (lhi - llo), -1.0, 1.0)
+
+    def entry(c):
+        c = np.asarray(c, np.float64)
+        if np.abs(c[1:]).max() <= 1e-13 * max(1.0, abs(float(c[0]))):
+            return float(c[0])          # h-independent entry: static
+        b1 = jnp.zeros_like(xi)
+        b2 = jnp.zeros_like(xi)
+        for ck in c[:0:-1]:
+            b1, b2 = float(ck) + 2.0 * xi * b1 - b2, b1
+        return float(c[0]) + xi * b1 - b2
+
+    cA, cL = cheb["cA"], cheb["cL"]
+    At = [[entry(cA[:, i, l]) for l in range(nq)] for i in range(nq)]
+    QLt = [[entry(cL[:, i, l]) for l in range(nq)] for i in range(nq)]
+
+    def _is0(x):
+        return isinstance(x, float) and x == 0.0
+
+    Qt = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [QLt[i][k] * QLt[l][k] for k in range(nq)
+                 if not (_is0(QLt[i][k]) or _is0(QLt[l][k]))],
+                0.0,
+            )
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    return At, QLt, Qt
+
+
 def _ek0_adaptive_kernel(
     m0_ref, p_ref, dt0_ref, us_ref, std_ref, ll_ref, nacc_ref, nrej_ref,
     fail_ref, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     S: int, dt_save: float, t0: float, d: int, nq: int,
     abstol: float, reltol: float, max_iters: int, dtmin: float,
-    beta1: float, beta2: float,
+    beta1: float, beta2: float, cheb=None,
 ):
     q_half = nq - 1 + 0.5          # q + 1/2
-    Qt11 = Qt[1, 1]
+
+    def _is0(x):
+        return isinstance(x, float) and x == 0.0
 
     h0 = dt0_ref[0]                                  # (8, 128) per-lane dt0
     zero = jnp.zeros_like(h0)
@@ -2212,14 +2997,22 @@ def _ek0_adaptive_kernel(
               for i in range(nq)]
         pinv0 = jnp.exp(q_half * lh)
         pinv1 = jnp.exp((q_half - 1.0) * lh)
-        hq = pinv1 * pinv1 * Qt11
+        # per-lane transition: static IWP constants, or the Chebyshev
+        # tabulation of the non-IWP prior at each lane's current h
+        if cheb is None:
+            Atl = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
+            Qtl = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
+        else:
+            Atl, _, Qtl = _cheb_transition_lists(cheb, lh, nq)
+        hq = pinv1 * pinv1 * Qtl[1][1]
 
         # -- one EK0(dynamic) step in the lane-local preconditioned frame --
         mp = [
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, l] * mh[l][j] for l in range(i, nq)],
+                    [Atl[i][l] * mh[l][j] for l in range(nq)
+                     if not _is0(Atl[i][l])],
                 )
                 for j in range(d)
             ]
@@ -2235,7 +3028,8 @@ def _ek0_adaptive_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, a] * Ch[a][b] for a in range(i, nq)],
+                    [Atl[i][a] * Ch[a][b] for a in range(nq)
+                     if not _is0(Atl[i][a])],
                 )
                 for b in range(nq)
             ]
@@ -2245,9 +3039,10 @@ def _ek0_adaptive_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [tmp[i][b] * At[l, b] for b in range(l, nq)],
+                    [tmp[i][b] * Atl[l][b] for b in range(nq)
+                     if not _is0(Atl[l][b])],
                 )
-                + Qt[i, l] * s2
+                + Qtl[i][l] * s2
                 for l in range(nq)
             ]
             for i in range(nq)
@@ -2370,6 +3165,8 @@ def ek0_adaptive_filter(
     reltol: float = 1e-3,
     max_iters: int = 100_000,
     dtmin: Optional[float] = None,
+    prior=None,
+    mesh=None,
 ):
     """Adaptive-step fused EK0(dynamic) ensemble filter, per-lane dt.
 
@@ -2381,6 +3178,17 @@ def ek0_adaptive_filter(
     semantics). Returns ``(us, stds, lls, nacc, nrej, failed)`` with
     shapes ((S+1, d, B), (S+1, B), (B,), (B,), (B,), (B,)).
     """
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_, dt0_: ek0_adaptive_filter(
+                f, m0_, ps_, dt0_, t0, t1, n_save, q, abstol=abstol,
+                reltol=reltol, max_iters=max_iters, dtmin=dtmin,
+                prior=prior,
+            ),
+            (m0, ps, dt0s), in_axes=(2, 1, 0),
+            out_axes=(2, 1, 0, 0, 0, 0),
+        )
     nq = q + 1
     _, d, B = m0.shape
     if B % BLOCK:
@@ -2400,6 +3208,19 @@ def ek0_adaptive_filter(
     dtype = m0.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
 
+    # non-IWP priors: per-lane h-dependent transitions via the Chebyshev
+    # tabulation over the controller's step range (VERDICT r2 item 7)
+    cheb = None
+    if prior is not None:
+        from odefilters.priors import (
+            IWP, chebyshev_transition_fit, normalize_prior,
+        )
+
+        if not isinstance(normalize_prior(prior), IWP):
+            cheb = chebyshev_transition_fit(
+                prior, q, float(dtmin), float(t1) - float(t0)
+            )
+
     m0_b = m0.reshape(nq, d, nb, _SUB, _LANE).transpose(2, 0, 1, 3, 4)
     ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
     dt0_b = dt0s.reshape(nb, 1, _SUB, _LANE)
@@ -2410,7 +3231,7 @@ def ek0_adaptive_filter(
         S=S, dt_save=dt_save, t0=float(t0), d=d, nq=nq,
         abstol=float(abstol), reltol=float(reltol),
         max_iters=int(max_iters), dtmin=float(dtmin),
-        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq),
+        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
     )
 
     def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
@@ -2469,11 +3290,17 @@ def solve_ensemble_ek0_adaptive_pallas(
     abstol: float = 1e-6,
     reltol: float = 1e-3,
     max_iters: int = 100_000,
+    prior=None,
+    mesh=None,
 ):
     """Taylor-init + per-lane-adaptive fused EK0 kernel over an ensemble.
 
     ``n_save``: number of uniform save intervals (every member lands on
-    the save grid exactly, like tstops in the host driver).
+    the save grid exactly, like tstops in the host driver). ``prior``:
+    IWP (default) runs on h-free constants; IOUP/Matern evaluate their
+    h-dependent preconditioned transition per lane from a Chebyshev
+    tabulation (exact to ~1e-12 over the step range; ~2x the per-attempt
+    flops).
     """
     from odefilters.problem import ode_problem
     from odefilters.solve import initial_dt
@@ -2491,7 +3318,8 @@ def solve_ensemble_ek0_adaptive_pallas(
     m0 = m0.transpose(1, 2, 0)
     return ek0_adaptive_filter(
         prob_f, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
-        abstol=abstol, reltol=reltol, max_iters=max_iters,
+        abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
+        mesh=mesh,
     )
 
 
@@ -2538,7 +3366,8 @@ def _ek0_kron_grid_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, l] * m[l][s] for l in range(i, nq)],
+                    [At[i, l] * m[l][s] for l in range(nq)
+                     if At[i, l] != 0.0],
                 )
                 for s in range(ns)
             ]
@@ -2555,7 +3384,8 @@ def _ek0_kron_grid_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [At[i, a] * C[a][b] for a in range(i, nq)],
+                    [At[i, a] * C[a][b] for a in range(nq)
+                     if At[i, a] != 0.0],
                 )
                 for b in range(nq)
             ]
@@ -2565,7 +3395,8 @@ def _ek0_kron_grid_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [tmp[i][b] * At[l, b] for b in range(l, nq)],
+                    [tmp[i][b] * At[l, b] for b in range(nq)
+                     if At[l, b] != 0.0],
                 )
                 + Qt[i, l] * s2
                 for l in range(nq)
@@ -2613,6 +3444,7 @@ def ek0_kron_grid_solve(
     n_steps: int,
     q: int,
     save_every: int = 1,
+    prior=None,
 ):
     """Fused single-trajectory EK0(dynamic) filter for grid-shaped states.
 
@@ -2631,7 +3463,9 @@ def ek0_kron_grid_solve(
         raise ValueError("save_every must divide n_steps")
     S = T // save_every
 
-    At_np, _, QLt_np = _ibm_small_np(q)
+    # fixed dt: the preconditioned transition of ANY Gauss-Markov prior is
+    # a compile-time constant here, exactly like the ensemble kernels
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
     Qt_np = QLt_np @ QLt_np.T
     j = np.arange(nq, dtype=np.float64)
     p_np = float(dt) ** (j - q - 0.5)
@@ -2674,6 +3508,7 @@ def solve_brusselator_ek0_pallas(
     alpha: float = 0.1,
     save_every: Optional[int] = None,
     dtype=None,
+    prior=None,
 ):
     """Taylor-init + fused Kron-grid EK0 solve of the 2-D Brusselator
     (BASELINE config #4, d = 2 N^2 states on one chip). ``dtype`` pins the
@@ -2701,7 +3536,7 @@ def solve_brusselator_ek0_pallas(
 
     return ek0_kron_grid_solve(
         f_grids, m0, None, float(t0), float(dt), n_steps, q,
-        save_every=save_every,
+        save_every=save_every, prior=prior,
     )
 
 
@@ -2711,7 +3546,7 @@ def _ek1_adaptive_kernel(
     f: Callable, jac: Callable, At: np.ndarray, QLt: np.ndarray,
     S: int, dt_save: float, t0: float, d: int, nq: int,
     abstol: float, reltol: float, max_iters: int, dtmin: float,
-    beta1: float, beta2: float,
+    beta1: float, beta2: float, cheb=None,
 ):
     """Per-lane adaptive EK1(dynamic): the full D x D square-root EKF per
     member with its own PI controller, sharing the barrier/save-grid
@@ -2735,14 +3570,8 @@ def _ek1_adaptive_kernel(
         std_ref[0, j] = zero
     u_prev = [m0_ref[0, j] for j in range(d)]
 
-    def Amul_vec(v):
-        return [
-            functools.reduce(
-                lambda a, b: a + b,
-                [Af[r, c] * v[c] for c in range(D) if Af[r, c] != 0.0],
-            )
-            for r in range(D)
-        ]
+    def _is0(x):
+        return isinstance(x, float) and x == 0.0
 
     def cond(carry):
         seg, iters = carry[0], carry[1]
@@ -2769,8 +3598,26 @@ def _ek1_adaptive_kernel(
               for r in range(D)]
         pinv0 = jnp.exp(q_half * lh)
         pinv1 = jnp.exp((q_half - 1.0) * lh)
+        # per-lane transition: static IWP constants, or the non-IWP
+        # prior's Chebyshev tabulation at each lane's current h, expanded
+        # to the kron-with-I_d full layout entrywise
+        if cheb is None:
+            Afl = [[float(Af[r, c]) for c in range(D)] for r in range(D)]
+            QLfl = [[float(QLf[r, c]) for c in range(D)] for r in range(D)]
+        else:
+            Atl, QLtl, _ = _cheb_transition_lists(cheb, lh, nq)
+            Afl = [[Atl[r // d][c // d] if (r % d) == (c % d) else 0.0
+                    for c in range(D)] for r in range(D)]
+            QLfl = [[QLtl[r // d][c // d] if (r % d) == (c % d) else 0.0
+                     for c in range(D)] for r in range(D)]
 
-        mp = Amul_vec(mh)
+        mp = [
+            functools.reduce(
+                lambda a, b: a + b,
+                [Afl[r][c] * mh[c] for c in range(D) if not _is0(Afl[r][c])],
+            )
+            for r in range(D)
+        ]
         t_new = jnp.where(hit_save, t_save, t + dt_eff)
         u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
         du = f(u_pred, p_block, t_new)
@@ -2790,8 +3637,8 @@ def _ek1_adaptive_kernel(
             return out
 
         # dynamic diffusion + error statistic from H Q H^T
-        QL_lists = [[jnp.zeros_like(zero) if QLf[r, c] == 0.0 else
-                     QLf[r, c] + zero for c in range(D)] for r in range(D)]
+        QL_lists = [[zero if _is0(QLfl[r][c]) else QLfl[r][c] + zero
+                     for c in range(D)] for r in range(D)]
         HQ = Hmul_cols(QL_lists, D)
         Sq = [
             [
@@ -2813,14 +3660,15 @@ def _ek1_adaptive_kernel(
             [
                 functools.reduce(
                     lambda a, b: a + b,
-                    [Af[r, c] * Lh[c][k] for c in range(D) if Af[r, c] != 0.0],
+                    [Afl[r][c] * Lh[c][k] for c in range(D)
+                     if not _is0(Afl[r][c])],
                 )
                 for k in range(D)
             ]
             for r in range(D)
         ]
         qT = [
-            [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else zero
+            [zero if _is0(QLfl[r][c]) else sq_s2 * QLfl[r][c]
              for r in range(D)]
             for c in range(D)
         ]
@@ -2978,6 +3826,8 @@ def ek1_adaptive_filter(
     reltol: float = 1e-3,
     max_iters: int = 100_000,
     dtmin: Optional[float] = None,
+    prior=None,
+    mesh=None,
 ):
     """Adaptive-step fused EK1(dynamic) ensemble filter, per-lane dt.
 
@@ -2985,10 +3835,22 @@ def ek1_adaptive_filter(
     extended Kalman filter per member (EK1 linearization; ``jac=None``
     derives the Jacobian in-kernel via JVP columns). Returns
     ``(us, stds, lls, nacc, nrej, failed)`` where ``stds`` is per-dimension
-    (S+1, d, B).
+    (S+1, d, B). Non-IWP ``prior``: per-lane Chebyshev-tabulated
+    transitions, as in :func:`ek0_adaptive_filter`.
     """
     if jac is None:
         jac = _auto_jac(f)
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_, dt0_: ek1_adaptive_filter(
+                f, jac, m0_, ps_, dt0_, t0, t1, n_save, q, abstol=abstol,
+                reltol=reltol, max_iters=max_iters, dtmin=dtmin,
+                prior=prior,
+            ),
+            (m0, ps, dt0s), in_axes=(2, 1, 0),
+            out_axes=(2, 2, 0, 0, 0, 0),
+        )
 
     nq = q + 1
     _, d, B = m0.shape
@@ -3008,6 +3870,17 @@ def ek1_adaptive_filter(
     dtype = m0.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
 
+    cheb = None
+    if prior is not None:
+        from odefilters.priors import (
+            IWP, chebyshev_transition_fit, normalize_prior,
+        )
+
+        if not isinstance(normalize_prior(prior), IWP):
+            cheb = chebyshev_transition_fit(
+                prior, q, float(dtmin), float(t1) - float(t0)
+            )
+
     m0_b = m0.reshape(nq, d, nb, _SUB, _LANE).transpose(2, 0, 1, 3, 4)
     ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
     dt0_b = dt0s.reshape(nb, 1, _SUB, _LANE)
@@ -3018,7 +3891,7 @@ def ek1_adaptive_filter(
         S=S, dt_save=dt_save, t0=float(t0), d=d, nq=nq,
         abstol=float(abstol), reltol=float(reltol),
         max_iters=int(max_iters), dtmin=float(dtmin),
-        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq),
+        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
     )
 
     def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
@@ -3078,6 +3951,8 @@ def solve_ensemble_ek1_adaptive_pallas(
     abstol: float = 1e-6,
     reltol: float = 1e-3,
     max_iters: int = 100_000,
+    prior=None,
+    mesh=None,
 ):
     """Taylor-init + per-lane-adaptive fused EK1 kernel over an ensemble."""
     from odefilters.problem import ode_problem
@@ -3096,7 +3971,8 @@ def solve_ensemble_ek1_adaptive_pallas(
     m0 = m0.transpose(1, 2, 0)
     return ek1_adaptive_filter(
         prob_f, prob_jac, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
-        abstol=abstol, reltol=reltol, max_iters=max_iters,
+        abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
+        mesh=mesh,
     )
 
 

