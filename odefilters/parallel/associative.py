@@ -129,7 +129,7 @@ def _filter_combine(ei, ej):
     return A, b, C, eta, J
 
 
-def parallel_filter(m0, P0, F, Q, H, ys):
+def parallel_filter(m0, P0, F, Q, H, ys, block=None):
     """All-time filtered means/covs in O(log N) depth.
 
     Args are batched over time on axis 0 (F, Q may be broadcast from
@@ -146,7 +146,9 @@ def parallel_filter(m0, P0, F, Q, H, ys):
         jnp.concatenate([a[None], rest[1:]], axis=0)
         for a, rest in zip(e1, e_rest)
     )
-    A, b, C, eta, J = jax.lax.associative_scan(_filter_combine, elems)
+    from odefilters.parallel.blocked import blocked_associative_scan
+
+    A, b, C, eta, J = blocked_associative_scan(_filter_combine, elems, block)
     return b, C
 
 
@@ -172,7 +174,7 @@ def _smooth_combine(suffix, elem):
     return E, g, L
 
 
-def parallel_smoother(ms, Ps, F, Q):
+def parallel_smoother(ms, Ps, F, Q, block=None):
     """Smoothed means/covs from filtered ones, in O(log N) depth."""
     N, D = ms.shape
     F_ = jnp.broadcast_to(F, (N - 1, D, D))
@@ -189,8 +191,10 @@ def parallel_smoother(ms, Ps, F, Q):
     E = jnp.concatenate([G, E_last], axis=0)
     gs = jnp.concatenate([g, g_last], axis=0)
     Ls = jnp.concatenate([L, L_last], axis=0)
-    Er, gr, Lr = jax.lax.associative_scan(
-        _smooth_combine, (E, gs, Ls), reverse=True
+    from odefilters.parallel.blocked import blocked_associative_scan
+
+    Er, gr, Lr = blocked_associative_scan(
+        _smooth_combine, (E, gs, Ls), block, reverse=True
     )
     return gr, Lr
 
@@ -200,15 +204,16 @@ def parallel_smoother(ms, Ps, F, Q):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("alg", "n_steps", "iterations", "taylor_method", "sqrt_form", "time_shard_axis"))
+@partial(jax.jit, static_argnames=("alg", "n_steps", "iterations", "taylor_method", "sqrt_form", "time_shard_axis", "block"))
 def _solve_parallel_jit(prob, alg, ts, n_steps, iterations, taylor_method,
-                        u_init=None, sqrt_form=False, time_shard_axis=None):
+                        u_init=None, sqrt_form=False, time_shard_axis=None,
+                        block=None):
     from odefilters.linalg import highest_precision
 
     with highest_precision():
         return _solve_parallel_jit_inner(
             prob, alg, ts, n_steps, iterations, taylor_method, u_init,
-            sqrt_form, time_shard_axis,
+            sqrt_form, time_shard_axis, block,
         )
 
 
@@ -222,6 +227,7 @@ def _solve_parallel_jit_inner(
     u_init=None,
     sqrt_form: bool = False,
     time_shard_axis=None,
+    block=None,
 ):
     d, q = prob.d, alg.order
     D = d * (q + 1)
@@ -289,22 +295,22 @@ def _solve_parallel_jit_inner(
         )
 
         def run_filter_smoother(H, y):
-            ms, Us = parallel_filter_sqrt(m0, P0, A, QL, H, y)
+            ms, Us = parallel_filter_sqrt(m0, P0, A, QL, H, y, block=block)
             ms_s, Us_s = parallel_smoother_sqrt(
                 jnp.concatenate([m0[None], ms], axis=0),
                 jnp.concatenate([P0[None], Us], axis=0),
-                A, QL,
+                A, QL, block=block,
             )
             Ps = Us @ _T(Us)
             Ps_s = Us_s @ _T(Us_s)
             return ms, Ps, ms_s, Ps_s
     else:
         def run_filter_smoother(H, y):
-            ms, Ps = parallel_filter(m0, P0, A, Qm, H, y)
+            ms, Ps = parallel_filter(m0, P0, A, Qm, H, y, block=block)
             ms_s, Ps_s = parallel_smoother(
                 jnp.concatenate([m0[None], ms], axis=0),
                 jnp.concatenate([P0[None], Ps], axis=0),
-                A, Qm,
+                A, Qm, block=block,
             )
             return ms, Ps, ms_s, Ps_s
 
@@ -356,6 +362,7 @@ def solve_fixed_parallel(
     warm_start: Optional[int] = None,
     sqrt_form: bool = True,
     time_shard_axis: Optional[str] = None,
+    block: Optional[int] = None,
 ):
     """Time-parallel fixed-grid solve (uniform grid).
 
@@ -422,7 +429,18 @@ def solve_fixed_parallel(
             )
         )(ts[1:])
 
+    if block is None and time_shard_axis is None:
+        # blocked hybrid scan by default at large N: O(2N) combine work
+        # instead of O(N log N), and a compile-size win (one scan body vs
+        # log2 N unrolled wide rounds). Sharded time axes keep the plain
+        # scan — its rounds partition over the mesh axis. Pass block=0 to
+        # force the plain scan.
+        from odefilters.parallel.blocked import auto_block
+
+        block = auto_block(ts.shape[0] - 1)
+    if not block:
+        block = None
     return _solve_parallel_jit(
         prob, alg, ts, ts.shape[0] - 1, int(iterations), taylor_method,
-        u_init, bool(sqrt_form), time_shard_axis,
+        u_init, bool(sqrt_form), time_shard_axis, block,
     )

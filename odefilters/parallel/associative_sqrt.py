@@ -152,11 +152,13 @@ def _sqrt_filter_combine(ei, ej):
     return A, b, U, eta, Z
 
 
-def parallel_filter_sqrt(m0, U0, F, QL, H, ys):
+def parallel_filter_sqrt(m0, U0, F, QL, H, ys, block=None):
     """All-time filtered means + covariance *factors*, log-depth.
 
     Square-root counterpart of ``associative.parallel_filter``; returns
-    ``(ms, Us)`` with ``C_k = U_k U_k^T``.
+    ``(ms, Us)`` with ``C_k = U_k U_k^T``. ``block``: chunk length for the
+    blocked hybrid scan (`parallel.blocked`) — cuts the O(N log N) combine
+    work and the minutes-long large-N compile; None = plain scan.
     """
     N = ys.shape[0]
     D = m0.shape[-1]
@@ -168,7 +170,11 @@ def parallel_filter_sqrt(m0, U0, F, QL, H, ys):
         jnp.concatenate([a[None], rest[1:]], axis=0)
         for a, rest in zip(e1, e_rest)
     )
-    A, b, U, eta, Z = jax.lax.associative_scan(_sqrt_filter_combine, elems)
+    from odefilters.parallel.blocked import blocked_associative_scan
+
+    A, b, U, eta, Z = blocked_associative_scan(
+        _sqrt_filter_combine, elems, block
+    )
     return b, U
 
 
@@ -186,7 +192,7 @@ def _sqrt_smooth_combine(suffix, elem):
     return E, g, P
 
 
-def parallel_smoother_sqrt(ms, Us, F, QL):
+def parallel_smoother_sqrt(ms, Us, F, QL, block=None):
     """Smoothed means + covariance factors from filtered ones, log-depth.
 
     Per-element: predicted factor by QR, gain by two triangular solves,
@@ -216,7 +222,9 @@ def parallel_smoother_sqrt(ms, Us, F, QL):
     E = jnp.concatenate([G, jnp.zeros((1, D, D), ms.dtype)], axis=0)
     gs = jnp.concatenate([g, ms[-1:]], axis=0)
     Ps = jnp.concatenate([P, Us[-1:]], axis=0)
-    Er, gr, Pr = jax.lax.associative_scan(
-        _sqrt_smooth_combine, (E, gs, Ps), reverse=True
+    from odefilters.parallel.blocked import blocked_associative_scan
+
+    Er, gr, Pr = blocked_associative_scan(
+        _sqrt_smooth_combine, (E, gs, Ps), block, reverse=True
     )
     return gr, Pr
