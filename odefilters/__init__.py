@@ -21,8 +21,13 @@ Quick start::
 from odefilters.algorithms import EK0, EK1, IEKS, AbstractEK
 from odefilters.priors import IOUP, IWP, Matern
 from odefilters.linalg import Gaussian
-from odefilters.problem import ODEProblem, ode_problem, remake
-from odefilters.solution import MeanProbODESolution, ProbODESolution, evaluate
+from odefilters.problem import ODEProblem, ode_problem, remake, rescale_time
+from odefilters.solution import (
+    MeanProbODESolution,
+    ProbODESolution,
+    evaluate,
+    smooth_solution,
+)
 from odefilters.solve import solve
 from odefilters.fixedgrid import solve_fixed
 from odefilters.kronsolve import (
@@ -61,6 +66,8 @@ __all__ = [
     "ODEProblem",
     "ode_problem",
     "remake",
+    "rescale_time",
+    "smooth_solution",
     "ProbODESolution",
     "MeanProbODESolution",
     "evaluate",

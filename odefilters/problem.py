@@ -109,3 +109,56 @@ def ode_problem_2nd(f, u0, du0, tspan, p=None, jac_u=None, jac_du=None) -> ODEPr
         f=f, u0=jnp.concatenate([u0, du0]), tspan=tuple(tspan), p=p,
         jac=jac, second_order=True,
     )
+
+
+def rescale_time(prob: ODEProblem, tau) -> ODEProblem:
+    """The same IVP in time units of ``tau``: with ``t = t0 + tau s``,
+    ``v(s) := u(t0 + tau s)`` solves ``v' = tau f(v, p, t0 + tau s)`` over
+    ``s in [0, (t1 - t0)/tau]`` — mathematically identical trajectories,
+    ``sol.ts`` mapping back as ``t0 + tau * ts``.
+
+    Why it exists: on the TPU backend, transcendentals (pow/exp/log/sqrt,
+    and hence QR/Cholesky, which use sqrt internally) are range-limited to
+    f32 even under f64 — see docs/kernels.md "f64 on TPU". A stiff solve
+    whose steps are tiny in absolute units (Van der Pol mu=1e5 takes
+    dt ~ 5e-8) drives the preconditioner ``h**(-q-1/2)`` and the
+    covariance scales beyond the f32 RANGE and the solve NaNs at the
+    first step, in f64 as well as f32. Rescaling time so steps are O(1e-2)
+    in solver units keeps every intermediate within range; pick
+    ``tau ~ initial_dt / 1e-2`` (e.g. ``1/mu`` for Van der Pol).
+    Reference analogue: none (CPU f64 has no such limit) — this is the
+    TPU-native answer to `test/specific_problems.jl:44-47` on chip.
+    """
+    t0, t1 = prob.tspan
+    tau = float(tau)
+    if tau <= 0.0:
+        raise ValueError("tau must be positive")
+    f_orig, jac_orig, analytic_orig = prob.f, prob.jac, prob.analytic
+    t0f = float(t0)
+
+    if prob.second_order:
+        # v'' = tau^2 f(v', v): with w(s) = u(t0 + tau s), w' = tau du,
+        # so the [u | du] initial slot scales its derivative half by tau
+        def f_s(du, u, p, s):
+            return tau * tau * f_orig(du / tau, u, p, t0f + tau * s)
+
+        d = prob.d
+        u0_s = jnp.concatenate([prob.u0[:d], tau * prob.u0[d:]])
+        jac_s = None
+    else:
+        def f_s(u, p, s):
+            return tau * f_orig(u, p, t0f + tau * s)
+
+        u0_s = prob.u0
+        jac_s = (
+            None if jac_orig is None
+            else (lambda u, p, s: tau * jac_orig(u, p, t0f + tau * s))
+        )
+    analytic_s = (
+        None if analytic_orig is None
+        else (lambda u0, p, s: analytic_orig(u0, p, t0f + tau * s))
+    )
+    return dataclasses.replace(
+        prob, f=f_s, jac=jac_s, analytic=analytic_s, u0=u0_s,
+        tspan=(0.0, (float(t1) - t0f) / tau),
+    )

@@ -277,3 +277,43 @@ def compact_saveat(sol: ProbODESolution, ts_save: jax.Array) -> ProbODESolution:
         x_smooth=xs,
         diffusions=diffs,
     )
+
+
+def smooth_solution(sol: ProbODESolution) -> ProbODESolution:
+    """Run (or re-run) the RTS smoothing pass on a solution, on the
+    CURRENT default device, from its retained filter states.
+
+    The production pattern for extremely stiff on-chip solves: the
+    adaptive forward filter runs on TPU (`smooth=False`), but its
+    covariance scales span more dynamic range than the TPU's
+    f32-range-limited transcendentals/QR support (docs/kernels.md "f64 on
+    TPU"), so the O(N D^2) backward pass — tiny next to the solve — runs
+    on host:
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            sol = smooth_solution(jax.device_get(sol))
+
+    Works on any solution (also re-smooths an already-smoothed one from
+    `x_filt`, which is always retained).
+    """
+    import dataclasses as _dc
+
+    from odefilters.smoothing import smooth_all
+
+    from odefilters.linalg import highest_precision
+
+    d, q = sol.prob.d, sol.alg.order
+    if sol.prob.second_order:
+        d = sol.x_filt.mean.shape[-1] // (q + 1)
+    with highest_precision():
+        x_out = smooth_all(
+            sol.x_filt, sol.ts, sol.diffusions, sol.n_steps, d, q,
+            prior=sol.alg.prior,
+        )
+    sol_d = sol.u.shape[-1]
+    return _dc.replace(
+        sol,
+        u=x_out.mean[:, :sol_d],
+        pu=Gaussian(x_out.mean[:, :sol_d], x_out.chol[:, :sol_d, :]),
+        x_smooth=x_out,
+    )
