@@ -95,6 +95,16 @@ def _merged_grid(prob, ts_data, n_grid, dtype):
     # span is just as fatal as an f64-ULP one in f64.
     eps_span = (t1 - t0) * float(np.finfo(np.dtype(dtype)).eps)
     tol = max((t1 - t0) / (int(n_grid) + 1) * 1e-6, 64.0 * eps_span)
+    # data-vs-data collisions are just as fatal as base-vs-data ones: two
+    # observation times closer than an ULP of the span collapse to equal
+    # grid points in the solve dtype and the zero-length interval's
+    # preconditioner h**(-q-1/2) overflows
+    if td.shape[0] > 1 and np.any(np.diff(td) < 64.0 * eps_span):
+        raise ValueError(
+            "consecutive ts_data values are closer than ~64 ULP of the "
+            f"tspan in {np.dtype(dtype).name}; merge the observations or "
+            "solve in a wider dtype"
+        )
     near = np.min(np.abs(base[:, None] - td[None, :]), axis=1) < tol
     near[0] = near[0] and td[0] - t0 < tol       # keep the endpoints unless
     near[-1] = near[-1] and t1 - td[-1] < tol    # a data time IS the endpoint
@@ -116,11 +126,11 @@ def _merged_grid(prob, ts_data, n_grid, dtype):
 
 @partial(
     jax.jit,
-    static_argnames=("alg", "n_steps", "taylor_method"),
+    static_argnames=("alg", "n_steps", "taylor_method", "calib_grad"),
 )
 def _filter_with_data_jit(
     prob, alg, ts, is_data, row_of, ys, R_chol, C_full, abstol, reltol,
-    n_steps: int, taylor_method: str,
+    n_steps: int, taylor_method: str, calib_grad: bool = True,
 ):
     from odefilters.linalg import highest_precision
     from odefilters.solve import _postprocess
@@ -158,7 +168,8 @@ def _filter_with_data_jit(
             # pass against the PRE-SCALED prior (real-scale covariances
             # meet R correctly; the likelihood terms are exact).
             *_, sigma2_hat = filter_fixed_grid(
-                prob, alg, ts, abstol, reltol, taylor_method
+                prob, alg, ts, abstol, reltol, taylor_method,
+                stop_calib_grad=not calib_grad,
             )
             sigma2_hat = jax.lax.stop_gradient(sigma2_hat)
             # two full passes ran: honest work counters (workprecision.py
@@ -171,6 +182,7 @@ def _filter_with_data_jit(
             model, x_filt, diff_buf, ll, data_ll, _ = filter_fixed_grid(
                 prob, alg, ts, abstol, reltol, taylor_method,
                 obs_update=maybe_data_update, prior_scale=sigma2_hat,
+                stop_calib_grad=not calib_grad,
             )
             # assembly: the pass-2 states are already real-scale, so skip
             # the static postamble rescale (pretend "dynamic"), hand the
@@ -196,6 +208,7 @@ def _filter_with_data_jit(
         model, x_filt, diff_buf, ll, data_ll, sigma2_last = filter_fixed_grid(
             prob, alg, ts, abstol, reltol, taylor_method,
             obs_update=maybe_data_update,
+            stop_calib_grad=not calib_grad,
         )
         sol = _postprocess(
             model, prob, ts, x_filt, diff_buf, n, ll, sigma2_last, stats,
@@ -216,6 +229,7 @@ def filter_with_data(
     abstol: float = 1e-9,
     reltol: float = 1e-6,
     taylor_method: str = "auto",
+    calib_grad: bool = True,
 ) -> tuple[ProbODESolution, jax.Array]:
     """Condition the ODE filter on noisy observations; return the
     data-conditioned posterior and the marginal data log-likelihood.
@@ -237,6 +251,16 @@ def filter_with_data(
     Differentiable: ``jax.grad`` of ``data_ll`` w.r.t. ``prob.p`` /
     ``prob.u0`` / ``obs_noise`` runs reverse-mode through the whole scan —
     see :func:`data_loglik`.
+
+    ``calib_grad=False`` stop-gradients the per-step dynamic-diffusion
+    calibration in the adjoint (values unchanged). The full gradient
+    routes f32 forward noise through ``1/sigma2`` of innovations at the
+    solver-accuracy floor and is useless beyond tens of steps in f32
+    (6e3x wrong at 500 steps — measured,
+    `benchmarks/grad_horizon_experiment.py`); the stop-calibration
+    estimator stays ~1e-4-accurate at 500 steps and is the same choice
+    the static/Fenrir sigma^2 and the step controller already make. Use
+    it for ANY on-chip (f32) gradient-based inference.
     """
     # Second-order problems work unchanged: the default observation
     # operator is the position block [I 0 ... 0] (observe u; pass a custom
@@ -267,7 +291,7 @@ def filter_with_data(
     R_chol = _noise_chol(obs_noise, d_obs, dtype)
     return _filter_with_data_jit(
         prob, alg, ts, is_data, row_of, ys, R_chol, C_full, abstol, reltol,
-        ts.shape[0] - 1, taylor_method,
+        ts.shape[0] - 1, taylor_method, bool(calib_grad),
     )
 
 

@@ -42,6 +42,7 @@ def filter_fixed_grid(
     taylor_method: str,
     obs_update=None,
     prior_scale=None,
+    stop_calib_grad: bool = False,
 ):
     """The shared fixed-grid filter scan (model/Taylor init + one
     ``lax.scan`` of `attempt_step` over the grid).
@@ -101,7 +102,7 @@ def filter_fixed_grid(
         t, dt = ts[i], ts[i + 1] - ts[i]
         res = attempt_step(
             model, x, x.mean[: model.sol_d], t, dt, sigma2, k, abstol,
-            reltol, prob.p,
+            reltol, prob.p, stop_calib_grad=stop_calib_grad,
         )
         x1 = res.x_filt
         if obs_update is not None:

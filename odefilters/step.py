@@ -129,6 +129,7 @@ def attempt_step(
     reltol: float,
     p_params,
     linearize_u: Optional[Callable] = None,
+    stop_calib_grad: bool = False,
 ) -> StepResult:
     """One (not necessarily successful) filter step, `perform_step.jl:27-93`.
 
@@ -215,6 +216,14 @@ def attempt_step(
             sigma2 = diff.estimate_dynamic_mv(z, HQL)
         else:
             sigma2 = diff.estimate_dynamic(z, HQL)
+        if stop_calib_grad:
+            # adjoint treats the per-step calibration as part of the
+            # (frozen) model: z sits at the solver-accuracy floor, and
+            # reverse-mode tangents through 1/sigma2 amplify f32 forward
+            # noise without bound in the horizon (the same estimator
+            # choice as the static/Fenrir sigma^2 and the step-size
+            # controller; benchmarks/grad_horizon_experiment.py)
+            sigma2 = jax.lax.stop_gradient(sigma2)
         QL_h = diff.apply_diffusion_chol(QL, sigma2, q)
         L_pred = qr_stack2(A @ L_p, QL_h)
         Z = Hmul(L_pred)
