@@ -25,13 +25,34 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def _time(fn, *args, iters=5):
-    _sync(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+_LAST_TIMING = {}
+
+
+def _time(fn, *args, iters=5, repeats=3):
+    """Mean per-iteration wall time over ``repeats`` pipelined batches of
+    ``iters`` dispatches each (sync once per batch via a tiny device->host
+    transfer — block_until_ready is unreliable over the remote-TPU tunnel;
+    per-dispatch syncing would add the tunnel RTT to every sample).
+    Batch-to-batch spread lands in _LAST_TIMING (n_runs/std_s governance
+    fields); a large std_s flags chip contention during the run."""
+    _sync(fn(*args))  # warmup / compile
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        samples.append((time.perf_counter() - t0) / iters)
+    _LAST_TIMING.clear()
+    _LAST_TIMING.update(
+        n_runs=repeats, iters_per_run=iters,
+        std_s=float(np.std(samples)), min_s=float(np.min(samples)),
+    )
+    return float(np.mean(samples))
+
+
+def _timing_fields():
+    return dict(_LAST_TIMING)
 
 
 # Pure-numpy oracle RHS (routing the reference solve's RHS through JAX costs
@@ -109,7 +130,7 @@ def main(quick=False):
         ).max()
         results["fhn_ek0_1"] = {
             "steps": n, "runtime_s": t, "max_error": float(err),
-            "steps_per_sec": n / t,
+            "steps_per_sec": n / t, **_timing_fields(),
         }
 
     # ---------------- config 2: Lotka-Volterra EK1(3) adaptive -----------
@@ -125,7 +146,7 @@ def main(quick=False):
         ).max()
         results["lv_ek1_3"] = {
             "steps": n, "runtime_s": t, "max_error": float(err),
-            "steps_per_sec": n / t,
+            "steps_per_sec": n / t, **_timing_fields(),
         }
 
     # ------------- config 3: stiff VdP EK1(5)+smooth+sampling ------------
@@ -147,6 +168,7 @@ def main(quick=False):
             "steps": n, "runtime_s": t, "max_error": float(err),
             "steps_per_sec": n / t,
             "samples_finite": bool(np.isfinite(np.asarray(samp)).all()),
+            **_timing_fields(),
         }
 
     # ------------- config 4: Brusselator 2D, EK0 Kronecker ---------------
@@ -162,6 +184,7 @@ def main(quick=False):
             "d_states": prob.d, "steps": int(sol.n_steps), "runtime_s": t,
             "steps_per_sec": int(sol.n_steps) / t,
             "finite": bool(np.isfinite(np.asarray(sol.u)).all()),
+            **_timing_fields(),
         }
 
     # ---- configs 1-3 on-chip: adaptive single-solve latency (f32) -------
@@ -248,7 +271,7 @@ def main(quick=False):
     results["ensemble_8192_pallas_filter"] = {
         "B": B, "grid_steps": T, "runtime_s": t,
         "solves_per_sec": B / t, "filter_steps_per_sec": B * T / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     @jax.jit
@@ -262,7 +285,7 @@ def main(quick=False):
     results["ensemble_8192_pallas_filter_smoother"] = {
         "B": B, "grid_steps": T, "runtime_s": t,
         "solves_per_sec": B / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     @jax.jit
@@ -276,7 +299,7 @@ def main(quick=False):
     results["ensemble_8192_pallas_ek1_filter"] = {
         "B": B, "grid_steps": T, "runtime_s": t,
         "solves_per_sec": B / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     # config 4 on-chip: fused Kron-grid kernel (whole PDE solve in VMEM)
@@ -289,7 +312,7 @@ def main(quick=False):
     results["brusselator_2d_pallas"] = {
         "d_states": 2 * 70 * 70, "steps": 1000, "runtime_s": t,
         "steps_per_sec": 1000 / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     # adaptive per-lane-dt ensemble kernel (the realistic parameter-
@@ -307,7 +330,7 @@ def main(quick=False):
         "solves_per_sec": B / t,
         "mean_accepted_steps": float(nacc.mean()),
         "failed_members": int(fail.sum()),
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     run_ad1 = jax.jit(
@@ -320,7 +343,7 @@ def main(quick=False):
     results["ensemble_8192_pallas_adaptive_ek1"] = {
         "B": B, "save_points": 20, "runtime_s": t,
         "solves_per_sec": B / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     # gradient of the per-member log-likelihood through the fused filter
@@ -341,7 +364,7 @@ def main(quick=False):
     results["ensemble_8192_pallas_likelihood_grad"] = {
         "B": B, "grid_steps": T, "runtime_s": t,
         "grad_solves_per_sec": B / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     # ---- data-likelihood parameter sweep on chip: vmap(data_loglik) over
@@ -374,10 +397,15 @@ def main(quick=False):
     )
     sweep = jax.jit(jax.vmap(one_ll))
     t = _time(lambda ps_: sweep(ps_), ps_cand, iters=10)
+    from odefilters.datalik import _merged_grid
+
+    n_rows = int(
+        _merged_grid(prob_lv32, ts_d, 40, jnp.float32)[0].shape[0]
+    )
     results["tpu_datalik_sweep"] = {
-        "B_candidates": Bs, "grid_rows": 48, "n_obs": 9, "runtime_s": t,
+        "B_candidates": Bs, "grid_rows": n_rows, "n_obs": 9, "runtime_s": t,
         "candidates_per_sec": Bs / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     # the same workload through the FUSED data-likelihood kernel
@@ -407,7 +435,7 @@ def main(quick=False):
     results["tpu_datalik_sweep_pallas"] = {
         "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "runtime_s": t,
         "candidates_per_sec": Bk / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     # ... and its gradient (custom VJP: streamed states + segmented
@@ -424,7 +452,54 @@ def main(quick=False):
     results["tpu_datalik_grad_sweep_pallas"] = {
         "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "runtime_s": t,
         "grad_candidates_per_sec": Bk / t,
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
+    # partial observations (prey-only) through the per-dim EK0 kernel —
+    # the realistic inference workload VERDICT r2 flagged as 100x slower
+    # on the XLA path; now at kernel speed
+    C_part = np.array([[1.0, 0.0]])
+    kfn_pd = jax.jit(
+        lambda u, p: pk.ensemble_data_loglik_pallas(
+            prob_lv.f, u, p, prob_lv.tspan, Tk, ts_k, ys_k[:, :1],
+            obs_noise_std=0.05, q=3, obs_matrix=C_part,
+        )[0]
+    )
+    t = _time(kfn_pd, u0s_k, ps_k, iters=20)
+    results["tpu_datalik_partial_obs_pallas"] = {
+        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "d_obs": 1,
+        "runtime_s": t, "candidates_per_sec": Bk / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
+    # ... the same workload on the XLA path (the comparison point)
+    def one_ll_part(p):
+        return odf.data_loglik(
+            odf.remake(prob_lv32, p=p), odf.EK1(order=2, smooth=False),
+            ts_d, ys_d[:, :1], 0.05, obs_matrix=C_part, n_grid=40,
+        )
+
+    sweep_part = jax.jit(jax.vmap(one_ll_part))
+    t = _time(lambda ps_: sweep_part(ps_), ps_cand, iters=10)
+    results["tpu_datalik_partial_obs_xla"] = {
+        "B_candidates": Bs, "n_obs": 9, "d_obs": 1, "runtime_s": t,
+        "candidates_per_sec": Bs / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
+    # EK1 data-likelihood kernel (dense-covariance square-root filter +
+    # joint noisy updates): the stiff-inference configuration
+    kfn_e1 = jax.jit(
+        lambda u, p: pk.ensemble_data_loglik_pallas(
+            prob_lv.f, u, p, prob_lv.tspan, Tk, ts_k, ys_k,
+            obs_noise_std=0.05, q=3, ek1=True, jac=prob_lv.jac,
+        )[0]
+    )
+    t = _time(kfn_e1, u0s_k, ps_k, iters=10)
+    results["tpu_datalik_ek1_pallas"] = {
+        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "runtime_s": t,
+        "candidates_per_sec": Bk / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
     # time-parallel associative-scan smoother variant (same config, 1 solve)
@@ -437,12 +512,23 @@ def main(quick=False):
                                          iterations=4)[0],
             iters=2,
         )
-        results["parallel_assoc_scan_ek1"] = {"grid_steps": 500, "runtime_s": t}
+        results["parallel_assoc_scan_ek1"] = {
+            "grid_steps": 500, "runtime_s": t, "device": "cpu",
+            "steps_per_sec": 500 / t, **_timing_fields(),
+        }
 
     out = json.dumps(results, indent=2)
     print(out)
     with open("benchmarks/results.json", "w") as fh:
         fh.write(out)
+
+    # governance gate: refuse to let a silent throughput/accuracy drift
+    # into the committed numbers (benchmarks/check_regression.py)
+    sys.path.insert(0, "benchmarks")
+    from check_regression import report
+
+    if not report(results):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -15,10 +15,15 @@ Writes `examples/data_conditioning.png` (three panels).
 Run:  python examples/data_conditioning.py
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# ODEFILTERS_SMOKE=1: tiny configuration for the CI smoke test
+SMOKE = os.environ.get("ODEFILTERS_SMOKE") == "1"
 
 import jax.numpy as jnp  # noqa: E402
 import matplotlib  # noqa: E402
@@ -64,7 +69,7 @@ p = jnp.asarray(prob.p) * 1.15
 m = v2 = jnp.zeros_like(p)
 path = [np.asarray(p)]
 LR, B1, B2 = 0.02, 0.9, 0.999
-for k in range(200):
+for k in range(3 if SMOKE else 200):
     v, g = vg(p)
     m = B1 * m + (1 - B1) * g
     v2 = B2 * v2 + (1 - B2) * g * g
@@ -103,5 +108,6 @@ axes[2].set_title("parameter recovery (ratio to truth)")
 axes[2].set_xlabel("gradient step")
 axes[2].legend(fontsize=8)
 fig.tight_layout()
-fig.savefig("examples/data_conditioning.png", dpi=110)
-print("wrote examples/data_conditioning.png")
+_out = "data_conditioning.png" if SMOKE else "examples/data_conditioning.png"
+fig.savefig(_out, dpi=110)
+print(f"wrote {_out}")

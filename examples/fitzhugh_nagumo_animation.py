@@ -8,6 +8,8 @@ every accepted step.
 Usage: python examples/fitzhugh_nagumo_animation.py  (writes fhn_solve.gif)
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -23,10 +25,14 @@ import numpy as np
 
 import odefilters as odf
 
-prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
+# ODEFILTERS_SMOKE=1: tiny configuration for the CI smoke test
+SMOKE = os.environ.get("ODEFILTERS_SMOKE") == "1"
+
+prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0 if SMOKE else 20.0))
 
 # high-accuracy approximate solution for comparison
-appxsol = odf.solve(prob, odf.EK1(order=5), abstol=1e-10, reltol=1e-10)
+_tol = 1e-6 if SMOKE else 1e-10
+appxsol = odf.solve(prob, odf.EK1(order=5), abstol=_tol, reltol=_tol)
 n_appx = int(appxsol.n_steps)
 
 # integrator interface: fixed steps, order-1 EK0 like the reference example
@@ -73,6 +79,8 @@ def draw(_frame):
 
 if __name__ == "__main__":
     frames = int(prob.tspan[1] / 7e-2) - 1
-    anim = animation.FuncAnimation(fig, draw, frames=min(frames, 60))
+    anim = animation.FuncAnimation(
+        fig, draw, frames=min(frames, 3 if SMOKE else 60)
+    )
     anim.save("fhn_solve.gif", writer="pillow", fps=10)
     print("wrote fhn_solve.gif")

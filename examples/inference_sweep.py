@@ -13,7 +13,17 @@ inference over ODE parameters.
 Run:  python examples/inference_sweep.py          (TPU f32; CPU works too)
 """
 
+import os
+
 import jax
+
+# ODEFILTERS_SMOKE=1: tiny XLA-path run for CI. Must force CPU *in
+# process* BEFORE backend init — the container's sitecustomize overrides
+# JAX_PLATFORMS from the environment (CLAUDE.md), so the env var the test
+# harness sets is ignored and the smoke would compile on the remote TPU.
+if os.environ.get("ODEFILTERS_SMOKE") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import matplotlib
 
@@ -24,11 +34,18 @@ import numpy as np  # noqa: E402
 import odefilters as odf  # noqa: E402
 from odefilters.ops import pallas_kernels as pk  # noqa: E402
 
+SMOKE = os.environ.get("ODEFILTERS_SMOKE") == "1"
+
 # --- observations of the true system --------------------------------------
 prob = odf.models.lotka_volterra(tspan=(0.0, 3.0))
-T = 120
+# SMOKE: a short grid — interpret mode traces every lane op on the host,
+# so the CI run must stay tiny
+T = 16 if SMOKE else 120
 dt = 3.0 / T
-kidx = np.array([12, 32, 48, 64, 76, 88, 100, 110, 116])
+kidx = (
+    np.array([4, 9, 14]) if SMOKE
+    else np.array([12, 32, 48, 64, 76, 88, 100, 110, 116])
+)
 ts_data = kidx * dt
 
 from scipy.integrate import solve_ivp  # noqa: E402
@@ -51,7 +68,7 @@ SIGMA = 0.05
 ys = truth + SIGMA * rng.standard_normal(truth.shape)
 
 # --- 8192-candidate grid over (b, d), one kernel call ----------------------
-NB, ND = 128, 64
+NB, ND = (8, 8) if SMOKE else (128, 64)
 b_grid = np.linspace(0.6, 1.5, NB)
 d_grid = np.linspace(0.6, 1.5, ND)
 bb, dd = np.meshgrid(b_grid, d_grid, indexing="ij")
@@ -61,11 +78,26 @@ ps[:, 3] = dd.ravel()
 ps = jnp.asarray(ps)
 u0s = jnp.broadcast_to(prob.u0, (NB * ND, 2)).astype(jnp.float32)
 
-sweep = jax.jit(
-    lambda u, p: pk.ensemble_data_loglik_pallas(
-        prob.f, u, p, prob.tspan, T, ts_data, ys, obs_noise_std=SIGMA, q=3
-    )[0]
-)
+if SMOKE:
+    # CI smoke: interpret-mode Pallas over a full 1024-lane block is too
+    # slow for the suite; the XLA `data_loglik` path computes the SAME
+    # chain-rule quantity (tested equal in the kernel tests) on a tiny
+    # candidate grid, keeping the example end-to-end on one CPU core
+    sweep = jax.jit(
+        jax.vmap(
+            lambda u, p: odf.data_loglik(
+                odf.remake(prob, u0=u, p=p), odf.EK1(order=2, smooth=False),
+                ts_data, ys, SIGMA, n_grid=T,
+            )
+        )
+    )
+else:
+    sweep = jax.jit(
+        lambda u, p: pk.ensemble_data_loglik_pallas(
+            prob.f, u, p, prob.tspan, T, ts_data, ys, obs_noise_std=SIGMA,
+            q=3,
+        )[0]
+    )
 import time  # noqa: E402
 
 t0 = time.time()
@@ -98,5 +130,6 @@ ax.set_title("marginal data log-likelihood over 8192 candidates (one kernel call
 fig.colorbar(m, ax=ax, label="log p(y | p)")
 ax.legend(loc="lower right", fontsize=8)
 fig.tight_layout()
-fig.savefig("examples/inference_sweep.png", dpi=110)
-print("wrote examples/inference_sweep.png")
+_out = "inference_sweep.png" if SMOKE else "examples/inference_sweep.png"
+fig.savefig(_out, dpi=110)
+print(f"wrote {_out}")

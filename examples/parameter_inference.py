@@ -16,12 +16,15 @@ Run:  python examples/parameter_inference.py            (TPU, f32)
       JAX_PLATFORMS=cpu python ... --interpret          (CPU f64, exact)
 """
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 
-INTERPRET = "--interpret" in sys.argv
+# ODEFILTERS_SMOKE=1: tiny interpret-mode run for the CI smoke test
+SMOKE = os.environ.get("ODEFILTERS_SMOKE") == "1"
+INTERPRET = "--interpret" in sys.argv or SMOKE
 if INTERPRET:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
@@ -35,7 +38,7 @@ from odefilters.taylor import taylor_coefficients  # noqa: E402
 
 def main():
     dtype = jnp.float64 if INTERPRET else jnp.float32
-    B, T, q = pk.BLOCK, 60, 3
+    B, T, q = pk.BLOCK, 10 if SMOKE else 60, 3
     tspan = (0.0, 3.0)
     dt = (tspan[1] - tspan[0]) / T
     prob = odf.models.lotka_volterra(tspan=tspan)
@@ -75,7 +78,7 @@ def main():
         # four rates
         p, m, v2 = p0, jnp.zeros_like(p0), jnp.zeros_like(p0)
         lr, b1, b2, eps = 0.05, 0.9, 0.999, 1e-8
-        for i in range(150):
+        for i in range(3 if SMOKE else 150):
             v, g = vg(p)
             m = b1 * m + (1 - b1) * g
             v2 = b2 * v2 + (1 - b2) * g * g
