@@ -414,12 +414,18 @@ def _solve_adaptive_kron_impl(
             prob.f, prob.u0.astype(dtype), prob.p, t0, q, method=taylor_method
         )
     m0 = jnp.stack(derivs)
-    x0 = KronGaussian(m0, jnp.zeros((q + 1, q + 1), dtype))
+    if alg.diffusionmodel == "dynamicMV":
+        # per-dimension factors from step one (ops/kron.py dynamicMV path)
+        L0 = jnp.zeros((d, q + 1, q + 1), dtype)
+        L_buf = jnp.zeros((N1, d, q + 1, q + 1), dtype)
+    else:
+        L0 = jnp.zeros((q + 1, q + 1), dtype)
+        L_buf = jnp.zeros((N1, q + 1, q + 1), dtype)
+    x0 = KronGaussian(m0, L0)
     sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
 
     ts_buf = jnp.full((N1,), jnp.asarray(t1, dtype), dtype).at[0].set(t0)
     m_buf = jnp.zeros((N1, q + 1, d), dtype).at[0].set(m0)
-    L_buf = jnp.zeros((N1, q + 1, q + 1), dtype)
     diff_buf = jnp.ones((N1,) + sigma2_0.shape, dtype)
 
     beta1, beta2 = alg.beta1, alg.beta2
@@ -489,10 +495,18 @@ def _solve_adaptive_kron_impl(
     x_filt = KronGaussian(c["m_buf"], c["L_buf"])
     diffs, ll = c["diff_buf"], c["ll"]
     if alg.is_static_diffusion:
-        x_filt = KronGaussian(
-            x_filt.mean, jnp.sqrt(c["sigma2"]) * x_filt.chol
-        )
-        diffs = jnp.broadcast_to(c["sigma2"], diffs.shape).astype(diffs.dtype)
+        final = c["sigma2"]
+        if final.ndim == 0:
+            L_cal = jnp.sqrt(final) * x_filt.chol
+        else:
+            # fixedMV: per-dim rescale promotes (N, q+1, q+1) factors to
+            # (N, d, q+1, q+1), as on the fixed-grid path
+            L_cal = (
+                jnp.sqrt(final)[None, :, None, None]
+                * x_filt.chol[:, None, :, :]
+            )
+        x_filt = KronGaussian(x_filt.mean, L_cal)
+        diffs = jnp.broadcast_to(final, diffs.shape).astype(diffs.dtype)
         ll = jnp.asarray(jnp.nan, dtype)
     if alg.smooth:
         x_out = _kron_smooth_all(model, x_filt, c["ts_buf"], diffs, c["n"])
@@ -525,15 +539,12 @@ def solve_adaptive_kron(
 
     O(q^3)-per-step covariance cost independent of the ODE dimension: the
     adaptive analogue of :func:`solve_fixed_kron` for large semi-discretized
-    PDE states. Scalar diffusion models only (``dynamic``, ``fixed``,
-    ``fixedMAP``): per-dimension (MV) buffers would be O(N d q^2).
+    PDE states. All EK0 diffusion models, incl. the MV ones (dynamicMV
+    carries per-dimension (d, q+1, q+1) factors — O(N d q^2) buffers, so
+    prefer scalar models at extreme PDE scale).
     """
     if alg.is_ek1:
         raise ValueError("the Kronecker fast path requires EK0 structure")
-    if alg.is_mv_diffusion:
-        raise ValueError(
-            "adaptive Kron path supports scalar diffusion models only"
-        )
     from odefilters.solve import initial_dt
 
     t0, t1 = prob.tspan
@@ -560,10 +571,6 @@ def sample(key, sol: KronProbODESolution, n: int = 1) -> jax.Array:
     """
     if not sol.alg.smooth:
         raise ValueError("sampling not implemented for non-smoothed posteriors")
-    if sol.x_filt.chol.ndim != 3:
-        raise NotImplementedError(
-            "Kron-path sampling supports isotropic (scalar-diffusion) factors"
-        )
     d_state = sol.x_filt.mean.shape[-1]  # true per-block dim (sol.d is 2d
     # for second-order solutions, whose samples expose the u block only)
     return _kron_sample_jit(
@@ -583,6 +590,10 @@ def _kron_sample_jit(key, ts, x_filt: KronGaussian, diffusions, n_steps,
 
     def draw(kk, g: KronGaussian):
         eps = jax.random.normal(kk, (nq, d), dtype)
+        if g.chol.ndim == 3:
+            # per-dimension factors (MV diffusions): dims are independent
+            # (Sigma = sum_j C_j (x) e_j e_j^T), each with its own factor
+            return g.mean + jnp.einsum("dij,jd->id", g.chol, eps)
         return g.mean + g.chol @ eps
 
     key_last, key_scan = jax.random.split(key)
@@ -607,7 +618,7 @@ def _kron_sample_jit(key, ts, x_filt: KronGaussian, diffusions, n_steps,
         sigma2 = jnp.take(diffusions, jnp.minimum(i + 1, n_steps), axis=0)
         QLt_h = _apply_diff_chol(QLt_i, sigma2)
         xf = KronGaussian(
-            p[:, None] * x_filt.mean[i], p[:, None] * x_filt.chol[i]
+            p[:, None] * x_filt.mean[i], _scale_rows(p, x_filt.chol[i])
         )
 
         def one(s_next, kk2):
