@@ -27,12 +27,14 @@ def _sync(x):
 
 
 def _time(fn, iters=3):
+    t0 = time.perf_counter()
     _sync(fn())
+    compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
     _sync(out)
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, compile_s
 
 
 def main(quick=False):
@@ -48,20 +50,26 @@ def main(quick=False):
         ts = jnp.linspace(0.0, 20.0, N + 1, dtype=jnp.float32)
         row = {"N": N}
 
-        t = _time(lambda: solve_fixed_kron(
+        t, _ = _time(lambda: solve_fixed_kron(
             prob, odf.EK0(order=3), ts=ts).u)
         row["seq_kron_ek0_s"] = t
 
-        t = _time(lambda: odf.solve_fixed(prob, odf.EK1(order=3), ts=ts).u)
+        t, _ = _time(lambda: odf.solve_fixed(prob, odf.EK1(order=3), ts=ts).u)
         row["seq_dense_ek1_s"] = t
 
-        t = _time(lambda: solve_fixed_parallel(
+        # blocked hybrid scans kick in automatically at N >= 2048
+        # (parallel.blocked.auto_block): O(2N) combine work and one scan
+        # body to compile instead of log2(N) unrolled rounds (the plain
+        # scan at N=16384 compiled for ~820 s in round 2)
+        t, c = _time(lambda: solve_fixed_parallel(
             prob, odf.EK0(order=3), ts=ts, iterations=4)[0])
         row["par_sqrt_ek0_s"] = t
+        row["par_ek0_compile_s"] = c
 
-        t = _time(lambda: solve_fixed_parallel(
+        t, c = _time(lambda: solve_fixed_parallel(
             prob, odf.EK1(order=3), ts=ts, iterations=4)[0])
         row["par_sqrt_ek1_s"] = t
+        row["par_ek1_compile_s"] = c
 
         row["speedup_ek1_par_vs_seq"] = row["seq_dense_ek1_s"] / row["par_sqrt_ek1_s"]
         row["speedup_ek0_par_vs_kron"] = row["seq_kron_ek0_s"] / row["par_sqrt_ek0_s"]

@@ -33,12 +33,17 @@ pre-scaled prior (real-scale covariances meet the absolute R correctly).
 The calibrated sigma^2 is stop_gradient'd — gradients treat it as part of
 the (frozen) model, like the step-size controller.
 
-For LARGE candidate sweeps (SMC / MCMC / grid search) with full-state
-observations on a uniform grid, use the fused kernel
+For LARGE candidate sweeps (SMC / MCMC / grid search) on a uniform grid,
+use the fused kernel
 ``odefilters.ops.pallas_kernels.ensemble_data_loglik_pallas`` — the same
-chain-rule quantity (tested equal), entirely in-kernel and
-differentiable, ~100x the batched XLA path on chip (5.1M forward / 4.3M
-gradient candidates/s vs 51k @ 8192 members).
+chain-rule quantity (tested equal), entirely in-kernel, ~100x the
+batched XLA path on chip (throughput in benchmarks/results.json). It
+covers full-state observations (differentiable via a custom VJP; pass
+``calib_grad=False`` for long-horizon f32 gradients), partial (one-hot)
+observations, per-dimension noise, per-member observation sets, an EK1
+variant for dense operators/stiff problems, and second-order problems;
+this XLA path remains the reference semantics and the gradient path for
+the non-default observation models.
 """
 
 from __future__ import annotations
