@@ -226,7 +226,12 @@ def main(quick=False):
         odf.models.van_der_pol(mu=1e5, tspan=(0.0, 0.5)), odf.EK1(order=5),
         dict(abstol=1e-7, reltol=1e-5, max_steps=8192), iters=2,
     )
-    vdp32["note"] = "stiff VdP mu=1e5 is not f32-viable on chip; CPU f64 config above is authoritative"
+    vdp32["note"] = (
+        "EXPECTED failure in absolute time units (TPU transcendental "
+        "range, docs/kernels.md); the on-chip stiff answer is the "
+        "RESCALED solve in benchmarks/stiff_vdp_chip.json (f64 405 "
+        "steps Success via rescale_time)"
+    )
     results["tpu_single_vdp_ek1_5_f32"] = vdp32
 
     # single-solve kernel latency: one problem broadcast across a block of
@@ -251,6 +256,37 @@ def main(quick=False):
     t = (time.perf_counter() - t0) / 5
     n = float(r[3])
     results["tpu_single_lv_ek1_3_pallas"] = {
+        "compile_s": compile_s, "runtime_s": t, "steps": n,
+        "steps_per_sec": n / t, "device": str(jax.devices()[0]),
+        "note": (
+            "single-solve story (BASELINE #1): the XLA while-loop driver "
+            "has the lower per-step cost but pays multi-minute remote "
+            "compiles; this kernel path compiles in ~2 s and pays "
+            "save-grid barrier truncations (n_save=20) that inflate its "
+            "accepted-step count for one trajectory — pick per workload"
+        ),
+    }
+
+    # config 1 through the same kernel single-solve path (EK0, low order)
+    prob_f1 = odf.models.fitzhugh_nagumo()
+    run_single_f = jax.jit(
+        lambda u0, p: pk.solve_adaptive_pallas_single(
+            prob_f1.f, u0, p, prob_f1.tspan, 20, q=1,
+            abstol=1e-1, reltol=1e-2,
+        )
+    )
+    u0_f = prob_f1.u0.astype(jnp.float32)
+    p_f = prob_f1.p.astype(jnp.float32)
+    t0 = time.time()
+    r = run_single_f(u0_f, p_f)
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r = run_single_f(u0_f, p_f)
+    _sync(r[0])
+    t = (time.perf_counter() - t0) / 5
+    n = float(r[3])
+    results["tpu_single_fhn_ek0_1_pallas"] = {
         "compile_s": compile_s, "runtime_s": t, "steps": n,
         "steps_per_sec": n / t, "device": str(jax.devices()[0]),
     }
