@@ -528,7 +528,7 @@ def _ek0_filter_blocked_fwd(f, q, T, dt, t0, so, prior, m0_p, ps_b):
         entry,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=out_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=out_specs + [pl.BlockSpec(memory_space=pl.ANY)],
         out_shape=[
             jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
             jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
@@ -584,7 +584,7 @@ def _ek0_filter_blocked_bwd(f, q, T, dt, t0, so, prior, res, cts):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
@@ -1087,7 +1087,7 @@ def _ek0_datalik_vjp_fwd(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     dll, ll, st = pl.pallas_call(
         entry,
@@ -1152,7 +1152,7 @@ def _ek0_datalik_vjp_bwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
@@ -2309,7 +2309,7 @@ def ek0_fused_solve(
                              lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, T + 1, _SUB, _LANE),
                              lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
@@ -2329,7 +2329,7 @@ def ek0_fused_solve(
     us_s, std_s = pl.pallas_call(
         sentry,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
                 pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
                              lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -2803,7 +2803,7 @@ def ek1_fused_solve(
             pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
                          lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nb, T + 1, D, W, _SUB, _LANE), dtype),
         scratch_shapes=scratch,
     )(m0_p, ps_b)
@@ -2827,7 +2827,7 @@ def ek1_fused_solve(
     us_s, std_s = pl.pallas_call(
         sentry,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
                          lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
