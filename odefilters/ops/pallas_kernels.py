@@ -1225,8 +1225,11 @@ def ensemble_data_loglik_pallas(
     * ``second_order=True``: u'' = f(du, u, p, t) with
       ``u0s = [u0 | du0]``; full-state observations of u only.
 
-    The non-default observation models are forward-only (gradients of
-    partial-obs objectives use ``odefilters.datalik`` on the XLA path).
+    The per-dimension EK0 paths (partial/one-hot obs, per-dim noise,
+    per-member observations) are differentiable via their own custom VJP
+    (streamed per-dim states, segmented adjoint kernel); the EK1 and
+    second-order variants are forward-only (gradients of those
+    objectives use ``odefilters.datalik`` on the XLA path).
 
     ``calib_grad=False`` (recommended for on-chip f32 gradients):
     stop-gradient through the per-step dynamic-diffusion calibration in
@@ -1377,10 +1380,10 @@ def ensemble_data_loglik_pallas(
             )
         obs_dims.append(int(nz[0]))
         obs_scales.append(float(C_sel[a, nz[0]]))
-    dll, ll = _ek0_datalik_pd_blocked(
+    dll, ll = _ek0_datalik_pd_vjp(
         prob_f, q, float(dt), float(t0), prior, seg_lens,
         tuple(obs_dims), tuple(obs_scales), tuple(float(r) for r in r2_vec),
-        y_batched, m0_p, ps_b, y_arr,
+        y_batched, not calib_grad, m0_p, ps_b, y_arr,
     )
     return dll.reshape(B), ll.reshape(B)
 
@@ -1420,6 +1423,7 @@ def _ek0_pd_step_lists(
     m, C, p_block, t_new, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, d: int, nq: int,
+    stop_calib: bool = False,
 ):
     """One EK0(dynamic) step with PER-DIMENSION covariances.
 
@@ -1444,6 +1448,9 @@ def _ek0_pd_step_lists(
     z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
     zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
     s2 = zz / (d * hq)
+    if stop_calib:
+        # see _ek0_step_lists: the long-horizon f32 gradient estimator
+        s2 = jax.lax.stop_gradient(s2)
 
     m_new = [[None] * d for _ in range(nq)]
     C_new = [None] * d
@@ -1847,6 +1854,370 @@ def _ek1_datalik_blocked(
             jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
         ],
     )(m0_p, ps_b, y_arr)
+
+
+def _pd_pack_and_send(row, st_ref, sem, k_idx, m, C, d, nq):
+    """Double-buffered (m | per-dim C) state-row DMA for the pd grad
+    kernels: row layout ``[m (d) | C_0 (nq) | ... | C_{d-1} (nq)]`` per
+    derivative row i."""
+    slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+    @pl.when(k_idx >= 2)
+    def _():
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).wait()
+
+    for i in range(nq):
+        for j in range(d):
+            row[slot, i, j] = m[i][j]
+        for jd in range(d):
+            for l in range(nq):
+                row[slot, i, d + jd * nq + l] = C[jd][i][l]
+    pltpu.make_async_copy(
+        row.at[slot], st_ref.at[k_idx], sem.at[slot]
+    ).start()
+
+
+def _ek0_datalik_pd_grad_fwd_kernel(
+    m0_ref, p_ref, y_ref, dll_ref, ll_ref, st_ref,
+    row, sem, *,
+    f, At, Qt, pinv0, pinv1, seg_lens, obs_dims, obs_scales, r2s,
+    dt, t0, d, nq, stop_calib,
+):
+    """Per-dim datalik filter streaming the state at entry of every ODE
+    step (post any data update) for the adjoint sweep — the pd analogue
+    of `_ek0_datalik_grad_fwd_kernel`."""
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    zero = jnp.zeros_like(m[0][0])
+    C = [
+        [[zero for _ in range(nq)] for _ in range(nq)] for _ in range(d)
+    ]
+    p_block = p_ref[:]
+
+    step = functools.partial(
+        _ek0_pd_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq, stop_calib=stop_calib,
+    )
+    dupd = functools.partial(
+        _ek0_pd_data_update, obs_dims=obs_dims, obs_scales=obs_scales,
+        r2s=r2s, pinv0=pinv0, nq=nq,
+    )
+
+    def body(k, carry):
+        m, C, ll = carry
+        _pd_pack_and_send(row, st_ref, sem, k, m, C, d, nq)
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, C_new, ll_inc = step(m, C, p_block, t_new)
+        return m_new, C_new, ll + ll_inc
+
+    ll = zero
+    dll = zero
+    k_base = 0
+    d_obs = len(obs_dims)
+    for si, L in enumerate(seg_lens):
+        if L > 0:
+            m, C, ll = jax.lax.fori_loop(
+                jnp.int32(k_base), jnp.int32(k_base + L), body, (m, C, ll)
+            )
+        k_base += L
+        if si < len(seg_lens) - 1:
+            y_row = [y_ref[si, a] for a in range(d_obs)]
+            m, C, dll_inc = dupd(m, C, y_row)
+            dll = dll + dll_inc
+    dll_ref[...] = dll
+    ll_ref[...] = ll
+    T = sum(seg_lens)
+    if T >= 1:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 1) % 2)], st_ref.at[jnp.int32(T - 1)],
+            sem.at[jnp.int32((T - 1) % 2)],
+        ).wait()
+    if T >= 2:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 2) % 2)], st_ref.at[jnp.int32(T - 2)],
+            sem.at[jnp.int32((T - 2) % 2)],
+        ).wait()
+
+
+def _ek0_datalik_pd_grad_bwd_kernel(
+    p_ref, y_ref, ddll_ref, dall_ref, st_ref,
+    dm0_ref, dp_ref, dy_ref,
+    row, sem, *,
+    f, At, Qt, pinv0, pinv1, seg_lens, obs_dims, obs_scales, r2s,
+    dt, t0, d, nq, stop_calib,
+):
+    """Adjoint of the per-dim datalik filter: reverse walk of the
+    streamed states, in-kernel jax.vjp of the pd step (and of the step
+    composed with the pd data update at segment boundaries)."""
+    p_block = p_ref[:]
+    ddll = ddll_ref[:]
+    dall = dall_ref[:]
+    zero = jnp.zeros_like(ddll)
+    d_obs = len(obs_dims)
+
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
+        C = [
+            [[row[slot, i, d + jd * nq + l] for l in range(nq)]
+             for i in range(nq)]
+            for jd in range(d)
+        ]
+        return m, C
+
+    step = functools.partial(
+        _ek0_pd_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq, stop_calib=stop_calib,
+    )
+    dupd = functools.partial(
+        _ek0_pd_data_update, obs_dims=obs_dims, obs_scales=obs_scales,
+        r2s=r2s, pinv0=pinv0, nq=nq,
+    )
+
+    dm = [[zero for _ in range(d)] for _ in range(nq)]
+    dC = [
+        [[zero for _ in range(nq)] for _ in range(nq)] for _ in range(d)
+    ]
+    dp = jnp.zeros_like(p_block)
+
+    def plain_body(s, carry, a, b):
+        del a
+        dm, dC, dp = carry
+        k = jnp.asarray(b - 1, jnp.int32) - s
+        m_k, C_k = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.ones((), k.dtype))
+
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        _, vjp_fn = jax.vjp(
+            lambda m, C, p: step(m, C, p, t_new), m_k, C_k, p_block
+        )
+        dm_k, dC_k, dp_k = vjp_fn((dm, dC, dall))
+        return dm_k, dC_k, dp + dp_k
+
+    offs = _seg_offsets(seg_lens)
+    n_obs = len(seg_lens) - 1
+    T = offs[-1]
+    if T >= 1:
+        start_load(jnp.int32(T - 1))
+    for si in range(len(seg_lens) - 1, -1, -1):
+        a, b = offs[si], offs[si + 1]
+        if si < n_obs:
+            y_row = [y_ref[si, aa] for aa in range(d_obs)]
+            m_k, C_k = wait_and_read(jnp.int32(b - 1))
+            if b - 1 >= 1:
+                start_load(jnp.int32(b - 2))
+            t_new = _step_time(jnp.int32(b - 1), t0, dt, zero.dtype)
+
+            def comp(m, C, p, y):
+                m1, C1, ll_inc = step(m, C, p, t_new)
+                m2, C2, dll_inc = dupd(m1, C1, y)
+                return m2, C2, ll_inc, dll_inc
+
+            _, vjp_fn = jax.vjp(comp, m_k, C_k, p_block, y_row)
+            dm, dC, dp_k, dy_row = vjp_fn((dm, dC, dall, ddll))
+            dp = dp + dp_k
+            for aa in range(d_obs):
+                # shared-y case: y is an SMEM scalar, its vjp is already
+                # the lane sum (broadcast back into a lane block for the
+                # 128-lane-tiled output); per-member case: y is a lane
+                # block and this is the per-lane cotangent directly
+                dy_ref[si, aa] = dy_row[aa] + jnp.zeros_like(ddll)
+            b = b - 1
+        if b > a:
+            dm, dC, dp = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(b - a),
+                functools.partial(plain_body, a=a, b=b), (dm, dC, dp),
+            )
+
+    for i in range(nq):
+        for j in range(d):
+            dm0_ref[i, j] = dm[i][j]
+    dp_ref[...] = dp
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+)
+@_no_x64
+def _ek0_datalik_pd_vjp(
+    f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s, y_batched,
+    stop_calib, m0_p, ps_b, y_arr,
+):
+    return _ek0_datalik_pd_blocked(
+        f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s,
+        y_batched, m0_p, ps_b, y_arr,
+    )
+
+
+@_no_x64
+def _ek0_datalik_pd_vjp_fwd(
+    f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s, y_batched,
+    stop_calib, m0_p, ps_b, y_arr,
+):
+    nb, nq, d = m0_p.shape[:3]
+    n_params = ps_b.shape[1]
+    n_obs = len(seg_lens) - 1
+    d_obs = len(obs_dims)
+    T = int(sum(seg_lens))
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    kernel = functools.partial(
+        _ek0_datalik_pd_grad_fwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
+        pinv1=pinv1, seg_lens=tuple(seg_lens), obs_dims=tuple(obs_dims),
+        obs_scales=tuple(obs_scales), r2s=tuple(r2s), dt=float(dt),
+        t0=float(t0), d=d, nq=nq, stop_calib=bool(stop_calib),
+    )
+    W = d + d * nq
+    scratch = [
+        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            y_blk.at[jnp.int32(0)] if y_batched else y_blk,
+            dll_blk.at[jnp.int32(0)], ll_blk.at[jnp.int32(0)],
+            st_hbm.at[b], row, sem,
+        )
+
+    if y_batched:
+        y_spec = pl.BlockSpec(
+            (1, n_obs, d_obs, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        y_spec = pl.BlockSpec(
+            (n_obs, d_obs), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+    in_specs = [
+        pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        y_spec,
+    ]
+    out_specs = [
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    dll, ll, st = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T, nq, W, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_p, ps_b, y_arr)
+    return (dll, ll), (st, ps_b, y_arr)
+
+
+@_no_x64
+def _ek0_datalik_pd_vjp_bwd(
+    f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s, y_batched,
+    stop_calib, res, cts,
+):
+    st, ps_b, y_arr = res
+    ddll, dall = cts
+    nb = st.shape[0]
+    nq = st.shape[2]
+    W = st.shape[3]
+    d = W // (nq + 1)
+    n_params = ps_b.shape[1]
+    n_obs = len(seg_lens) - 1
+    d_obs = len(obs_dims)
+    dtype = ps_b.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    kernel = functools.partial(
+        _ek0_datalik_pd_grad_bwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
+        pinv1=pinv1, seg_lens=tuple(seg_lens), obs_dims=tuple(obs_dims),
+        obs_scales=tuple(obs_scales), r2s=tuple(r2s), dt=float(dt),
+        t0=float(t0), d=d, nq=nq, stop_calib=bool(stop_calib),
+    )
+    scratch = [
+        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def entry(p_blk, y_blk, ddll_blk, dall_blk, st_hbm,
+              dm0_blk, dp_blk, dy_blk, row, sem):
+        b = pl.program_id(0)
+        kernel(
+            p_blk.at[jnp.int32(0)],
+            y_blk.at[jnp.int32(0)] if y_batched else y_blk,
+            ddll_blk.at[jnp.int32(0)], dall_blk.at[jnp.int32(0)],
+            st_hbm.at[b],
+            dm0_blk.at[jnp.int32(0)], dp_blk.at[jnp.int32(0)],
+            dy_blk.at[jnp.int32(0)],
+            row, sem,
+        )
+
+    if y_batched:
+        y_spec = pl.BlockSpec(
+            (1, n_obs, d_obs, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        y_spec = pl.BlockSpec(
+            (n_obs, d_obs), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+    dm0, dps, dy_blocks = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            y_spec,
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_obs, d_obs, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, nq, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, n_params, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, n_obs, d_obs, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(ps_b, y_arr, ddll, dall, st)
+    if y_batched:
+        dy = dy_blocks
+    else:
+        # y SHARED by all members: one lane-summed partial per block
+        dy = jnp.sum(dy_blocks[..., 0, 0], axis=0).astype(y_arr.dtype)
+    return dm0, dps, dy
+
+
+_ek0_datalik_pd_vjp.defvjp(_ek0_datalik_pd_vjp_fwd, _ek0_datalik_pd_vjp_bwd)
 
 
 # ==========================================================================

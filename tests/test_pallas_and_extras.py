@@ -1119,3 +1119,58 @@ def test_pallas_kron_grid_generalized_prior_interpret():
             N, (0.0, 0.001), T, q=3, save_every=T,
         )
     assert abs(float(ll) - float(ll_iwp)) > 1e-9
+
+
+def test_pallas_data_loglik_partial_obs_gradient_interpret():
+    """Custom VJP of the per-dim datalik kernel: gradients of a
+    partial-obs + per-dim-noise objective w.r.t. u0, p AND the
+    observations match the XLA `filter_with_data` gradients; per-member
+    observations get per-member cotangents."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob, ts_data, ys, rng = _lv_datalik_setup()
+    T = 40
+    B = pk.BLOCK
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    C = np.array([[1.0, 0.0]])
+    y1 = jnp.asarray(ys[:, :1])
+
+    def loss(u, p, y):
+        dll, oll = pk.ensemble_data_loglik_pallas(
+            prob.f, u, p, prob.tspan, T, ts_data, y, obs_noise_std=0.1,
+            q=3, obs_matrix=C,
+        )
+        return jnp.sum(dll[:1]) + 0.5 * jnp.sum(oll[:1])
+
+    with pltpu.force_tpu_interpret_mode():
+        gu, gp, gy = jax.grad(loss, argnums=(0, 1, 2))(u0s, ps, y1)
+
+    def f_ref(u0, p, y):
+        sol, dll = odf.filter_with_data(
+            odf.remake(prob, u0=u0, p=p), odf.EK0(order=3, smooth=False),
+            ts_data, y, 0.1, obs_matrix=C, n_grid=T,
+        )
+        return dll + 0.5 * sol.log_likelihood
+
+    gux, gpx, gyx = jax.grad(f_ref, argnums=(0, 1, 2))(
+        prob.u0.astype(jnp.float64), ps[0], y1
+    )
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gpx),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gu[0]), np.asarray(gux),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gyx),
+                               rtol=1e-8, atol=1e-10)
+
+    # per-member observations: the cotangent of member 0's data equals
+    # the shared-data cotangent; other members' data gets zero (loss only
+    # reads member 0)
+    ys_all = jnp.broadcast_to(y1, (B, 3, 1)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        gy_b = jax.grad(loss, argnums=2)(u0s, ps, ys_all)
+    np.testing.assert_allclose(np.asarray(gy_b[0]), np.asarray(gyx),
+                               rtol=1e-8, atol=1e-10)
+    assert float(jnp.abs(gy_b[1:]).max()) < 1e-12
