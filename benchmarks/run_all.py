@@ -508,6 +508,22 @@ def main(quick=False):
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
+    # ... and its gradient (per-dim custom VJP kernel)
+    def kloss_pd(u, p):
+        dll, _ = pk.ensemble_data_loglik_pallas(
+            prob_lv.f, u, p, prob_lv.tspan, Tk, ts_k, ys_k[:, :1],
+            obs_noise_std=0.05, q=3, obs_matrix=C_part, calib_grad=False,
+        )
+        return jnp.sum(dll)
+
+    kgrad_pd = jax.jit(jax.grad(kloss_pd, argnums=(0, 1)))
+    t = _time(lambda u, p: kgrad_pd(u, p)[1], u0s_k, ps_k, iters=10)
+    results["tpu_datalik_partial_obs_grad_pallas"] = {
+        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "d_obs": 1,
+        "runtime_s": t, "grad_candidates_per_sec": Bk / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
     # ... the same workload on the XLA path (the comparison point)
     def one_ll_part(p):
         return odf.data_loglik(
