@@ -108,8 +108,12 @@ def _no_x64(fn):
 
         # 64-bit inputs (interpret-mode validation) must keep x64 tracing;
         # the scan is pytree-aware (custom-VJP rules take tuple residuals)
+        # only JAX arrays dictate the trace dtype: static numpy
+        # constants (observation matrices, noise factors) are cast to
+        # the working dtype inside the kernels and must not force x64
         needs64 = any(
-            hasattr(a, "dtype") and _np.dtype(a.dtype).itemsize == 8
+            isinstance(a, jax.Array)
+            and _np.dtype(a.dtype).itemsize == 8
             for a in jax.tree.leaves((args, kwargs))
             if not isinstance(a, (int, float, bool))
         )
@@ -1225,11 +1229,11 @@ def ensemble_data_loglik_pallas(
     * ``second_order=True``: u'' = f(du, u, p, t) with
       ``u0s = [u0 | du0]``; full-state observations of u only.
 
-    The per-dimension EK0 paths (partial/one-hot obs, per-dim noise,
-    per-member observations) are differentiable via their own custom VJP
-    (streamed per-dim states, segmented adjoint kernel); the EK1 and
-    second-order variants are forward-only (gradients of those
-    objectives use ``odefilters.datalik`` on the XLA path).
+    Every observation model except ``second_order`` is differentiable
+    via its own custom VJP (streamed states + segmented adjoint kernel —
+    the EK1 variant vjp's through the in-kernel square-root step
+    including its MGS QRs); second-order gradients use
+    ``odefilters.datalik`` on the XLA path.
 
     ``calib_grad=False`` (recommended for on-chip f32 gradients):
     stop-gradient through the per-step dynamic-diffusion calibration in
@@ -1360,10 +1364,13 @@ def ensemble_data_loglik_pallas(
     if ek1:
         C_full = np.eye(d) if C_np is None else C_np
         R_chol = np.diag(np.sqrt(r2_vec))
-        dll, ll = _ek1_datalik_blocked(
+        # nondiff custom-vjp args must be hashable: matrices as tuples
+        C_key = tuple(tuple(float(v) for v in row) for row in C_full)
+        R_key = tuple(tuple(float(v) for v in row) for row in R_chol)
+        dll, ll = _ek1_datalik_vjp(
             prob_f, jac if jac is not None else _auto_jac(prob_f),
-            q, float(dt), float(t0), prior, seg_lens, C_full, R_chol,
-            y_batched, m0_p, ps_b, y_arr,
+            q, float(dt), float(t0), prior, seg_lens, C_key, R_key,
+            y_batched, not calib_grad, m0_p, ps_b, y_arr,
         )
         return dll.reshape(B), ll.reshape(B)
 
@@ -2220,6 +2227,373 @@ def _ek0_datalik_pd_vjp_bwd(
 _ek0_datalik_pd_vjp.defvjp(_ek0_datalik_pd_vjp_fwd, _ek0_datalik_pd_vjp_bwd)
 
 
+def _ek1_pack_and_send(row, st_ref, sem, k_idx, m, L, D):
+    """Double-buffered (L | m) state-row DMA for the EK1 datalik grad
+    kernels: row r = [ L[r][0..D-1] | m[r] ]."""
+    slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+    @pl.when(k_idx >= 2)
+    def _():
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).wait()
+
+    for r in range(D):
+        for c in range(D):
+            row[slot, r, c] = L[r][c]
+        row[slot, r, D] = m[r]
+    pltpu.make_async_copy(
+        row.at[slot], st_ref.at[k_idx], sem.at[slot]
+    ).start()
+
+
+def _ek1_datalik_grad_fwd_kernel(
+    m0_ref, p_ref, y_ref, dll_ref, ll_ref, st_ref,
+    row, sem, *,
+    f, jac, At, QLt, pinv0, pinv1, seg_lens, C_obs, R_chol,
+    dt, t0, d, nq, stop_calib,
+):
+    """EK1 datalik filter streaming (m, L) at entry of every ODE step."""
+    D = d * nq
+    Af = np.kron(At, np.eye(d))
+    QLf = np.kron(QLt, np.eye(d))
+    d_obs = C_obs.shape[0]
+    m = [m0_ref[i // d, i % d] for i in range(D)]
+    zero = jnp.zeros_like(m[0])
+    L = [[zero for _ in range(D)] for _ in range(D)]
+    p_block = p_ref[:]
+
+    dupd = functools.partial(
+        _ek1_data_update_lists, C_obs=C_obs, R_chol=R_chol,
+        pinv0=pinv0, d=d, D=D,
+    )
+
+    def body(k, carry):
+        m, L, ll = carry
+        _ek1_pack_and_send(row, st_ref, sem, k, m, L, D)
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, L_new, _, ll_inc = _ek1_step_lists(
+            m, L, p_block, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
+            pinv0=pinv0, pinv1=pinv1, d=d, D=D, want_ll=True,
+            stop_calib=stop_calib,
+        )
+        return m_new, L_new, ll + ll_inc
+
+    ll = zero
+    dll = zero
+    k_base = 0
+    for si, Lseg in enumerate(seg_lens):
+        if Lseg > 0:
+            m, L, ll = jax.lax.fori_loop(
+                jnp.int32(k_base), jnp.int32(k_base + Lseg), body, (m, L, ll)
+            )
+        k_base += Lseg
+        if si < len(seg_lens) - 1:
+            y_row = [y_ref[si, a] for a in range(d_obs)]
+            m, L, dll_inc = dupd(m, L, y_row)
+            dll = dll + dll_inc
+    dll_ref[...] = dll
+    ll_ref[...] = ll
+    T = sum(seg_lens)
+    if T >= 1:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 1) % 2)], st_ref.at[jnp.int32(T - 1)],
+            sem.at[jnp.int32((T - 1) % 2)],
+        ).wait()
+    if T >= 2:
+        pltpu.make_async_copy(
+            row.at[jnp.int32((T - 2) % 2)], st_ref.at[jnp.int32(T - 2)],
+            sem.at[jnp.int32((T - 2) % 2)],
+        ).wait()
+
+
+def _ek1_datalik_grad_bwd_kernel(
+    p_ref, y_ref, ddll_ref, dall_ref, st_ref,
+    dm0_ref, dp_ref, dy_ref,
+    row, sem, *,
+    f, jac, At, QLt, pinv0, pinv1, seg_lens, C_obs, R_chol,
+    dt, t0, d, nq, stop_calib,
+):
+    """Adjoint of the EK1 datalik filter (reverse streamed-state walk,
+    in-kernel jax.vjp of the square-root EK1 step incl. its MGS QRs)."""
+    D = d * nq
+    Af = np.kron(At, np.eye(d))
+    QLf = np.kron(QLt, np.eye(d))
+    d_obs = C_obs.shape[0]
+    p_block = p_ref[:]
+    ddll = ddll_ref[:]
+    dall = dall_ref[:]
+    zero = jnp.zeros_like(ddll)
+
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        m = [row[slot, r, D] for r in range(D)]
+        L = [[row[slot, r, c] for c in range(D)] for r in range(D)]
+        return m, L
+
+    def stepr(m, L, p, t_new):
+        m1, L1, _, ll_inc = _ek1_step_lists(
+            m, L, p, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
+            pinv0=pinv0, pinv1=pinv1, d=d, D=D, want_ll=True,
+            stop_calib=stop_calib,
+        )
+        return m1, L1, ll_inc
+
+    dupd = functools.partial(
+        _ek1_data_update_lists, C_obs=C_obs, R_chol=R_chol,
+        pinv0=pinv0, d=d, D=D,
+    )
+
+    dm = [zero for _ in range(D)]
+    dL = [[zero for _ in range(D)] for _ in range(D)]
+    dp = jnp.zeros_like(p_block)
+
+    def plain_body(s, carry, a, b):
+        del a
+        dm, dL, dp = carry
+        k = jnp.asarray(b - 1, jnp.int32) - s
+        m_k, L_k = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.ones((), k.dtype))
+
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        _, vjp_fn = jax.vjp(
+            lambda m, L, p: stepr(m, L, p, t_new), m_k, L_k, p_block
+        )
+        dm_k, dL_k, dp_k = vjp_fn((dm, dL, dall))
+        return dm_k, dL_k, dp + dp_k
+
+    offs = _seg_offsets(seg_lens)
+    n_obs = len(seg_lens) - 1
+    T = offs[-1]
+    if T >= 1:
+        start_load(jnp.int32(T - 1))
+    for si in range(len(seg_lens) - 1, -1, -1):
+        a, b = offs[si], offs[si + 1]
+        if si < n_obs:
+            y_row = [y_ref[si, aa] for aa in range(d_obs)]
+            m_k, L_k = wait_and_read(jnp.int32(b - 1))
+            if b - 1 >= 1:
+                start_load(jnp.int32(b - 2))
+            t_new = _step_time(jnp.int32(b - 1), t0, dt, zero.dtype)
+
+            def comp(m, L, p, y):
+                m1, L1, ll_inc = stepr(m, L, p, t_new)
+                m2, L2, dll_inc = dupd(m1, L1, y)
+                return m2, L2, ll_inc, dll_inc
+
+            _, vjp_fn = jax.vjp(comp, m_k, L_k, p_block, y_row)
+            dm, dL, dp_k, dy_row = vjp_fn((dm, dL, dall, ddll))
+            dp = dp + dp_k
+            for aa in range(d_obs):
+                dy_ref[si, aa] = dy_row[aa] + jnp.zeros_like(ddll)
+            b = b - 1
+        if b > a:
+            dm, dL, dp = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(b - a),
+                functools.partial(plain_body, a=a, b=b), (dm, dL, dp),
+            )
+
+    for i in range(nq):
+        for j in range(d):
+            dm0_ref[i, j] = dm[i * d + j]
+    dp_ref[...] = dp
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+)
+@_no_x64
+def _ek1_datalik_vjp(
+    f, jac, q, dt, t0, prior, seg_lens, C_key, R_key, y_batched,
+    stop_calib, m0_p, ps_b, y_arr,
+):
+    return _ek1_datalik_blocked(
+        f, jac, q, dt, t0, prior, seg_lens,
+        np.asarray(C_key), np.asarray(R_key), y_batched,
+        m0_p, ps_b, y_arr,
+    )
+
+
+@_no_x64
+def _ek1_datalik_vjp_fwd(
+    f, jac, q, dt, t0, prior, seg_lens, C_key, R_key, y_batched,
+    stop_calib, m0_p, ps_b, y_arr,
+):
+    nb, nq, d = m0_p.shape[:3]
+    D = d * nq
+    n_params = ps_b.shape[1]
+    n_obs = len(seg_lens) - 1
+    C_obs = np.asarray(C_key)
+    R_chol = np.asarray(R_key)
+    d_obs = C_obs.shape[0]
+    T = int(sum(seg_lens))
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    kernel = functools.partial(
+        _ek1_datalik_grad_fwd_kernel, f=f, jac=jac,
+        At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+        pinv0=float(1.0 / p_np[0]), pinv1=float(1.0 / p_np[1]),
+        seg_lens=tuple(seg_lens), C_obs=C_obs.astype(fdtype),
+        R_chol=R_chol.astype(fdtype), dt=float(dt), t0=float(t0),
+        d=d, nq=nq, stop_calib=bool(stop_calib),
+    )
+    W = D + 1
+    scratch = [
+        pltpu.VMEM((2, D, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            y_blk.at[jnp.int32(0)] if y_batched else y_blk,
+            dll_blk.at[jnp.int32(0)], ll_blk.at[jnp.int32(0)],
+            st_hbm.at[b], row, sem,
+        )
+
+    if y_batched:
+        y_spec = pl.BlockSpec(
+            (1, n_obs, d_obs, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        y_spec = pl.BlockSpec(
+            (n_obs, d_obs), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+    dll, ll, st = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            y_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T, D, W, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_p, ps_b, y_arr)
+    return (dll, ll), (st, ps_b, y_arr)
+
+
+@_no_x64
+def _ek1_datalik_vjp_bwd(
+    f, jac, q, dt, t0, prior, seg_lens, C_key, R_key, y_batched,
+    stop_calib, res, cts,
+):
+    st, ps_b, y_arr = res
+    ddll, dall = cts
+    nb = st.shape[0]
+    D = st.shape[2]
+    nq = q + 1
+    d = D // nq
+    n_params = ps_b.shape[1]
+    n_obs = len(seg_lens) - 1
+    C_obs = np.asarray(C_key)
+    R_chol = np.asarray(R_key)
+    d_obs = C_obs.shape[0]
+    dtype = ps_b.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    kernel = functools.partial(
+        _ek1_datalik_grad_bwd_kernel, f=f, jac=jac,
+        At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+        pinv0=float(1.0 / p_np[0]), pinv1=float(1.0 / p_np[1]),
+        seg_lens=tuple(seg_lens), C_obs=C_obs.astype(fdtype),
+        R_chol=R_chol.astype(fdtype), dt=float(dt), t0=float(t0),
+        d=d, nq=nq, stop_calib=bool(stop_calib),
+    )
+    scratch = [
+        pltpu.VMEM((2, D, D + 1, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def entry(p_blk, y_blk, ddll_blk, dall_blk, st_hbm,
+              dm0_blk, dp_blk, dy_blk, row, sem):
+        b = pl.program_id(0)
+        kernel(
+            p_blk.at[jnp.int32(0)],
+            y_blk.at[jnp.int32(0)] if y_batched else y_blk,
+            ddll_blk.at[jnp.int32(0)], dall_blk.at[jnp.int32(0)],
+            st_hbm.at[b],
+            dm0_blk.at[jnp.int32(0)], dp_blk.at[jnp.int32(0)],
+            dy_blk.at[jnp.int32(0)],
+            row, sem,
+        )
+
+    if y_batched:
+        y_spec = pl.BlockSpec(
+            (1, n_obs, d_obs, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        y_spec = pl.BlockSpec(
+            (n_obs, d_obs), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+    dm0, dps, dy_blocks = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            y_spec,
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_params, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_obs, d_obs, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, nq, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, n_params, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, n_obs, d_obs, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(ps_b, y_arr, ddll, dall, st)
+    if y_batched:
+        dy = dy_blocks
+    else:
+        dy = jnp.sum(dy_blocks[..., 0, 0], axis=0).astype(y_arr.dtype)
+    return dm0, dps, dy
+
+
+_ek1_datalik_vjp.defvjp(_ek1_datalik_vjp_fwd, _ek1_datalik_vjp_bwd)
+
+
 # ==========================================================================
 # Filter + smoother kernel pair: the complete probabilistic solve fused.
 #
@@ -2764,6 +3138,7 @@ def solve_ensemble_ek0_pallas_smooth(
 def _ek1_step_lists(
     m, L, p_block, t_new, *,
     f, jac, Af, QLf, pinv0, pinv1, d, D, want_ll=False,
+    stop_calib: bool = False,
 ):
     """One square-root EK1(dynamic) step on D-vector mean / D x D factor
     lists of lanes. Shared by the streamed-state filter kernel and the
@@ -2829,6 +3204,9 @@ def _ek1_step_lists(
     s2 = functools.reduce(
         lambda x, y: x + y, [z[a] * w[a] for a in range(d)]
     ) / d
+    if stop_calib:
+        # see _ek0_step_lists: the long-horizon f32 gradient estimator
+        s2 = jax.lax.stop_gradient(s2)
     sq_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
 
     # predicted factor: MGS of [ (A L)^T ; sqrt(s2) QLf^T ]  (2D x D)

@@ -305,10 +305,17 @@ def smooth_solution(sol: ProbODESolution) -> ProbODESolution:
     d, q = sol.prob.d, sol.alg.order
     if sol.prob.second_order:
         d = sol.x_filt.mean.shape[-1] // (q + 1)
+    # jax.device_get'd solutions carry numpy leaves; the smoothing scan
+    # indexes them with traced indices, so lift back to jnp first
+    import jax.numpy as _jnp
+
+    x_filt = Gaussian(
+        _jnp.asarray(sol.x_filt.mean), _jnp.asarray(sol.x_filt.chol)
+    )
     with highest_precision():
         x_out = smooth_all(
-            sol.x_filt, sol.ts, sol.diffusions, sol.n_steps, d, q,
-            prior=sol.alg.prior,
+            x_filt, _jnp.asarray(sol.ts), _jnp.asarray(sol.diffusions),
+            _jnp.asarray(sol.n_steps), d, q, prior=sol.alg.prior,
         )
     sol_d = sol.u.shape[-1]
     return _dc.replace(

@@ -1174,3 +1174,59 @@ def test_pallas_data_loglik_partial_obs_gradient_interpret():
     np.testing.assert_allclose(np.asarray(gy_b[0]), np.asarray(gyx),
                                rtol=1e-8, atol=1e-10)
     assert float(jnp.abs(gy_b[1:]).max()) < 1e-12
+
+
+def test_pallas_data_loglik_ek1_gradient_interpret():
+    """Custom VJP of the EK1 datalik kernel (adjoint through the in-kernel
+    square-root step incl. MGS QRs): gradients w.r.t. u0, p and the
+    observations match the XLA EK1 `filter_with_data` gradients.
+
+    Runs on the scalar logistic problem: interpret mode executes every
+    unrolled lane op in Python, and the d=2 EK1 adjoint takes >1 h on
+    this box — d=1 exercises the identical code path (the d=2 EK1
+    FORWARD kernel is covered by test_pallas_data_loglik_ek1_interpret).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.logistic(tspan=(0.0, 2.0))
+    T = 16
+    dt = 2.0 / T
+    ts_data = np.array([5, 9, 13]) * dt
+    rng = np.random.default_rng(7)
+    B = pk.BLOCK
+    ps = jnp.broadcast_to(jnp.atleast_1d(prob.p), (B, 1)).astype(jnp.float64)
+    u0s = jnp.broadcast_to(prob.u0, (B, 1)).astype(jnp.float64)
+    C = np.array([[1.5]])
+    y_obs = jnp.asarray(
+        0.5 + 0.2 * rng.standard_normal((3, 1)), dtype=jnp.float64
+    )
+    r_vec = np.array([0.1])
+
+    def loss(u, p, y):
+        dll, oll = pk.ensemble_data_loglik_pallas(
+            prob.f, u, p, prob.tspan, T, ts_data, y, obs_noise_std=r_vec,
+            q=2, obs_matrix=C, ek1=True,
+        )
+        return jnp.sum(dll[:1]) + 0.25 * jnp.sum(oll[:1])
+
+    with pltpu.force_tpu_interpret_mode():
+        gu, gp, gy = jax.grad(loss, argnums=(0, 1, 2))(u0s, ps, y_obs)
+
+    def f_ref(u0, p, y):
+        sol, dll = odf.filter_with_data(
+            odf.remake(prob, u0=u0, p=p), odf.EK1(order=2, smooth=False),
+            ts_data, y, r_vec, obs_matrix=C, n_grid=T,
+        )
+        return dll + 0.25 * sol.log_likelihood
+
+    gux, gpx, gyx = jax.grad(f_ref, argnums=(0, 1, 2))(
+        prob.u0.astype(jnp.float64), ps[0], y_obs
+    )
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gpx),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gu[0]), np.asarray(gux),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gyx),
+                               rtol=1e-6, atol=1e-9)
