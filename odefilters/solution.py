@@ -318,8 +318,14 @@ def smooth_solution(sol: ProbODESolution) -> ProbODESolution:
             _jnp.asarray(sol.n_steps), d, q, prior=sol.alg.prior,
         )
     sol_d = sol.u.shape[-1]
+    alg = sol.alg
+    if not alg.smooth:
+        # the result IS smoothed now: mark it so sampling/dense output
+        # treat x_smooth as a valid joint posterior
+        alg = dataclasses.replace(alg, smooth=True)
     return _dc.replace(
         sol,
+        alg=alg,
         u=x_out.mean[:, :sol_d],
         pu=Gaussian(x_out.mean[:, :sol_d], x_out.chol[:, :sol_d, :]),
         x_smooth=x_out,

@@ -46,6 +46,34 @@ def test_smoothing_improves_or_matches(prob):
     assert np.abs(filt[1:n] - smth[1:n]).max() > 0
 
 
+def test_smooth_solution_post_pass(prob):
+    """`smooth_solution` on a filter-only solve matches the in-solve
+    smoother and re-enables sampling/dense output (the host post-pass
+    used for extremely stiff on-chip solves, docs/kernels.md)."""
+    import jax
+
+    alg_f = odf.EK1(order=3, smooth=False)
+    alg_s = odf.EK1(order=3, smooth=True)
+    sol_f = odf.solve(prob, alg_f, abstol=1e-8, reltol=1e-6)
+    sol_s = odf.solve(prob, alg_s, abstol=1e-8, reltol=1e-6)
+    # device_get mimics the production host-post-pass pattern (numpy leaves)
+    sol_post = odf.smooth_solution(jax.device_get(sol_f))
+    n = int(sol_s.n_steps)
+    np.testing.assert_allclose(
+        np.asarray(sol_post.x_smooth.mean[: n + 1]),
+        np.asarray(sol_s.x_smooth.mean[: n + 1]),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_post.u[: n + 1]), np.asarray(sol_s.u[: n + 1]),
+        rtol=1e-9, atol=1e-12,
+    )
+    # the post-pass result is marked smoothed: sampling must work
+    assert sol_post.alg.smooth
+    draws = odf.sample(jax.random.PRNGKey(0), sol_post, n=3)
+    assert np.isfinite(np.asarray(draws)).all()
+
+
 @pytest.mark.parametrize(
     "Alg,diffusion",
     [
