@@ -517,12 +517,19 @@ def main(quick=False):
         return jnp.sum(dll)
 
     kgrad_pd = jax.jit(jax.grad(kloss_pd, argnums=(0, 1)))
-    t = _time(lambda u, p: kgrad_pd(u, p)[1], u0s_k, ps_k, iters=10)
-    results["tpu_datalik_partial_obs_grad_pallas"] = {
-        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "d_obs": 1,
-        "runtime_s": t, "grad_candidates_per_sec": Bk / t,
-        "device": str(jax.devices()[0]), **_timing_fields(),
-    }
+    try:
+        t = _time(lambda u, p: kgrad_pd(u, p)[1], u0s_k, ps_k, iters=10)
+        results["tpu_datalik_partial_obs_grad_pallas"] = {
+            "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "d_obs": 1,
+            "runtime_s": t, "grad_candidates_per_sec": Bk / t,
+            "device": str(jax.devices()[0]), **_timing_fields(),
+        }
+    except Exception as e:  # compile-helper crashes surface as JaxRuntimeError
+        results["tpu_datalik_partial_obs_grad_pallas"] = {
+            "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "d_obs": 1,
+            "error": f"{type(e).__name__}: {str(e)[:200]}",
+        }
+        print("partial-obs grad kernel bench failed:", e, file=sys.stderr)
 
     # ... the same workload on the XLA path (the comparison point)
     def one_ll_part(p):

@@ -58,6 +58,22 @@ def apply_diffusion_chol(QL: jnp.ndarray, sigma2, q: int) -> jnp.ndarray:
     return scale[..., :, None] * QL
 
 
+def apply_diffusion_chol_std(QL: jnp.ndarray, sigma_std, q: int) -> jnp.ndarray:
+    """:func:`apply_diffusion_chol` taking the diffusion STD directly.
+
+    The range-factored calibration (`step.py`) carries sigma, not
+    sigma^2: on TPU the emulated f64 has f32 dynamic range, and the
+    variance of a tiny dynamic diffusion (sigma^2 ~ 1e-44 on stiff
+    slow manifolds) flushes to zero where the std (~1e-22) is still
+    representable.
+    """
+    sigma_std = jnp.asarray(sigma_std)
+    if sigma_std.ndim == 0:
+        return sigma_std * QL
+    scale = jnp.tile(sigma_std, q + 1)
+    return scale[..., :, None] * QL
+
+
 def quad_form_solve(z: jnp.ndarray, M_factor: jnp.ndarray) -> jnp.ndarray:
     """``z^T (F F^T)^{-1} z`` via a guarded Cholesky of ``F F^T``.
 

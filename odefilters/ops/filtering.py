@@ -134,14 +134,36 @@ def update_loglikelihood(z: jnp.ndarray, S_chol: jnp.ndarray) -> jnp.ndarray:
     return gaussian_logpdf_zero(z, S_chol)
 
 
-def smoother_gain(x_curr: Gaussian, x_pred: Gaussian, A: jnp.ndarray) -> jnp.ndarray:
+def smoother_gain(
+    x_curr: Gaussian, x_pred: Gaussian, A: jnp.ndarray, jitter: float = 0.0
+) -> jnp.ndarray:
     """RTS gain ``G = Sigma_n A^T (Sigma_pred)^{-1}`` in square-root form.
 
     ``Sigma_pred`` is supplied via its factor; we form the small triangular
     solve chain instead of the reference's dense ``inv(P_p)``
     (`/root/reference/src/filtering.jl:124-137`).
+
+    ``jitter`` (static, relative): floors the predicted factor at
+    ``jitter * max|diag(Lp)|`` by appending a scaled identity block to the
+    QR stack (``Sigma_pred + (jitter * s)^2 I``). A fully converged filter
+    collapses covariance directions to ~eps of the state scale; states
+    computed with reduced-precision arithmetic (the TPU's ~1e-8 QR,
+    docs/kernels.md "f64 on TPU") are then *inconsistent* at a level the
+    exact gain amplifies without bound — measured: the mu=1e5 Van der Pol
+    chip filter is finite but its host-smoothed means overflow to inf.
+    The floor bounds the amplification at ~(state error)/(jitter * s)
+    while biasing the posterior by only O(jitter^2) relative.
     """
     Lp = tril_factor(_T(x_pred.chol))  # ensure triangular for solves
+    if jitter:
+        D = Lp.shape[-1]
+        s = jnp.max(
+            jnp.abs(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1
+        )
+        eye = jnp.eye(D, dtype=Lp.dtype)
+        Lp = tril_factor(jnp.concatenate(
+            [_T(Lp), (jitter * s)[..., None, None] * eye], axis=-2
+        ))
     C = x_curr.chol @ _T(A @ x_curr.chol)      # Sigma_n A^T
     # G = C (Lp Lp^T)^-1
     W = solve_triangular(Lp, _T(C), lower=True)
@@ -154,6 +176,7 @@ def smooth_step(
     x_next_smoothed: Gaussian,
     A: jnp.ndarray,
     QL: jnp.ndarray,
+    jitter: float = 0.0,
 ) -> tuple[Gaussian, jnp.ndarray]:
     """One Rauch-Tung-Striebel smoothing step, Joseph/QR square-root form.
 
@@ -167,7 +190,7 @@ def smooth_step(
     Returns ``(x_smoothed, G)``.
     """
     x_pred = predict(x_curr, A, QL)
-    G = smoother_gain(x_curr, x_pred, A)
+    G = smoother_gain(x_curr, x_pred, A, jitter=jitter)
     m_s = x_curr.mean + jnp.einsum(
         "...ij,...j->...i", G, x_next_smoothed.mean - x_pred.mean
     )

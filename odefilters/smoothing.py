@@ -31,6 +31,7 @@ def smooth_all(
     d: int,
     q: int,
     prior=None,
+    jitter: float = 0.0,
 ) -> Gaussian:
     """Backward pass producing the smoothed trajectory.
 
@@ -42,7 +43,11 @@ def smooth_all(
     the square-root RTS step. dt == 0 intervals copy the next state.
 
     Args are the *stacked* buffers; entries beyond ``n_steps`` are padding
-    and pass through untouched.
+    and pass through untouched. ``jitter`` floors the predicted factor in
+    the RTS gain (see :func:`~odefilters.ops.filtering.smoother_gain`) —
+    required when the filter states were computed at reduced precision
+    (TPU stiff solves smoothed on host via
+    :func:`~odefilters.solution.smooth_solution`).
     """
     N1 = ts.shape[0]
 
@@ -67,7 +72,8 @@ def smooth_all(
         sigma2 = jnp.take(diffusions, i + 1, axis=0)
         QLh = diff.apply_diffusion_chol(QL_i, sigma2, q)
         xs_p, _ = smooth_step(
-            scale_rows(p, x_i), scale_rows(p, x_next), A_i, QLh
+            scale_rows(p, x_i), scale_rows(p, x_next), A_i, QLh,
+            jitter=jitter,
         )
         xs = scale_rows(p_inv, xs_p)
 

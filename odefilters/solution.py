@@ -279,7 +279,9 @@ def compact_saveat(sol: ProbODESolution, ts_save: jax.Array) -> ProbODESolution:
     )
 
 
-def smooth_solution(sol: ProbODESolution) -> ProbODESolution:
+def smooth_solution(
+    sol: ProbODESolution, jitter: float = 0.0
+) -> ProbODESolution:
     """Run (or re-run) the RTS smoothing pass on a solution, on the
     CURRENT default device, from its retained filter states.
 
@@ -295,6 +297,13 @@ def smooth_solution(sol: ProbODESolution) -> ProbODESolution:
 
     Works on any solution (also re-smooths an already-smoothed one from
     `x_filt`, which is always retained).
+
+    ``jitter``: relative floor on the predicted factor in the RTS gain
+    (see :func:`~odefilters.ops.filtering.smoother_gain`). Chip-computed
+    filter states carry ~1e-8 arithmetic error (TPU QR); the exact gain
+    amplifies that without bound through covariance directions the filter
+    has fully converged (measured: inf on the mu=1e5 VdP solve). Use
+    ``jitter~1e-7`` when smoothing states that were filtered on TPU.
     """
     import dataclasses as _dc
 
@@ -316,6 +325,7 @@ def smooth_solution(sol: ProbODESolution) -> ProbODESolution:
         x_out = smooth_all(
             x_filt, _jnp.asarray(sol.ts), _jnp.asarray(sol.diffusions),
             _jnp.asarray(sol.n_steps), d, q, prior=sol.alg.prior,
+            jitter=jitter,
         )
     sol_d = sol.u.shape[-1]
     alg = sol.alg

@@ -211,11 +211,28 @@ def attempt_step(
 
     # -- calibrate + predict covariance --
     if alg.is_dynamic_diffusion:
-        # Calibrate-then-predict order (perform_step.jl:40-55)
+        # Calibrate-then-predict order (perform_step.jl:40-55).
+        #
+        # Range-factored form: HQL entries scale like pinv ~ dt^-(q+1/2)
+        # and the dynamic sigma^2 like (|z|/|HQL|)^2 — on TPU, where f64
+        # is emulated at f32 DYNAMIC RANGE (two-float format; measured:
+        # 1e21^2 -> nan, 1e-21^2 -> 0, docs/kernels.md "f64 on TPU"),
+        # both leave the representable range at large dt even though
+        # every product the solver actually needs (sigma*|HQL|, the
+        # error estimate) is O(1). Measured failure: stiff VdP at
+        # dt~8e2 computes sigma2 ~ 4e-44 -> flushes to 0 -> EEst = 0 ->
+        # the controller accepts 1e3x-too-large steps (true EEst 1.7).
+        # Normalizing HQL by c = max|HQL| makes every intermediate
+        # O(|z|); c cancels exactly in the error estimate, and the
+        # diffusion enters the prediction as the STD sigma = sigma_n/c
+        # (representable), never the variance.
+        c_hql = jnp.max(jnp.abs(HQL))
+        c_hql = jnp.where(c_hql > 0, c_hql, 1.0)
+        HQLn = HQL / c_hql
         if alg.diffusionmodel == "dynamicMV":
-            sigma2 = diff.estimate_dynamic_mv(z, HQL)
+            sigma2_n = diff.estimate_dynamic_mv(z, HQLn)  # = sigma2 c^2
         else:
-            sigma2 = diff.estimate_dynamic(z, HQL)
+            sigma2_n = diff.estimate_dynamic(z, HQLn)
         if stop_calib_grad:
             # adjoint treats the per-step calibration as part of the
             # (frozen) model: z sits at the solver-accuracy floor, and
@@ -223,13 +240,28 @@ def attempt_step(
             # noise without bound in the horizon (the same estimator
             # choice as the static/Fenrir sigma^2 and the step-size
             # controller; benchmarks/grad_horizon_experiment.py)
-            sigma2 = jax.lax.stop_gradient(sigma2)
-        QL_h = diff.apply_diffusion_chol(QL, sigma2, q)
+            sigma2_n = jax.lax.stop_gradient(sigma2_n)
+        sigma_std_n = jnp.sqrt(sigma2_n)
+        sigma_std = sigma_std_n / c_hql
+        if alg.diffusionmodel == "dynamicMV":
+            # estimate_dynamic_mv floors sigma^2 at eps in ABSOLUTE
+            # units; replicate that floor in std units (c_hql >= 1 in
+            # every practical regime, so this matches the un-factored
+            # guard exactly)
+            sigma_std = jnp.maximum(
+                sigma_std, jnp.sqrt(jnp.finfo(z.dtype).eps)
+            )
+            sigma_std_n = sigma_std * c_hql
+        sigma2 = sigma_std * sigma_std
+        QL_h = diff.apply_diffusion_chol_std(QL, sigma_std, q)
         L_pred = qr_stack2(A @ L_p, QL_h)
         Z = Hmul(L_pred)
         S_chol = tril_factor(jnp.swapaxes(Z, -1, -2))
         sigma2_local = sigma2
         sigma2_global = sigma2
+        # error-estimate inputs: the c's cancel (sigma_n * HQLn = sigma * HQL)
+        err_scale_loc = sigma_std_n
+        err_HQ = HQLn
     else:
         # Vanilla order: predict, measure, calibrate (perform_step.jl:57-62)
         L_pred = qr_stack2(A @ L_p, QL)
@@ -242,6 +274,9 @@ def attempt_step(
         sigma2_global = diff.running_update(
             alg.diffusionmodel, sigma2_prev, sigma2_local, success_count, d
         )
+        # static models: sigma^2 is a RATIO (z vs S), O(1)-scaled
+        err_scale_loc = jnp.sqrt(sigma2_local)
+        err_HQ = HQL
 
     # -- likelihood (perform_step.jl:66) --
     ll = gaussian_logpdf_zero(z, S_chol)
@@ -265,11 +300,13 @@ def attempt_step(
     # HQ_loc is a cheap scaling of the already-computed HQL: scalar
     # diffusion commutes with H; the MV models are EK0-only (no Jacobian
     # term in H), so the per-dimension scale factors out row-wise.
-    scale_loc = jnp.sqrt(sigma2_local)
-    if sigma2_local.ndim == 0:
-        HQ_loc = scale_loc * HQL
+    # (err_scale_loc, err_HQ) are the range-factored pair set by the
+    # calibration branch: their product equals sqrt(sigma2_local) * HQL
+    # with no out-of-range intermediate.
+    if err_scale_loc.ndim == 0:
+        HQ_loc = err_scale_loc * err_HQ
     else:
-        HQ_loc = scale_loc[:, None] * HQL
+        HQ_loc = err_scale_loc[:, None] * err_HQ
     err_unscaled = jnp.sqrt(jnp.sum(HQ_loc * HQ_loc, axis=-1))  # sqrt diag
     scale = abstol + reltol * jnp.maximum(
         jnp.abs(u_prev[:d]), jnp.abs(u_filt[:d])

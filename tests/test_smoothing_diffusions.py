@@ -74,6 +74,53 @@ def test_smooth_solution_post_pass(prob):
     assert np.isfinite(np.asarray(draws)).all()
 
 
+def test_smooth_solution_jitter(prob):
+    """`jitter` floors the RTS gain's predicted factor: at 1e-7 the
+    smoothed trajectory stays within solver accuracy of the exact
+    smoother on a clean solve, and on filter states perturbed at the
+    TPU's ~1e-8 arithmetic-consistency level (docs/kernels.md "f64 on
+    TPU") the jittered smoother's error stays bounded near the filter's
+    while the exact gain amplifies the inconsistency by orders of
+    magnitude."""
+    import dataclasses
+
+    import jax
+
+    sol_f = jax.device_get(
+        odf.solve(prob, odf.EK1(order=3, smooth=False),
+                  abstol=1e-8, reltol=1e-6)
+    )
+    n = int(sol_f.n_steps)
+    ref = oracle(prob, np.asarray(sol_f.ts[: n + 1]))
+
+    # clean states: jitter=1e-7 is a no-op at solver accuracy
+    sol_ex = odf.smooth_solution(sol_f)
+    sol_j = odf.smooth_solution(sol_f, jitter=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(sol_j.u[: n + 1]), np.asarray(sol_ex.u[: n + 1]),
+        rtol=1e-4, atol=1e-8,
+    )
+
+    # inconsistent states: relative mean perturbation at the chip's
+    # arithmetic-error scale
+    rng = np.random.default_rng(0)
+    m = np.asarray(sol_f.x_filt.mean)
+    m_pert = m * (1.0 + 1e-8 * rng.standard_normal(m.shape))
+    sol_p = dataclasses.replace(
+        sol_f,
+        x_filt=dataclasses.replace(sol_f.x_filt, mean=jnp.asarray(m_pert)),
+    )
+    err_ex = np.abs(
+        np.asarray(odf.smooth_solution(sol_p).u[: n + 1]) - ref
+    ).max()
+    err_j = np.abs(
+        np.asarray(odf.smooth_solution(sol_p, jitter=1e-7).u[: n + 1]) - ref
+    ).max()
+    err_f = np.abs(np.asarray(sol_f.u[: n + 1]) - ref).max()
+    assert err_j <= 100 * max(err_f, 1e-8)
+    assert err_j <= err_ex  # never worse than the exact gain on bad states
+
+
 @pytest.mark.parametrize(
     "Alg,diffusion",
     [
