@@ -166,7 +166,7 @@ def main(quick=False):
     with jax.default_device(cpu):
         sol_h = jax.device_get(sol)
         sol_sm = odf.smooth_solution(sol_h, jitter=1e-7)
-        samp = sampling.sample(jax.random.PRNGKey(0), sol_sm, 10)
+        samp = sampling.sample(jax.random.PRNGKey(0), sol_sm, 10, jitter=1e-7)
         finite = bool(np.isfinite(np.asarray(samp)[: n + 1]).all())
     t_host = time.perf_counter() - t0
     err_sm = np.abs(

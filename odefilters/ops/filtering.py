@@ -157,8 +157,15 @@ def smoother_gain(
     Lp = tril_factor(_T(x_pred.chol))  # ensure triangular for solves
     if jitter:
         D = Lp.shape[-1]
-        s = jnp.max(
-            jnp.abs(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1
+        # Floor scale: the larger of the factor's own diagonal scale and
+        # the predicted MEAN scale. Chip-collapsed steps can carry an
+        # identically-zero factor (double-single flush, docs/kernels.md),
+        # where a factor-relative floor alone would still be zero; the
+        # mean scale encodes "states are known to ~jitter relative", the
+        # actual consistency level of chip arithmetic.
+        s = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1),
+            jnp.max(jnp.abs(x_pred.mean), axis=-1),
         )
         eye = jnp.eye(D, dtype=Lp.dtype)
         Lp = tril_factor(jnp.concatenate(

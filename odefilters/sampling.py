@@ -23,7 +23,7 @@ from odefilters.solution import ProbODESolution, evaluate_states
 
 def _sample_states_impl(
     key, ts, x_filt: Gaussian, diffusions, difftimes, n_steps, d: int, q: int,
-    n: int, prior=None,
+    n: int, prior=None, jitter: float = 0.0,
 ):
     """Backward pass over the buffers; returns (N+1, D, n) samples.
 
@@ -68,7 +68,7 @@ def _sample_states_impl(
 
         def one(sample_col, kk):
             target = Gaussian(p * sample_col, jnp.zeros((D, D), dtype))
-            cond, _ = smooth_step(x_prev_p, target, A_i, QLh)
+            cond, _ = smooth_step(x_prev_p, target, A_i, QLh, jitter=jitter)
             draw = sample_gaussian(kk, cond, 1)[..., 0]
             return p_inv * draw
 
@@ -88,18 +88,25 @@ def _sample_states_impl(
     return path
 
 
-@partial(jax.jit, static_argnames=("n", "d", "q", "prior"))
+@partial(jax.jit, static_argnames=("n", "d", "q", "prior", "jitter"))
 def _sample_states_jit(key, ts, x_filt, diffusions, difftimes, n_steps, d, q,
-                       n, prior=None):
+                       n, prior=None, jitter=0.0):
     return _sample_states_impl(
-        key, ts, x_filt, diffusions, difftimes, n_steps, d, q, n, prior
+        key, ts, x_filt, diffusions, difftimes, n_steps, d, q, n, prior,
+        jitter,
     )
 
 
-def sample_states(key, sol: ProbODESolution, n: int = 1) -> jax.Array:
+def sample_states(
+    key, sol: ProbODESolution, n: int = 1, jitter: float = 0.0
+) -> jax.Array:
     """Joint samples of the full state path, shape (N+1, D, n).
 
     Reference: `solution_sampling.jl:15-23` (requires a smoothed posterior).
+    ``jitter``: relative floor on the predicted factor inside the
+    backward conditioning gain — required when the forward filter ran on
+    TPU (chip-collapsed factors; see
+    :func:`~odefilters.ops.filtering.smoother_gain`).
     """
     if not sol.alg.smooth:
         raise ValueError("sampling not implemented for non-smoothed posteriors")
@@ -109,13 +116,15 @@ def sample_states(key, sol: ProbODESolution, n: int = 1) -> jax.Array:
     # the transitions/preconditioners need the per-block state dim
     return _sample_states_jit(
         key, sol.ts, sol.x_filt, sol.diffusions, sol.ts, sol.n_steps,
-        _state_dim(sol), sol.q, n, sol.alg.prior,
+        _state_dim(sol), sol.q, n, sol.alg.prior, float(jitter),
     )
 
 
-def sample(key, sol: ProbODESolution, n: int = 1) -> jax.Array:
+def sample(
+    key, sol: ProbODESolution, n: int = 1, jitter: float = 0.0
+) -> jax.Array:
     """Joint samples of the solution path (first d dims), (N+1, d, n)."""
-    return sample_states(key, sol, n)[:, : sol.d, :]
+    return sample_states(key, sol, n, jitter=jitter)[:, : sol.d, :]
 
 
 def dense_sample_states(key, sol: ProbODESolution, n: int = 1, n_grid: int = 1000):
