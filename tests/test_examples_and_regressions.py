@@ -70,6 +70,11 @@ def test_example_smoke(name, tmp_path):
     env = dict(os.environ)
     env["ODEFILTERS_SMOKE"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
+    # the examples run from tmp_path; make the repo importable regardless
+    # of whether odefilters is installed in the venv
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     env.pop("XLA_FLAGS", None)  # no need for 8 virtual devices in examples
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", name)],
