@@ -877,7 +877,7 @@ def _ek0_datalik_grad_fwd_kernel(
     m0_ref, p_ref, y_ref, dll_ref, ll_ref, st_ref,
     row, sem, *,
     f, At, Qt, pinv0, pinv1, r2, seg_lens, dt, t0, d, nq,
-    stop_calib: bool = False,
+    so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
 ):
     """Segmented data-likelihood filter, streaming the state at entry of
     every ODE step (post any data update) for the adjoint sweep."""
@@ -889,7 +889,7 @@ def _ek0_datalik_grad_fwd_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq, stop_calib=stop_calib,
+        d=d, nq=nq, so=so, pinv_b=pinv_b, stop_calib=stop_calib,
     )
     dupd = functools.partial(
         _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
@@ -939,7 +939,7 @@ def _ek0_datalik_grad_bwd_kernel(
     dm0_ref, dp_ref, dy_ref,
     row, sem, *,
     f, At, Qt, pinv0, pinv1, r2, seg_lens, dt, t0, d, nq,
-    stop_calib: bool = False,
+    so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
 ):
     """Adjoint of the segmented data-likelihood filter: walks the streamed
     states in reverse, vjp-ing the ODE step per step and (at the static
@@ -962,7 +962,7 @@ def _ek0_datalik_grad_bwd_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq, stop_calib=stop_calib,
+        d=d, nq=nq, so=so, pinv_b=pinv_b, stop_calib=stop_calib,
     )
     dupd = functools.partial(
         _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
@@ -1039,19 +1039,21 @@ def _ek0_datalik_grad_bwd_kernel(
     dp_ref[...] = dp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8)
+)
 @_no_x64
 def _ek0_datalik_vjp(
-    f, q, dt, t0, r2, prior, seg_lens, stop_calib, m0_p, ps_b, y_arr
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, m0_p, ps_b, y_arr
 ):
     return _ek0_datalik_blocked(
-        f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr
+        f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr, so=so
     )
 
 
 @_no_x64
 def _ek0_datalik_vjp_fwd(
-    f, q, dt, t0, r2, prior, seg_lens, stop_calib, m0_p, ps_b, y_arr
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, m0_p, ps_b, y_arr
 ):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
@@ -1059,11 +1061,13 @@ def _ek0_datalik_vjp_fwd(
     T = int(sum(seg_lens))
     dtype = m0_p.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
-    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
     kernel = functools.partial(
         _ek0_datalik_grad_fwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
         pinv1=pinv1, r2=float(r2), seg_lens=tuple(seg_lens),
-        dt=float(dt), t0=float(t0), d=d, nq=nq, stop_calib=bool(stop_calib),
+        dt=float(dt), t0=float(t0), d=d, nq=nq,
+        so=bool(so), pinv_b=float(1.0 / p_np[2]) if so else 0.0,
+        stop_calib=bool(stop_calib),
     )
     W = d + nq
     scratch = [
@@ -1110,7 +1114,7 @@ def _ek0_datalik_vjp_fwd(
 
 @_no_x64
 def _ek0_datalik_vjp_bwd(
-    f, q, dt, t0, r2, prior, seg_lens, stop_calib, res, cts
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, res, cts
 ):
     st, ps_b, y_arr = res
     ddll, dall = cts
@@ -1121,11 +1125,13 @@ def _ek0_datalik_vjp_bwd(
     n_obs = y_arr.shape[0]
     dtype = ps_b.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
-    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, fdtype, prior)
+    At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
     kernel = functools.partial(
         _ek0_datalik_grad_bwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
         pinv1=pinv1, r2=float(r2), seg_lens=tuple(seg_lens),
-        dt=float(dt), t0=float(t0), d=d, nq=nq, stop_calib=bool(stop_calib),
+        dt=float(dt), t0=float(t0), d=d, nq=nq,
+        so=bool(so), pinv_b=float(1.0 / p_np[2]) if so else 0.0,
+        stop_calib=bool(stop_calib),
     )
     scratch = [
         pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
@@ -1229,11 +1235,11 @@ def ensemble_data_loglik_pallas(
     * ``second_order=True``: u'' = f(du, u, p, t) with
       ``u0s = [u0 | du0]``; full-state observations of u only.
 
-    Every observation model except ``second_order`` is differentiable
-    via its own custom VJP (streamed states + segmented adjoint kernel —
-    the EK1 variant vjp's through the in-kernel square-root step
-    including its MGS QRs); second-order gradients use
-    ``odefilters.datalik`` on the XLA path.
+    Every observation model is differentiable via its own custom VJP
+    (streamed states + segmented adjoint kernel — the EK1 variant vjp's
+    through the in-kernel square-root step including its MGS QRs;
+    ``second_order`` shares the isotropic EK0 VJP with the generalized
+    step threaded through).
 
     ``calib_grad=False`` (recommended for on-chip f32 gradients):
     stop-gradient through the per-step dynamic-diffusion calibration in
@@ -1273,6 +1279,8 @@ def ensemble_data_loglik_pallas(
         raise ValueError(
             f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
         )
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
     d = d_in // 2 if second_order else d_in
     td = np.asarray(ts_data, dtype=np.float64)
     n_obs = td.shape[0]
@@ -1336,21 +1344,16 @@ def ensemble_data_loglik_pallas(
     iso = (
         not ek1 and not y_batched and C_np is None and r_std.ndim == 0
     )
-    if iso and not second_order:
+    if second_order and not iso:
+        raise NotImplementedError(
+            "second_order data likelihood supports full-state "
+            "observations with scalar noise shared by all members"
+        )
+    if iso:
         dll, ll = _ek0_datalik_vjp(
             prob_f, q, float(dt), float(t0), float(r_std) ** 2,
-            prior, seg_lens, not calib_grad, m0_p, ps_b, ys.astype(dtype),
-        )
-        return dll.reshape(B), ll.reshape(B)
-    if second_order:
-        if not iso:
-            raise NotImplementedError(
-                "second_order data likelihood supports full-state "
-                "observations with scalar noise shared by all members"
-            )
-        dll, ll = _ek0_datalik_blocked(
-            prob_f, q, float(dt), float(t0), float(r_std) ** 2,
-            prior, seg_lens, m0_p, ps_b, ys.astype(dtype), so=True,
+            prior, seg_lens, not calib_grad, bool(second_order),
+            m0_p, ps_b, ys.astype(dtype),
         )
         return dll.reshape(B), ll.reshape(B)
 
@@ -1421,8 +1424,9 @@ def ensemble_data_loglik_pallas(
 #
 # Semantics match `odefilters.datalik.filter_with_data` (same chain-rule
 # marginal likelihood; datalik.py:127-214) — tested equal in interpret
-# mode. Forward-only for now (the isotropic fast path keeps its custom
-# VJP); gradients of partial-obs sweeps use the XLA path.
+# mode. Each model carries its own custom VJP (streamed states +
+# segmented adjoint kernels below), so partial-obs inference sweeps get
+# exact gradients at kernel speed too.
 # ==========================================================================
 
 
