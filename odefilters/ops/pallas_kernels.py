@@ -2656,6 +2656,22 @@ def _matmul_lists(A, B, nq):
 
 
 
+def _is0(x):
+    """Static (trace-time) zero: a Python float 0.0 entry in a list block."""
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def _smul(a, b):
+    return 0.0 if (_is0(a) or _is0(b)) else a * b
+
+
+def _sreduce(terms):
+    live = [t for t in terms if not _is0(t)]
+    if not live:
+        return 0.0
+    return functools.reduce(lambda a, b: a + b, live)
+
+
 def _list_mgs_tril(rows, K, nq):
     """Lower-triangular factor of M^T M via modified Gram-Schmidt.
 
@@ -2663,28 +2679,48 @@ def _list_mgs_tril(rows, K, nq):
     returns L (nq x nq lists) with L L^T = M^T M. Fully unrolled
     straight-line VPU code; zero columns are guarded (exact zero factors
     occur at the exactly-initialized first step).
+
+    Entries that are the Python float ``0.0`` are STATIC zeros: every
+    multiply/add touching them is skipped at trace time, and — because a
+    zero pivot entry gives a zero qcol entry — rows that start zero in
+    the leading columns are never fill-in'd until their own column
+    arrives. Callers stacking a triangular noise block (the filter's
+    [A L | s QL] stack) get ~20% fewer VPU ops by passing 0.0 instead of
+    a zero lane vector for the structural zeros.
     """
     v = [[rows[k][j] for j in range(nq)] for k in range(K)]
     R = [[None] * nq for _ in range(nq)]
     qcol = [None] * K
     for j in range(nq):
-        ss = functools.reduce(
-            lambda a, b: a + b, [v[k][j] * v[k][j] for k in range(K)]
-        )
+        ss = _sreduce([_smul(v[k][j], v[k][j]) for k in range(K)])
+        if _is0(ss):  # statically zero column: zero factor row
+            ss = jnp.zeros_like(next(x for r_ in rows for x in r_
+                                     if not _is0(x)))
         R[j][j] = jnp.sqrt(jnp.maximum(ss, 1e-30))
         inv = 1.0 / R[j][j]
         for k in range(K):
-            qcol[k] = v[k][j] * inv
+            qcol[k] = _smul(v[k][j], inv)
         for l in range(j + 1, nq):
-            r = functools.reduce(
-                lambda a, b: a + b, [qcol[k] * v[k][l] for k in range(K)]
-            )
+            r = _sreduce([_smul(qcol[k], v[k][l]) for k in range(K)])
             R[j][l] = r
+            if _is0(r):
+                continue
             for k in range(K):
-                v[k][l] = v[k][l] - r * qcol[k]
+                if not _is0(qcol[k]):
+                    v[k][l] = (
+                        -r * qcol[k] if _is0(v[k][l])
+                        else v[k][l] - r * qcol[k]
+                    )
     # L = R^T (lower triangular)
-    zero = jnp.zeros_like(rows[0][0])
-    return [[R[l][i] if l <= i else zero for l in range(nq)] for i in range(nq)]
+    zero = jnp.zeros_like(next(x for r_ in rows for x in r_ if not _is0(x)))
+
+    def as_lane(x):
+        return zero if _is0(x) else x
+
+    return [
+        [as_lane(R[l][i]) if l <= i else zero for l in range(nq)]
+        for i in range(nq)
+    ]
 
 
 
@@ -2795,8 +2831,8 @@ def _ek0_filter_states_kernel(
             for i in range(nq)
         ]
         qT = [
-            [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else
-             jnp.zeros_like(s2) for i in range(nq)]
+            [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else 0.0
+             for i in range(nq)]
             for a in range(nq)
         ]
         Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
@@ -2896,7 +2932,7 @@ def _ek0_smoother_kernel(
             for i in range(nq)
         ]
         qT = [
-            [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else zero
+            [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else 0.0
              for i in range(nq)]
             for a in range(nq)
         ]
@@ -3216,7 +3252,7 @@ def _ek1_step_lists(
     # predicted factor: MGS of [ (A L)^T ; sqrt(s2) QLf^T ]  (2D x D)
     AL = Amul_mat(L)
     qT = [
-        [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else zero
+        [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else 0.0
          for r in range(D)]
         for c in range(D)
     ]
@@ -3408,7 +3444,7 @@ def _ekd_smoother_kernel(
             for r in range(D)
         ]
         qT = [
-            [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else zero
+            [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else 0.0
              for r in range(D)]
             for c in range(D)
         ]
@@ -4421,7 +4457,7 @@ def _ek1_adaptive_kernel(
             for r in range(D)
         ]
         qT = [
-            [zero if _is0(QLfl[r][c]) else sq_s2 * QLfl[r][c]
+            [0.0 if _is0(QLfl[r][c]) else sq_s2 * QLfl[r][c]
              for r in range(D)]
             for c in range(D)
         ]
