@@ -85,68 +85,102 @@ def count_step_flops(fn, *args, **kwargs):
 # --------------------------------------------------------------------------
 
 
-def measure_vpu_peak(iters=2048, blocks=512):
-    """Achievable VPU f32 FLOP/s: 8 independent FMA chains, unrolled."""
+def _slope_time(run_at, work_at, sizes, n=10):
+    """Fixed-overhead-free device rate via two-point slope.
 
-    def kernel(x_ref, o_ref):
-        acc = [x_ref[...] * (1.0 + 1e-6 * k) for k in range(8)]
-        for _ in range(iters // 8):
-            acc = [a * 1.0000001 + 1e-7 for a in acc]
-        out = acc[0]
-        for a in acc[1:]:
-            out = out + a
-        o_ref[...] = out
-
-    x = jnp.ones((blocks, 8, 128), jnp.float32)
-    run = jax.jit(
-        lambda x: pl.pallas_call(
-            kernel,
-            grid=(blocks,),
-            in_specs=[pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((blocks, 8, 128), jnp.float32),
-        )(x)
-    )
-    _sync(run(x))
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = run(x)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / n
-    flops = blocks * 1024 * (iters // 8) * 8 * 2  # fma = 2 flops
-    return flops / dt
+    Remote-tunnel dispatch costs ~ms per call, which at these kernel
+    durations would understate any single-size measurement several-fold.
+    Timing the same kernel at two work sizes and taking
+    ``(work2 - work1) / (t2 - t1)`` cancels every per-call constant
+    (dispatch, sync transfer, host jitter that is size-independent).
+    """
+    ts = []
+    for s in sizes:
+        run = run_at(s)
+        _sync(run())  # compile + warm
+        _sync(run())
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = run()
+        _sync(out)
+        ts.append((time.perf_counter() - t0) / n)
+    w1, w2 = work_at(sizes[0]), work_at(sizes[-1])
+    return (w2 - w1) / (ts[-1] - ts[0]), ts
 
 
-def measure_hbm_bw(mb=256):
-    """Achievable HBM read+write bandwidth via a block copy kernel."""
-    n_blocks = mb * 1024 * 1024 // (512 * 128 * 4)
+def measure_vpu_peak(blocks=512, chains=16):
+    """Achievable VPU f32 FLOP/s: independent FMA chains, unrolled.
 
-    def kernel(x_ref, o_ref):
-        o_ref[...] = x_ref[...] + 1.0
+    ``chains`` independent accumulators cover the FMA latency; the flop
+    rate is the slope between two chain lengths (cancels dispatch and
+    the prologue/epilogue of the kernel itself).
+    """
 
-    x = jnp.zeros((n_blocks, 512, 128), jnp.float32)
-    run = jax.jit(
-        lambda x: pl.pallas_call(
-            kernel,
-            grid=(n_blocks,),
-            in_specs=[pl.BlockSpec((1, 512, 128), lambda b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, 512, 128), lambda b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
-        )(x)
-    )
-    _sync(run(x))
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = run(x)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / n
-    return 2 * x.size * 4 / dt  # read + write
+    def make(iters):
+        def kernel(x_ref, o_ref):
+            acc = [x_ref[...] * (1.0 + 1e-6 * k) for k in range(chains)]
+            for _ in range(iters // chains):
+                acc = [a * 1.0000001 + 1e-7 for a in acc]
+            out = acc[0]
+            for a in acc[1:]:
+                out = out + a
+            o_ref[...] = out
+
+        x = jnp.ones((blocks, 8, 128), jnp.float32)
+        call = jax.jit(
+            lambda x: pl.pallas_call(
+                kernel,
+                grid=(blocks,),
+                in_specs=[pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((blocks, 8, 128), jnp.float32),
+            )(x)
+        )
+        return lambda: call(x)
+
+    def work(iters):
+        return blocks * 1024 * (iters // chains) * chains * 2  # fma = 2 flops
+
+    rate, _ = _slope_time(make, work, sizes=(2048, 8192), n=10)
+    return rate
+
+
+def measure_hbm_bw(mb=512):
+    """Achievable HBM read+write bandwidth via a block copy kernel.
+
+    One dispatch streams the whole array block-by-block through VMEM
+    (Pallas double-buffers the grid); the rate is the slope between two
+    array sizes, so per-call dispatch latency cancels.
+    """
+
+    def make(m):
+        n_blocks = m * 1024 * 1024 // (512 * 128 * 4)
+
+        def kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...] + 1.0
+
+        x = jnp.zeros((n_blocks, 512, 128), jnp.float32)
+        call = jax.jit(
+            lambda x: pl.pallas_call(
+                kernel,
+                grid=(n_blocks,),
+                in_specs=[pl.BlockSpec((1, 512, 128), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, 512, 128), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            )(x)
+        )
+        return lambda: call(x)
+
+    def work(m):
+        n_blocks = m * 1024 * 1024 // (512 * 128 * 4)
+        return 2 * n_blocks * 512 * 128 * 4  # read + write bytes
+
+    rate, _ = _slope_time(make, work, sizes=(mb // 4, mb), n=10)
+    return rate
 
 
 # --------------------------------------------------------------------------
@@ -181,6 +215,12 @@ def kernel_models():
         lambda m_, C_, p_: step(m_, C_, p_, jnp.float32(0.1)), m, C, p_block
     )
 
+    results = json.load(open("benchmarks/results.json"))
+    ad_steps = results.get("ensemble_8192_pallas_adaptive", {}).get(
+        "mean_accepted_steps", 218.0)
+    dl_steps = results.get("tpu_datalik_sweep_pallas", {}).get(
+        "grid_steps", 120)
+
     models = {
         # filter kernel: writes us (d) + std (1) per member-step
         "ensemble_8192_pallas_filter": {
@@ -195,6 +235,25 @@ def kernel_models():
             "flops_per_member_step": 2 * f_ek0,
             "bytes_per_member_step": 4 * (2 * nq * (d + nq) + d + 1),
             "throughput_key": ("solves_per_sec", 500.0),
+        },
+        # adaptive: per ACCEPTED member-step; the filter-step flop count is
+        # a LOWER bound on the real work (each attempt re-preconditions at
+        # its lane's h via exp/log powers, and rejected attempts repeat the
+        # step), so frac_of_vpu_peak is a lower bound too. The binding
+        # constraint is SIMD divergence: each 1024-member block advances at
+        # its slowest lane per save segment.
+        "ensemble_8192_pallas_adaptive": {
+            "flops_per_member_step": f_ek0,
+            "bytes_per_member_step": 4 * (d + 1) * 20 / ad_steps,
+            "throughput_key": ("solves_per_sec", ad_steps),
+            "bound_override": "simd divergence + per-attempt precondition",
+        },
+        # datalik: covariance-form filter + 9 static data updates over the
+        # merged grid; forward-only (no streaming), output is one ll lane
+        "tpu_datalik_sweep_pallas": {
+            "flops_per_member_step": f_ek0,
+            "bytes_per_member_step": 4.0 / dl_steps,
+            "throughput_key": ("candidates_per_sec", float(dl_steps)),
         },
     }
     return models
@@ -226,7 +285,7 @@ def main():
         achieved_bytes = mem_steps * b
         frac_vpu = achieved_flops / vpu
         frac_hbm = achieved_bytes / bw
-        bound = (
+        bound = model.get("bound_override") or (
             "vpu" if frac_vpu > 0.5
             else "hbm" if frac_hbm > 0.5
             else "issue/latency (serial filter recursion)"
