@@ -37,12 +37,14 @@ def _time(fn, *args, iters=5, repeats=3):
 
     The MIN is the contention-robust estimator: this single shared CPU
     core shows 2-3x batch-to-batch swings from host noise (measured —
-    the round-3 "regressions" of lv_ek1_3/brusselator_2d were exactly
-    this), and timing noise on a quiet machine is strictly additive, so
-    the minimum is the least-biased estimate of the true cost (the same
-    reason `timeit` reports min). The full spread still lands in the
-    governance fields (n_runs/std_s/mean_s); a large std_s flags
-    contention during the run."""
+    the round-3 "regressions" of lv_ek1_3/brusselator_2d were the axon
+    backend's runtime threads stealing the core; CPU configs now run in
+    an axon-free subprocess, see cpu_main), and timing noise on a quiet
+    machine is strictly additive, so the minimum is the least-biased
+    estimate of the true cost (the same reason `timeit` reports min).
+    The full spread still lands in the governance fields
+    (n_runs/std_s/mean_s); a large std_s flags contention during the
+    run."""
     _sync(fn(*args))  # warmup / compile
     samples = []
     for _ in range(repeats):
@@ -61,6 +63,27 @@ def _time(fn, *args, iters=5, repeats=3):
 
 def _timing_fields():
     return dict(_LAST_TIMING)
+
+
+def _entry(results, name, builder, retries=1, **static_fields):
+    """Record one bench entry; retry on remote-compile crashes.
+
+    The chipless AOT compile helper behind the remote-TPU tunnel
+    segfaults nondeterministically (~once per battery, observed on two
+    different large datalik kernels); a fresh helper subprocess almost
+    always succeeds on retry. A persistent failure records an honest
+    error entry instead of killing the whole battery.
+    """
+    err = None
+    for attempt in range(retries + 1):
+        try:
+            results[name] = {**static_fields, **builder()}
+            return
+        except Exception as e:  # compile-helper crash = JaxRuntimeError
+            err = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"[bench] {name} attempt {attempt + 1} failed: {err}",
+                  file=sys.stderr)
+    results[name] = {**static_fields, "error": err}
 
 
 # Pure-numpy oracle RHS (routing the reference solve's RHS through JAX costs
@@ -110,15 +133,23 @@ def oracle(prob, ts, name, stiff=False):
     return r.y.T
 
 
-def main(quick=False):
-    # the CPU accuracy configs (esp. stiff VdP at mu=1e5) need f64; the
-    # Pallas/TPU config casts its inputs to f32 explicitly
+def cpu_main(quick=False):
+    """Configs 1-4 + the CPU time-parallel variant, axon-free.
+
+    MUST run in a process where the remote-TPU ("axon") platform was
+    never initialized: its runtime threads contend for the single host
+    core and inflate x64 CPU wall times by a run-dependent 1.2-2x
+    (measured: brusselator_2d 1.11 s/solve cpu-only vs 1.3-2.4 s with
+    the axon backend live — the committed 930->424 steps/s "regression"
+    was exactly this). ``main`` invokes this via a ``--cpu-only``
+    subprocess.
+    """
+    # the CPU accuracy configs (esp. stiff VdP at mu=1e5) need f64
     jax.config.update("jax_enable_x64", True)
 
     import odefilters as odf
     from odefilters import sampling
     from odefilters.kronsolve import solve_fixed_kron
-    from odefilters.ops import pallas_kernels as pk
 
     cpu = jax.devices("cpu")[0]
     results = {}
@@ -194,6 +225,33 @@ def main(quick=False):
             "finite": bool(np.isfinite(np.asarray(sol.u)).all()),
             **_timing_fields(),
         }
+
+    # time-parallel associative-scan smoother variant (CPU, 1 solve)
+    from odefilters.parallel.associative import solve_fixed_parallel
+
+    with jax.default_device(cpu):
+        prob_c = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
+        t = _time(
+            lambda: solve_fixed_parallel(prob_c, odf.EK1(order=3), dt=0.04,
+                                         iterations=4)[0],
+            iters=2,
+        )
+        results["parallel_assoc_scan_ek1"] = {
+            "grid_steps": 500, "runtime_s": t, "device": "cpu",
+            "steps_per_sec": 500 / t, **_timing_fields(),
+        }
+
+    return results
+
+
+def tpu_main(quick=False):
+    """The on-chip configs (Pallas kernels + XLA chip drivers)."""
+    jax.config.update("jax_enable_x64", True)
+
+    import odefilters as odf
+    from odefilters.ops import pallas_kernels as pk
+
+    results = {}
 
     # ---- configs 1-3 on-chip: adaptive single-solve latency (f32) -------
     # The adaptive while-loop driver on the TPU chip itself. Compile time
@@ -475,12 +533,20 @@ def main(quick=False):
             obs_noise_std=0.05, q=3,
         )[0]
     )
-    t = _time(kfn, u0s_k, ps_k, iters=20)
-    results["tpu_datalik_sweep_pallas"] = {
-        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "runtime_s": t,
-        "candidates_per_sec": Bk / t,
-        "device": str(jax.devices()[0]), **_timing_fields(),
-    }
+    def _bench_rate(fn, iters, rate_key, denom=None):
+        def build():
+            t = _time(fn, u0s_k, ps_k, iters=iters)
+            return {
+                "runtime_s": t, rate_key: (denom or Bk) / t,
+                "device": str(jax.devices()[0]), **_timing_fields(),
+            }
+        return build
+
+    _entry(
+        results, "tpu_datalik_sweep_pallas",
+        _bench_rate(kfn, 20, "candidates_per_sec"),
+        B_candidates=Bk, grid_steps=Tk, n_obs=9,
+    )
 
     # ... and its gradient (custom VJP: streamed states + segmented
     # adjoint kernel) — gradient-based inference at kernel speed
@@ -492,12 +558,11 @@ def main(quick=False):
         return jnp.sum(dll)
 
     kgrad = jax.jit(jax.grad(kloss, argnums=(0, 1)))
-    t = _time(lambda u, p: kgrad(u, p)[1], u0s_k, ps_k, iters=20)
-    results["tpu_datalik_grad_sweep_pallas"] = {
-        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "runtime_s": t,
-        "grad_candidates_per_sec": Bk / t,
-        "device": str(jax.devices()[0]), **_timing_fields(),
-    }
+    _entry(
+        results, "tpu_datalik_grad_sweep_pallas",
+        _bench_rate(lambda u, p: kgrad(u, p)[1], 20, "grad_candidates_per_sec"),
+        B_candidates=Bk, grid_steps=Tk, n_obs=9,
+    )
 
     # partial observations (prey-only) through the per-dim EK0 kernel —
     # the realistic inference workload VERDICT r2 flagged as 100x slower
@@ -509,12 +574,11 @@ def main(quick=False):
             obs_noise_std=0.05, q=3, obs_matrix=C_part,
         )[0]
     )
-    t = _time(kfn_pd, u0s_k, ps_k, iters=20)
-    results["tpu_datalik_partial_obs_pallas"] = {
-        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "d_obs": 1,
-        "runtime_s": t, "candidates_per_sec": Bk / t,
-        "device": str(jax.devices()[0]), **_timing_fields(),
-    }
+    _entry(
+        results, "tpu_datalik_partial_obs_pallas",
+        _bench_rate(kfn_pd, 20, "candidates_per_sec"),
+        B_candidates=Bk, grid_steps=Tk, n_obs=9, d_obs=1,
+    )
 
     # ... and its gradient (per-dim custom VJP kernel)
     def kloss_pd(u, p):
@@ -525,19 +589,12 @@ def main(quick=False):
         return jnp.sum(dll)
 
     kgrad_pd = jax.jit(jax.grad(kloss_pd, argnums=(0, 1)))
-    try:
-        t = _time(lambda u, p: kgrad_pd(u, p)[1], u0s_k, ps_k, iters=10)
-        results["tpu_datalik_partial_obs_grad_pallas"] = {
-            "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "d_obs": 1,
-            "runtime_s": t, "grad_candidates_per_sec": Bk / t,
-            "device": str(jax.devices()[0]), **_timing_fields(),
-        }
-    except Exception as e:  # compile-helper crashes surface as JaxRuntimeError
-        results["tpu_datalik_partial_obs_grad_pallas"] = {
-            "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "d_obs": 1,
-            "error": f"{type(e).__name__}: {str(e)[:200]}",
-        }
-        print("partial-obs grad kernel bench failed:", e, file=sys.stderr)
+    _entry(
+        results, "tpu_datalik_partial_obs_grad_pallas",
+        _bench_rate(lambda u, p: kgrad_pd(u, p)[1], 10,
+                    "grad_candidates_per_sec"),
+        B_candidates=Bk, grid_steps=Tk, n_obs=9, d_obs=1,
+    )
 
     # ... the same workload on the XLA path (the comparison point)
     def one_ll_part(p):
@@ -562,27 +619,30 @@ def main(quick=False):
             obs_noise_std=0.05, q=3, ek1=True, jac=prob_lv.jac,
         )[0]
     )
-    t = _time(kfn_e1, u0s_k, ps_k, iters=10)
-    results["tpu_datalik_ek1_pallas"] = {
-        "B_candidates": Bk, "grid_steps": Tk, "n_obs": 9, "runtime_s": t,
-        "candidates_per_sec": Bk / t,
-        "device": str(jax.devices()[0]), **_timing_fields(),
-    }
+    _entry(
+        results, "tpu_datalik_ek1_pallas",
+        _bench_rate(kfn_e1, 10, "candidates_per_sec"),
+        B_candidates=Bk, grid_steps=Tk, n_obs=9,
+    )
 
-    # time-parallel associative-scan smoother variant (same config, 1 solve)
-    from odefilters.parallel.associative import solve_fixed_parallel
+    return results
 
-    with jax.default_device(cpu):
-        prob_c = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
-        t = _time(
-            lambda: solve_fixed_parallel(prob_c, odf.EK1(order=3), dt=0.04,
-                                         iterations=4)[0],
-            iters=2,
-        )
-        results["parallel_assoc_scan_ek1"] = {
-            "grid_steps": 500, "runtime_s": t, "device": "cpu",
-            "steps_per_sec": 500 / t, **_timing_fields(),
-        }
+
+_CPU_RESULTS_PATH = "benchmarks/.cpu_results.json"
+
+
+def main(quick=False):
+    # CPU configs in an axon-free subprocess (see cpu_main docstring)
+    import subprocess
+
+    cmd = [sys.executable, __file__, "--cpu-only"]
+    if quick:
+        cmd.append("--quick")
+    subprocess.run(cmd, check=True)
+    with open(_CPU_RESULTS_PATH) as fh:
+        results = json.load(fh)
+
+    results.update(tpu_main(quick))
 
     out = json.dumps(results, indent=2)
     print(out)
@@ -599,4 +659,12 @@ def main(quick=False):
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    if "--cpu-only" in sys.argv:
+        # force real CPU before any backend init (shell env is ignored:
+        # the container's sitecustomize force-registers axon)
+        jax.config.update("jax_platforms", "cpu")
+        res = cpu_main(quick="--quick" in sys.argv)
+        with open(_CPU_RESULTS_PATH, "w") as fh:
+            json.dump(res, fh, indent=2)
+    else:
+        main(quick="--quick" in sys.argv)

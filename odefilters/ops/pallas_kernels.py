@@ -1915,30 +1915,66 @@ def _ek0_datalik_pd_grad_fwd_kernel(
         r2s=r2s, pinv0=pinv0, nq=nq,
     )
 
+    # One UNIFORM fori_loop over all T steps (observation boundaries
+    # via select/where inside the body): the per-segment form emitted
+    # O(n_obs) copies of the step + DMA body and SIGSEGV'd the TPU AOT
+    # compile helper beyond ~4 observations (program-size-dependent);
+    # this form emits them once. Observation accesses stay
+    # static-indexed (see _ek0_datalik_pd_kernel on dynamic SMEM reads).
+    d_obs = len(obs_dims)
+    offs = _seg_offsets(seg_lens)
+    n_obs = len(seg_lens) - 1
+    T = offs[-1]
+    boundary_ks = [int(offs[si + 1] - 1) for si in range(n_obs)]
+    y_all = [
+        [y_ref[si, a] for a in range(d_obs)] for si in range(n_obs)
+    ]
+
     def body(k, carry):
-        m, C, ll = carry
+        m, C, ll, dll = carry
         _pd_pack_and_send(row, st_ref, sem, k, m, C, d, nq)
         t_new = _step_time(k, t0, dt, zero.dtype)
-        m_new, C_new, ll_inc = step(m, C, p_block, t_new)
-        return m_new, C_new, ll + ll_inc
+        m, C, ll_inc = step(m, C, p_block, t_new)
+        ll = ll + ll_inc
+        if n_obs:
+            is_obs = functools.reduce(
+                lambda a, b: a | b, [k == bk for bk in boundary_ks],
+                jnp.zeros((), jnp.bool_),
+            )
+            y_row = list(y_all[0])
+            for si in range(1, n_obs):
+                sel = k == boundary_ks[si]
+                y_row = [
+                    jnp.where(sel, y_all[si][a], y_row[a])
+                    for a in range(d_obs)
+                ]
+            # dupd mutates its inputs in place: hand it copies (row
+            # copies for m, a top-level copy for C — it replaces C[jd]
+            # wholesale) and select-merge the result
+            mu, Cu, dll_inc = dupd([list(r) for r in m], list(C), y_row)
+            m = [
+                [jnp.where(is_obs, mu[i][j], m[i][j]) for j in range(d)]
+                for i in range(nq)
+            ]
+            C = [
+                [
+                    [jnp.where(is_obs, Cu[jd][i][l], C[jd][i][l])
+                     for l in range(nq)]
+                    for i in range(nq)
+                ]
+                for jd in range(d)
+            ]
+            dll = dll + jnp.where(is_obs, dll_inc, zero)
+        return m, C, ll, dll
 
     ll = zero
     dll = zero
-    k_base = 0
-    d_obs = len(obs_dims)
-    for si, L in enumerate(seg_lens):
-        if L > 0:
-            m, C, ll = jax.lax.fori_loop(
-                jnp.int32(k_base), jnp.int32(k_base + L), body, (m, C, ll)
-            )
-        k_base += L
-        if si < len(seg_lens) - 1:
-            y_row = [y_ref[si, a] for a in range(d_obs)]
-            m, C, dll_inc = dupd(m, C, y_row)
-            dll = dll + dll_inc
+    if T >= 1:
+        m, C, ll, dll = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(T), body, (m, C, ll, dll)
+        )
     dll_ref[...] = dll
     ll_ref[...] = ll
-    T = sum(seg_lens)
     if T >= 1:
         pltpu.make_async_copy(
             row.at[jnp.int32((T - 1) % 2)], st_ref.at[jnp.int32(T - 1)],
@@ -1997,10 +2033,28 @@ def _ek0_datalik_pd_grad_bwd_kernel(
     ]
     dp = jnp.zeros_like(p_block)
 
-    def plain_body(s, carry, a, b):
-        del a
+    # One UNIFORM reverse fori_loop over all T steps, with the
+    # observation boundaries handled by select/`pl.when` inside the
+    # body. The segmented form (a composed step+update jax.vjp unrolled
+    # per observation) emitted O(n_obs) copies of the step adjoint and
+    # crashed the TPU AOT compile helper beyond ~4 observations
+    # (SIGSEGV, program-size-dependent); this form emits the step
+    # adjoint exactly once and the small data-update adjoint once.
+    # Observation accesses stay static-indexed (static SMEM reads +
+    # select chains — dynamic SMEM reads compile ~100x slower in
+    # Mosaic, see _ek0_datalik_pd_kernel).
+    offs = _seg_offsets(seg_lens)
+    n_obs = len(seg_lens) - 1
+    T = offs[-1]
+    # state index of observation si (the step INTO which it folds)
+    boundary_ks = [int(offs[si + 1] - 1) for si in range(n_obs)]
+    y_all = [
+        [y_ref[si, aa] for aa in range(d_obs)] for si in range(n_obs)
+    ]
+
+    def body(s, carry):
         dm, dC, dp = carry
-        k = jnp.asarray(b - 1, jnp.int32) - s
+        k = jnp.int32(T - 1) - s
         m_k, C_k = wait_and_read(k)
 
         @pl.when(k >= 1)
@@ -2008,46 +2062,58 @@ def _ek0_datalik_pd_grad_bwd_kernel(
             start_load(k - jnp.ones((), k.dtype))
 
         t_new = _step_time(k, t0, dt, zero.dtype)
-        _, vjp_fn = jax.vjp(
+        (m1, C1, _), vjp_step = jax.vjp(
             lambda m, C, p: step(m, C, p, t_new), m_k, C_k, p_block
         )
-        dm_k, dC_k, dp_k = vjp_fn((dm, dC, dall))
+
+        # data-update adjoint, applied only at observation boundaries
+        is_obs = functools.reduce(
+            lambda a, b: a | b, [k == bk for bk in boundary_ks],
+            jnp.zeros((), jnp.bool_),
+        )
+        y_row = list(y_all[0]) if n_obs else []
+        for si in range(1, n_obs):
+            sel = k == boundary_ks[si]
+            y_row = [
+                jnp.where(sel, y_all[si][aa], y_row[aa])
+                for aa in range(d_obs)
+            ]
+        if n_obs:
+            _, vjp_dupd = jax.vjp(
+                lambda m, C, y: dupd(m, C, y), m1, C1, y_row
+            )
+            dmu, dCu, dy_row = vjp_dupd((dm, dC, ddll))
+            for si in range(n_obs):
+                @pl.when(k == boundary_ks[si])
+                def _(si=si):
+                    for aa in range(d_obs):
+                        # shared-y case: y is an SMEM scalar, its vjp is
+                        # already the lane sum (broadcast back into a
+                        # lane block for the 128-lane-tiled output);
+                        # per-member case: y is a lane block and this is
+                        # the per-lane cotangent directly
+                        dy_ref[si, aa] = dy_row[aa] + jnp.zeros_like(ddll)
+            dm = [
+                [jnp.where(is_obs, dmu[i][j], dm[i][j]) for j in range(d)]
+                for i in range(nq)
+            ]
+            dC = [
+                [
+                    [jnp.where(is_obs, dCu[jd][i][l], dC[jd][i][l])
+                     for l in range(nq)]
+                    for i in range(nq)
+                ]
+                for jd in range(d)
+            ]
+
+        dm_k, dC_k, dp_k = vjp_step((dm, dC, dall))
         return dm_k, dC_k, dp + dp_k
 
-    offs = _seg_offsets(seg_lens)
-    n_obs = len(seg_lens) - 1
-    T = offs[-1]
     if T >= 1:
         start_load(jnp.int32(T - 1))
-    for si in range(len(seg_lens) - 1, -1, -1):
-        a, b = offs[si], offs[si + 1]
-        if si < n_obs:
-            y_row = [y_ref[si, aa] for aa in range(d_obs)]
-            m_k, C_k = wait_and_read(jnp.int32(b - 1))
-            if b - 1 >= 1:
-                start_load(jnp.int32(b - 2))
-            t_new = _step_time(jnp.int32(b - 1), t0, dt, zero.dtype)
-
-            def comp(m, C, p, y):
-                m1, C1, ll_inc = step(m, C, p, t_new)
-                m2, C2, dll_inc = dupd(m1, C1, y)
-                return m2, C2, ll_inc, dll_inc
-
-            _, vjp_fn = jax.vjp(comp, m_k, C_k, p_block, y_row)
-            dm, dC, dp_k, dy_row = vjp_fn((dm, dC, dall, ddll))
-            dp = dp + dp_k
-            for aa in range(d_obs):
-                # shared-y case: y is an SMEM scalar, its vjp is already
-                # the lane sum (broadcast back into a lane block for the
-                # 128-lane-tiled output); per-member case: y is a lane
-                # block and this is the per-lane cotangent directly
-                dy_ref[si, aa] = dy_row[aa] + jnp.zeros_like(ddll)
-            b = b - 1
-        if b > a:
-            dm, dC, dp = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(b - a),
-                functools.partial(plain_body, a=a, b=b), (dm, dC, dp),
-            )
+        dm, dC, dp = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(T), body, (dm, dC, dp)
+        )
 
     for i in range(nq):
         for j in range(d):
