@@ -85,7 +85,7 @@ def count_step_flops(fn, *args, **kwargs):
 # --------------------------------------------------------------------------
 
 
-def _slope_time(run_at, work_at, sizes, n=10):
+def _slope_time(run_at, work_at, sizes, n=10, repeats=5):
     """Fixed-overhead-free device rate via two-point slope.
 
     Remote-tunnel dispatch costs ~ms per call, which at these kernel
@@ -93,39 +93,62 @@ def _slope_time(run_at, work_at, sizes, n=10):
     Timing the same kernel at two work sizes and taking
     ``(work2 - work1) / (t2 - t1)`` cancels every per-call constant
     (dispatch, sync transfer, host jitter that is size-independent).
+
+    Each size takes the MIN over ``repeats`` timing batches: tunnel
+    jitter is the same ~ms scale as the slope's Delta-t, strictly
+    additive on a quiet chip, and a single noisy batch at the small size
+    can flip the slope sign (observed: -13 TB/s "bandwidth"). The sizes
+    must be far enough apart that the true Delta-t dwarfs the residual
+    jitter of the min estimator.
     """
-    ts = []
-    for s in sizes:
-        run = run_at(s)
+    runs = [run_at(s) for s in sizes]
+    for run in runs:
         _sync(run())  # compile + warm
         _sync(run())
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = run()
-        _sync(out)
-        ts.append((time.perf_counter() - t0) / n)
-    w1, w2 = work_at(sizes[0]), work_at(sizes[-1])
-    return (w2 - w1) / (ts[-1] - ts[0]), ts
+
+    def one_slope():
+        ts = []
+        for run in runs:
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    out = run()
+                _sync(out)
+                best = min(best, (time.perf_counter() - t0) / n)
+            ts.append(best)
+        w1, w2 = work_at(sizes[0]), work_at(sizes[-1])
+        return (w2 - w1) / (ts[-1] - ts[0]), ts
+
+    # a PEAK is max-estimated: any slowdown in a slope sample (clock
+    # dips, tunnel stalls) only ever lowers it, so take the best of
+    # three independent slope estimates (observed 25% swings otherwise)
+    pairs = [one_slope() for _ in range(3)]
+    return max(pairs, key=lambda p: p[0])
 
 
-def measure_vpu_peak(blocks=512, chains=16):
+def measure_vpu_peak(iters=8192, chains=16):
     """Achievable VPU f32 FLOP/s: independent FMA chains, unrolled.
 
     ``chains`` independent accumulators cover the FMA latency; the flop
-    rate is the slope between two chain lengths (cancels dispatch and
-    the prologue/epilogue of the kernel itself).
+    rate is the slope between two GRID sizes at a fixed chain length
+    (cancels dispatch and the kernel's prologue/epilogue). Sloping over
+    the grid rather than the chain length keeps the unrolled program
+    size constant and scales the device work 8x, so the true Delta-t
+    (~4 ms) dwarfs the tunnel jitter that made chain-length slopes swing
+    2-3x run to run.
     """
 
-    def make(iters):
-        def kernel(x_ref, o_ref):
-            acc = [x_ref[...] * (1.0 + 1e-6 * k) for k in range(chains)]
-            for _ in range(iters // chains):
-                acc = [a * 1.0000001 + 1e-7 for a in acc]
-            out = acc[0]
-            for a in acc[1:]:
-                out = out + a
-            o_ref[...] = out
+    def kernel(x_ref, o_ref):
+        acc = [x_ref[...] * (1.0 + 1e-6 * k) for k in range(chains)]
+        for _ in range(iters // chains):
+            acc = [a * 1.0000001 + 1e-7 for a in acc]
+        out = acc[0]
+        for a in acc[1:]:
+            out = out + a
+        o_ref[...] = out
 
+    def make(blocks):
         x = jnp.ones((blocks, 8, 128), jnp.float32)
         call = jax.jit(
             lambda x: pl.pallas_call(
@@ -140,10 +163,10 @@ def measure_vpu_peak(blocks=512, chains=16):
         )
         return lambda: call(x)
 
-    def work(iters):
+    def work(blocks):
         return blocks * 1024 * (iters // chains) * chains * 2  # fma = 2 flops
 
-    rate, _ = _slope_time(make, work, sizes=(2048, 8192), n=10)
+    rate, _ = _slope_time(make, work, sizes=(256, 2048), n=10)
     return rate
 
 
@@ -179,7 +202,7 @@ def measure_hbm_bw(mb=512):
         n_blocks = m * 1024 * 1024 // (512 * 128 * 4)
         return 2 * n_blocks * 512 * 128 * 4  # read + write bytes
 
-    rate, _ = _slope_time(make, work, sizes=(mb // 4, mb), n=10)
+    rate, _ = _slope_time(make, work, sizes=(mb // 8, mb), n=10)
     return rate
 
 

@@ -404,6 +404,20 @@ def tpu_main(quick=False):
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
+    @jax.jit
+    def run_ek1_sm(u0s, ps):
+        us, stds = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, T, q=3, smooth=True
+        )
+        return us[-1].sum() + stds[0].sum()
+
+    t = _time(run_ek1_sm, u0s, ps, iters=10)
+    results["ensemble_8192_pallas_ek1_filter_smoother"] = {
+        "B": B, "grid_steps": T, "runtime_s": t,
+        "solves_per_sec": B / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
     # config 4 on-chip: fused Kron-grid kernel (whole PDE solve in VMEM)
     run_br = jax.jit(
         lambda: pk.solve_brusselator_ek0_pallas(
