@@ -1,14 +1,21 @@
 """Time-parallel vs sequential solver sweep over grid length N (on-chip).
 
-Sweeps N in {2^8 .. 2^14} on FitzHugh-Nagumo, fixed uniform grid, and
-compares wall-clock per solve for:
+Sweeps N on FitzHugh-Nagumo over t in [0, 20], fixed uniform grid, f32,
+and compares wall-clock AND solution accuracy for:
 
 - the sequential dense XLA scan (`solve_fixed`, D x D square-root filter
-  + smoother),
+  + smoother) — the accuracy reference for `max_diff`,
 - the sequential EK0-Kronecker scan (`solve_fixed_kron`),
-- the square-root time-parallel associative-scan solver
-  (`solve_fixed_parallel`, EK1 Newton-type iterations=4; EK0 warm-start
-  default + iterations=4).
+- the iterated square-root time-parallel solver (`solve_fixed_parallel`)
+  with the fused Pallas scan kernels (`block="pallas"`) and with the XLA
+  blocked hybrid scan (`block=auto`), both warm-started.
+
+Every par row records `max_diff` against the sequential solve of the
+same algorithm: round-3 found the round-2 sweep had benchmarked
+UNCONVERGED solutions (cold-start iterations=4 leaves O(1) error at
+every N; the EK0 Picard iteration outright diverges with more sweeps on
+this span, so EK0 rows carry their honest error). Warm-started EK1
+converges in 2 sweeps (~5e-3 in f32).
 
 Writes benchmarks/time_parallel_sweep.json. Usage:
     python benchmarks/time_parallel_sweep.py [--quick]
@@ -30,11 +37,14 @@ def _time(fn, iters=3):
     t0 = time.perf_counter()
     _sync(fn())
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) / iters, compile_s
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, compile_s
 
 
 def main(quick=False):
@@ -43,7 +53,7 @@ def main(quick=False):
     from odefilters.parallel.associative import solve_fixed_parallel
 
     prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
-    Ns = [256, 1024, 4096] if quick else [256, 1024, 4096, 16384]
+    Ns = [1024, 4096] if quick else [1024, 4096, 16384]
     results = {"device": str(jax.devices()[0]), "sweep": []}
 
     for N in Ns:
@@ -56,25 +66,41 @@ def main(quick=False):
 
         t, _ = _time(lambda: odf.solve_fixed(prob, odf.EK1(order=3), ts=ts).u)
         row["seq_dense_ek1_s"] = t
+        u_seq1 = odf.solve_fixed(prob, odf.EK1(order=3), ts=ts).u
+        u_seq0 = odf.solve_fixed(prob, odf.EK0(order=3), ts=ts).u
 
-        # blocked hybrid scans kick in automatically at N >= 2048
-        # (parallel.blocked.auto_block): O(2N) combine work and one scan
-        # body to compile instead of log2(N) unrolled rounds (the plain
-        # scan at N=16384 compiled for ~820 s in round 2)
-        t, c = _time(lambda: solve_fixed_parallel(
-            prob, odf.EK0(order=3), ts=ts, iterations=4)[0])
-        row["par_sqrt_ek0_s"] = t
-        row["par_ek0_compile_s"] = c
+        # fused Pallas scan kernels (warm-started Newton, 2 sweeps)
+        par_pl = lambda: solve_fixed_parallel(
+            prob, odf.EK1(order=3), ts=ts, iterations=2, block="pallas")[0]
+        t, c = _time(par_pl, iters=5)
+        row["par_ek1_pallas_s"] = t
+        row["par_ek1_pallas_compile_s"] = c
+        row["par_ek1_pallas_max_diff"] = float(jnp.abs(u_seq1 - par_pl()).max())
 
-        t, c = _time(lambda: solve_fixed_parallel(
-            prob, odf.EK1(order=3), ts=ts, iterations=4)[0])
-        row["par_sqrt_ek1_s"] = t
-        row["par_ek1_compile_s"] = c
+        # XLA blocked hybrid scan (same math, no kernels)
+        from odefilters.parallel.blocked import auto_block
 
-        row["speedup_ek1_par_vs_seq"] = row["seq_dense_ek1_s"] / row["par_sqrt_ek1_s"]
-        row["speedup_ek0_par_vs_kron"] = row["seq_kron_ek0_s"] / row["par_sqrt_ek0_s"]
+        par_xla = lambda: solve_fixed_parallel(
+            prob, odf.EK1(order=3), ts=ts, iterations=2, warm_start=8,
+            block=auto_block(N) or 64)[0]
+        t, c = _time(par_xla, iters=3)
+        row["par_ek1_xla_s"] = t
+        row["par_ek1_xla_compile_s"] = c
+        row["par_ek1_xla_max_diff"] = float(jnp.abs(u_seq1 - par_xla()).max())
+
+        # EK0 par (Picard): honest accuracy — diverges on long spans
+        par_e0 = lambda: solve_fixed_parallel(
+            prob, odf.EK0(order=3), ts=ts, iterations=4, block="pallas")[0]
+        t, c = _time(par_e0, iters=5)
+        row["par_ek0_pallas_s"] = t
+        row["par_ek0_pallas_compile_s"] = c
+        row["par_ek0_pallas_max_diff"] = float(jnp.abs(u_seq0 - par_e0()).max())
+
+        row["speedup_ek1_pallas_vs_seq"] = (
+            row["seq_dense_ek1_s"] / row["par_ek1_pallas_s"]
+        )
         results["sweep"].append(row)
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
 
     with open("benchmarks/time_parallel_sweep.json", "w") as fh:
         fh.write(json.dumps(results, indent=2))

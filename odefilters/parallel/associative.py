@@ -33,6 +33,8 @@ sequential square-root path in the test suite.
 
 from __future__ import annotations
 
+import math
+
 from functools import partial
 from typing import Optional
 
@@ -40,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from odefilters.algorithms import AbstractEK
+from odefilters.linalg import matmul_unrolled as _bmm
 from odefilters.priors import precond_full
 from odefilters.problem import ODEProblem
 from odefilters.taylor import taylor_coefficients
@@ -66,14 +69,12 @@ def _psd_solve(A, B):
     Two batched triangular solves (jax's cho_solve does not broadcast over
     explicit leading batch dimensions).
     """
-    from jax.scipy.linalg import solve_triangular
-
-    from odefilters.linalg import cholesky_psd
+    from odefilters.linalg import cholesky_psd, solve_triangular_unrolled
 
     L = cholesky_psd(A)
     B = jnp.broadcast_to(B, A.shape[:-2] + B.shape[-2:])
-    y = solve_triangular(L, B, lower=True)
-    return solve_triangular(_T(L), y, lower=False)
+    y = solve_triangular_unrolled(L, B, lower=True)
+    return solve_triangular_unrolled(_T(L), y, lower=False)
 
 
 # --------------------------------------------------------------------------
@@ -268,8 +269,8 @@ def _solve_parallel_jit_inner(
         fu = f_v(u_lin, t_meas)                            # (N, d)
         if alg.is_ek1:
             J = jac_v(u_lin, t_meas)                       # (N, d, d)
-            H = E1p[None] - J @ E0p[None]
-            y = fu - (J @ u_lin[..., None])[..., 0]
+            H = E1p[None] - _bmm(J, E0p[None])
+            y = fu - _bmm(J, u_lin[..., None])[..., 0]
         else:
             H = jnp.broadcast_to(E1p, (N, d, D))
             y = fu
@@ -301,8 +302,8 @@ def _solve_parallel_jit_inner(
                 jnp.concatenate([P0[None], Us], axis=0),
                 A, QL, block=block,
             )
-            Ps = Us @ _T(Us)
-            Ps_s = Us_s @ _T(Us_s)
+            Ps = _bmm(Us, _T(Us))
+            Ps_s = _bmm(Us_s, _T(Us_s))
             return ms, Ps, ms_s, Ps_s
     else:
         def run_filter_smoother(H, y):
@@ -332,10 +333,10 @@ def _solve_parallel_jit_inner(
 
     # Global MLE diffusion from the innovations of the final linearization:
     # z_k = H x_pred - y, S_k = H P_pred H^T (sigma^2=1 coordinates).
-    m_pred = (A[None] @ ms_all[:-1][..., None])[..., 0]
-    P_pred = A[None] @ Ps_all[:-1] @ _T(A)[None] + Qm[None]
-    z = (H @ m_pred[..., None])[..., 0] - y
-    S = H @ P_pred @ _T(H)
+    m_pred = _bmm(A[None], ms_all[:-1][..., None])[..., 0]
+    P_pred = _bmm(_bmm(A[None], Ps_all[:-1]), _T(A)[None]) + Qm[None]
+    z = _bmm(H, m_pred[..., None])[..., 0] - y
+    S = _bmm(_bmm(H, P_pred), _T(H))
     sigma2 = jnp.mean(
         jnp.sum(z * _psd_solve(S, z[..., None])[..., 0], axis=-1)
     ) / d
@@ -349,6 +350,53 @@ def _solve_parallel_jit_inner(
         jnp.clip(jnp.diagonal(cov_out, axis1=-2, axis2=-1)[:, :d], 0.0)
     )
     return u, u_std, mean_out, cov_out, sigma2
+
+
+@partial(jax.jit, static_argnames=("n_c", "q_c", "t0f", "t1f", "pallas"))
+def _warm_start_jit(prob, ts, n_c, q_c, t0f, t1f, pallas):
+    """Coarse-solve + interp warm start, jitted once per configuration.
+
+    (An eager version re-traced the fused coarse kernel every call —
+    closure identities defeat the jit cache — costing ~2 s of remote
+    dispatch per solve; one jit makes it ~1 ms.)
+    """
+    ts_c = jnp.linspace(t0f, t1f, n_c + 1, dtype=ts.dtype)
+    if pallas:
+        # ADAPTIVE coarse solve (per-lane adaptive kernel, one problem
+        # broadcast over a block): internal step control keeps the coarse
+        # trajectory stable at ANY coarsening — a fixed-grid coarse solve
+        # blows up once the coarsened step exceeds the dynamics' limit —
+        # and the save grid is exactly the uniform ts_c.
+        from odefilters.ops.pallas_kernels import solve_adaptive_pallas_single
+
+        us_c = solve_adaptive_pallas_single(
+            prob.f, prob.u0.astype(jnp.float32),
+            jnp.atleast_1d(prob.p).astype(jnp.float32),
+            (t0f, t1f), n_c, q=q_c, abstol=1e-6, reltol=1e-3,
+        )[0]
+        coarse_u = us_c.astype(ts.dtype)               # (n_c+1, d)
+    else:
+        from odefilters.algorithms import EK0
+        from odefilters.kronsolve import solve_fixed_kron
+
+        coarse_u = solve_fixed_kron(
+            prob, EK0(order=q_c, smooth=True), ts=ts_c
+        ).u
+    u_init = jax.vmap(
+        lambda tv: jnp.stack(
+            [jnp.interp(tv, ts_c, coarse_u[:, i]) for i in range(prob.d)]
+        )
+    )(ts[1:])
+    # The fixed-grid coarse solve can legitimately blow up when the
+    # coarsened step is too large for the dynamics (FHN needs h <~ 0.04:
+    # a 20/512 grid is fine, 20/128 overflows) — sometimes to huge
+    # FINITE values rather than NaN/Inf. A poisoned warm start wrecks
+    # every sweep — fall back to the constant-u0 start pointwise for
+    # non-finite or outrageously scaled entries.
+    u0_row = jnp.broadcast_to(prob.u0.astype(u_init.dtype), u_init.shape)
+    scale = 1.0 + jnp.max(jnp.abs(prob.u0)).astype(u_init.dtype)
+    bad = ~jnp.isfinite(u_init) | (jnp.abs(u_init) > 1e6 * scale)
+    return jnp.where(bad, u0_row, u_init)
 
 
 def solve_fixed_parallel(
@@ -407,39 +455,75 @@ def solve_fixed_parallel(
             "solve_fixed_kron for non-uniform grids"
         )
 
-    if warm_start is None:
-        warm_start = 0 if alg.is_ek1 else 8
-    u_init = None
-    if warm_start:
-        # Warm-start the linearization trajectory from a cheap sequential
-        # EK0-Kronecker solve on a `warm_start`-times-coarser grid,
-        # linearly interpolated onto the fine grid. Cuts the Picard-type
-        # EK0 iteration count from ~30 to a handful.
-        from odefilters.algorithms import EK0
-        from odefilters.kronsolve import solve_fixed_kron
-
-        ts_c = ts[:: int(warm_start)]
-        ts_c = jnp.concatenate([ts_c, ts[-1:]]) if ts_c[-1] != ts[-1] else ts_c
-        coarse = solve_fixed_kron(
-            prob, EK0(order=min(alg.order, 3), smooth=True), ts=ts_c
-        )
-        u_init = jax.vmap(
-            lambda tv: jnp.stack(
-                [jnp.interp(tv, ts_c, coarse.u[:, i]) for i in range(prob.d)]
+    # resolve the scan backend first (the warm-start default depends on it)
+    if isinstance(block, str) and block.startswith("pallas"):
+        if not sqrt_form:
+            raise ValueError(
+                "block='pallas' runs the square-root fused scan kernels; "
+                "pass sqrt_form=True (the covariance form is CPU-only)"
             )
-        )(ts[1:])
-
+        if time_shard_axis is not None:
+            raise ValueError(
+                "block='pallas' is single-device; sharded time axes use "
+                "the plain XLA scan (its rounds partition over the mesh)"
+            )
     if block is None and time_shard_axis is None:
-        # blocked hybrid scan by default at large N: O(2N) combine work
-        # instead of O(N log N), and a compile-size win (one scan body vs
-        # log2 N unrolled wide rounds). Sharded time axes keep the plain
-        # scan — its rounds partition over the mesh axis. Pass block=0 to
-        # force the plain scan.
-        from odefilters.parallel.blocked import auto_block
+        if sqrt_form and jax.default_backend() != "cpu" and ts.shape[0] > 1024:
+            # On an accelerator the fused Pallas scan kernels are the
+            # default at large N: ~2.5 ms per scan at N=4096..16384 and
+            # nearly N-independent (the XLA blocked scan is 20..220 ms
+            # there), measured 2.6x/10.7x end-to-end vs the sequential
+            # solve. Pass block=0/int to force the XLA scans.
+            block = "pallas"
+        else:
+            # blocked hybrid scan by default at large N: O(2N) combine
+            # work instead of O(N log N), and a compile-size win (one
+            # scan body vs log2 N unrolled wide rounds). Sharded time
+            # axes keep the plain scan — its rounds partition over the
+            # mesh axis. Pass block=0 to force the plain scan.
+            from odefilters.parallel.blocked import auto_block
 
-        block = auto_block(ts.shape[0] - 1)
+            block = auto_block(ts.shape[0] - 1)
     if not block:
         block = None
+
+    pallas_path = isinstance(block, str) and block == "pallas"
+    if warm_start is None:
+        # Warm start defaults ON where the coarse solve is trustworthy:
+        # on the kernel path it runs the ADAPTIVE Pallas kernel (stable
+        # at any coarsening), and the EK0 Picard iteration needs it (its
+        # cold start takes ~25-30 sweeps). For EK1 on the XLA path the
+        # fixed-grid coarse solve can blow up to finite garbage once the
+        # coarsened step passes the dynamics' stability limit (measured:
+        # FHN h >= ~0.15), so cold start stays the default there —
+        # short-span/CPU configs converge in a handful of Newton sweeps.
+        warm_start = 8 if (pallas_path or not alg.is_ek1) else 0
+    u_init = None
+    if warm_start:
+        # Warm-start the linearization trajectory from a cheap coarse-grid
+        # solve, linearly interpolated onto the fine grid. Without it the
+        # iteration starts from a constant-u0 trajectory, and neither the
+        # Picard-type EK0 iteration nor the Newton-type EK1 one converges
+        # in a handful of sweeps over long spans (measured: FHN t=[0,20],
+        # iterations=4 cold leaves O(1) solution error at EVERY N; warm
+        # 2 sweeps reach the sequential solve).
+        ts_f = _np.asarray(ts)
+        n_c = max(int(math.ceil((ts.shape[0] - 1) / int(warm_start))), 1)
+        t0f, t1f = float(ts_f[0]), float(ts_f[-1])
+        q_c = min(alg.order, 3)
+        if pallas_path:
+            # On the kernel path the coarse solve runs through the
+            # ADAPTIVE Pallas kernel (one problem broadcast over a lane
+            # block): the XLA Kron scan costs a multi-minute remote
+            # compile for a ~1 ms warm start, and a fixed-grid coarse
+            # solve is unstable at large coarsening. Falls back to the
+            # Kron scan for vector fields the kernels cannot trace.
+            try:
+                u_init = _warm_start_jit(prob, ts, n_c, q_c, t0f, t1f, True)
+            except Exception:
+                u_init = None
+        if u_init is None:
+            u_init = _warm_start_jit(prob, ts, n_c, q_c, t0f, t1f, False)
     return _solve_parallel_jit(
         prob, alg, ts, ts.shape[0] - 1, int(iterations), taylor_method,
         u_init, bool(sqrt_form), time_shard_axis, block,

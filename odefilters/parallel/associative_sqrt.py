@@ -34,6 +34,7 @@ import jax.numpy as jnp
 # seconds and runs latency-bound at these (K, D~8) sizes — the combines
 # below instantiate dozens of them per associative round. Identical
 # contracts (match the scipy/QR paths to roundoff; see linalg).
+from odefilters.linalg import matmul_unrolled as _bmm
 from odefilters.linalg import solve_triangular_unrolled
 from odefilters.linalg import tril_factor_mgs as tril_factor
 
@@ -72,10 +73,10 @@ def sqrt_filter_elements_rest(F, QL, H, y):
     """
     D = F.shape[-1]
     d = H.shape[-2]
-    HQ = H @ QL                               # (N, d, D)
+    HQ = _bmm(H, QL)                          # (N, d, D)
     S_chol = tril_factor(_T(HQ))              # (N, d, d)
     # K = QL (H QL)^T S^-1
-    QHt = QL @ _T(HQ)                         # (N, D, d)
+    QHt = _bmm(QL, _T(HQ))                    # (N, D, d)
     Kt = solve_triangular(
         _T(S_chol),
         solve_triangular(S_chol, _T(QHt), lower=True),
@@ -83,15 +84,15 @@ def sqrt_filter_elements_rest(F, QL, H, y):
     )                                          # (N, d, D) = K^T
     K = _T(Kt)
     I = jnp.eye(D, dtype=F.dtype)
-    IKH = I - K @ H
-    A = IKH @ F
-    b = (K @ y[..., None])[..., 0]
-    U = IKH @ QL                               # exact factor of (I-KH)Q
+    IKH = I - _bmm(K, H)
+    A = _bmm(IKH, F)
+    b = _bmm(K, y[..., None])[..., 0]
+    U = _bmm(IKH, QL)                          # exact factor of (I-KH)Q
     # eta = F^T H^T S^-1 y ; Z = F^T H^T S_chol^-T
-    FtHt = _T(F) @ _T(H)                       # (N, D, d)
+    FtHt = _bmm(_T(F), _T(H))                  # (N, D, d)
     Z_thin = _rsolve_lt(FtHt, S_chol)          # (N, D, d)
-    eta = (
-        Z_thin @ solve_triangular(S_chol, y[..., None], lower=True)
+    eta = _bmm(
+        Z_thin, solve_triangular(S_chol, y[..., None], lower=True)
     )[..., 0]
     Z = jnp.concatenate(
         [Z_thin, jnp.zeros(Z_thin.shape[:-1] + (D - d,), F.dtype)], axis=-1
@@ -102,19 +103,19 @@ def sqrt_filter_elements_rest(F, QL, H, y):
 def sqrt_filter_element_first(m0, U0, F, QL, H, y):
     """First element: prior through the transition, then a sqrt update."""
     D = m0.shape[-1]
-    m_pred = F @ m0
-    U_pred = tril_factor(jnp.concatenate([_T(F @ U0), _T(QL)], axis=-2))
-    HU = H @ U_pred
+    m_pred = _bmm(F, m0[..., None])[..., 0]
+    U_pred = tril_factor(jnp.concatenate([_T(_bmm(F, U0)), _T(QL)], axis=-2))
+    HU = _bmm(H, U_pred)
     S_chol = tril_factor(_T(HU))
-    PHt = U_pred @ _T(HU)
+    PHt = _bmm(U_pred, _T(HU))
     Kt = solve_triangular(
         _T(S_chol), solve_triangular(S_chol, _T(PHt), lower=True), lower=False
     )
     K = _T(Kt)
     A = jnp.zeros((D, D), m0.dtype)
-    b = m_pred + K @ (y - H @ m_pred)
+    b = m_pred + _bmm(K, (y - _bmm(H, m_pred[..., None])[..., 0])[..., None])[..., 0]
     I = jnp.eye(D, dtype=m0.dtype)
-    U = (I - K @ H) @ U_pred                   # exact Joseph factor (R=0)
+    U = _bmm(I - _bmm(K, H), U_pred)           # exact Joseph factor (R=0)
     eta = jnp.zeros_like(m0)
     Z = jnp.zeros((D, D), m0.dtype)
     return A, b, U, eta, Z
@@ -180,6 +181,13 @@ def parallel_filter_sqrt(m0, U0, F, QL, H, ys, block=None):
         jnp.concatenate([a[None], rest[1:]], axis=0)
         for a, rest in zip(e1, e_rest)
     )
+    if isinstance(block, str) and block.startswith("pallas"):
+        from odefilters.parallel.pallas_scan import pallas_associative_scan
+
+        _, b, U, _, _ = pallas_associative_scan(
+            "filter", elems, interpret=block.endswith("interpret")
+        )
+        return b, U
     from odefilters.parallel.blocked import blocked_associative_scan
 
     A, b, U, eta, Z = blocked_associative_scan(
@@ -213,25 +221,34 @@ def parallel_smoother_sqrt(ms, Us, F, QL, block=None):
     F_ = jnp.broadcast_to(F, (N - 1, D, D))
     QL_ = jnp.broadcast_to(QL, (N - 1, D, D))
     Uf = Us[:-1]
+    FUf = _bmm(F_, Uf)
     U_pred = tril_factor(
-        jnp.concatenate([_T(F_ @ Uf), _T(QL_)], axis=-2)
+        jnp.concatenate([_T(FUf), _T(QL_)], axis=-2)
     )
     # G = C_f F^T Cp^-1
-    CFt = Uf @ _T(F_ @ Uf)
+    CFt = _bmm(Uf, _T(FUf))
     Gt = solve_triangular(
         _T(U_pred),
         solve_triangular(U_pred, _T(CFt), lower=True),
         lower=False,
     )
     G = _T(Gt)
-    g = ms[:-1] - (G @ (F_ @ ms[:-1][..., None]))[..., 0]
+    g = ms[:-1] - _bmm(G, _bmm(F_, ms[:-1][..., None]))[..., 0]
     I = jnp.eye(D, dtype=ms.dtype)
     P = tril_factor(
-        jnp.concatenate([_T((I - G @ F_) @ Uf), _T(G @ QL_)], axis=-2)
+        jnp.concatenate([_T(_bmm(I - _bmm(G, F_), Uf)), _T(_bmm(G, QL_))], axis=-2)
     )
     E = jnp.concatenate([G, jnp.zeros((1, D, D), ms.dtype)], axis=0)
     gs = jnp.concatenate([g, ms[-1:]], axis=0)
     Ps = jnp.concatenate([P, Us[-1:]], axis=0)
+    if isinstance(block, str) and block.startswith("pallas"):
+        from odefilters.parallel.pallas_scan import pallas_associative_scan
+
+        _, gr, Pr = pallas_associative_scan(
+            "smooth", (E, gs, Ps), reverse=True,
+            interpret=block.endswith("interpret"),
+        )
+        return gr, Pr
     from odefilters.parallel.blocked import blocked_associative_scan
 
     Er, gr, Pr = blocked_associative_scan(

@@ -607,3 +607,41 @@ def test_kron_sampling_mv_calibrated():
     # and samples genuinely spread at the marginal scale
     z = dev / (std[1:] + 1e-30)
     assert 0.3 < float(np.median(z)) < 3.0
+
+
+def test_pallas_scan_interpret_matches_associative_scan():
+    """Fused blocked-scan kernels == lax.associative_scan (interpret, f64).
+
+    Exercises chunk packing with padding (N=40 << 1024 chunks), both
+    element kinds, and the reverse (suffix) identity. Factors compare as
+    covariances (identity-padded combines re-orthogonalize them).
+    """
+    from odefilters.parallel.associative_sqrt import (
+        _sqrt_filter_combine,
+        _sqrt_smooth_combine,
+    )
+    from odefilters.parallel.pallas_scan import pallas_associative_scan
+
+    rng = np.random.default_rng(0)
+    D, N = 3, 40
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.3)
+
+    elems = (mk(N, D, D), mk(N, D), mk(N, D, D), mk(N, D), mk(N, D, D))
+    ref = jax.lax.associative_scan(_sqrt_filter_combine, elems)
+    out = pallas_associative_scan("filter", elems, interpret=True)
+    for i, (r, o) in enumerate(zip(ref, out)):
+        if i in (2, 4):  # U, Z: factors -> covariances
+            r, o = r @ np.swapaxes(r, -1, -2), o @ np.swapaxes(o, -1, -2)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-9, atol=1e-12)
+
+    se = (mk(N, D, D), mk(N, D), mk(N, D, D))
+    ref = jax.lax.associative_scan(_sqrt_smooth_combine, se, reverse=True)
+    out = pallas_associative_scan("smooth", se, reverse=True, interpret=True)
+    for i, (r, o) in enumerate(zip(ref, out)):
+        if i == 2:  # P
+            r, o = r @ np.swapaxes(r, -1, -2), o @ np.swapaxes(o, -1, -2)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-9, atol=1e-12)
