@@ -2819,12 +2819,22 @@ def _t_rows(X, nq):
 
 
 def _ek0_filter_states_kernel(
-    m0_ref, p_ref, us_ref, std_ref, st_ref,
+    m0_ref, p_ref, st_ref,
     row, sem,
     *, f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
 ):
     """Forward EK0 filter; streams one packed (mean | factor | s2) row of
-    preconditioned square-root state to HBM per step (single DMA)."""
+    preconditioned square-root state to HBM per step (single DMA). The
+    stream is the kernel's ONLY output — filtered means/stds fall out of
+    the smoother pass for free, so no (T+1)-sized VMEM output blocks.
+
+    Streaming the predicted factor Lp alongside (so the smoother skips
+    its 2(q+1) x (q+1) re-factorization) was measured a NET LOSS here
+    (6.10 -> 6.76 ms on the 8192-member FHN solve): the tril adds
+    nq(nq+1)/2 packed lanes per step to an issue-bound filter and +nq
+    stream columns to both DMAs, which outweighs the skipped small QR.
+    The EK1 pair, whose skipped QR is 2D x D, DOES stream Lp — see
+    `_ek1_filter_states_kernel`."""
     # Qt here is the noise *factor* QLt: Q[1,1] = sum of squares of row 1
     hq = pinv1 * pinv1 * float((Qt[1] ** 2).sum())
 
@@ -2833,12 +2843,9 @@ def _ek0_filter_states_kernel(
     L_init = [[zero for _ in range(nq)] for _ in range(nq)]
     p_block = p_ref[:]
 
-    for j in range(d):
-        us_ref[0, j] = pinv0 * m_init[0][j]
-    std_ref[0] = zero
-
     # Double-buffered streaming: two packed rows in flight; before reusing
     # a slot, wait for the copy issued two rows earlier on that slot.
+    # Row layout (nq, W): [ mean (d) | L (nq) | s2 (1) ].
     def pack_and_send(k_idx, m, L, s2):
         slot = jax.lax.rem(k_idx, jnp.int32(2))
 
@@ -2918,13 +2925,6 @@ def _ek0_filter_states_kernel(
         L_new = [
             [Lp[i][l] - kg[i] * Zrow[l] for l in range(nq)] for i in range(nq)
         ]
-        for j in range(d):
-            us_ref[k1, j] = pinv0 * m_new[0][j]
-        std_ref[k1] = pinv0 * sqlt(
-            functools.reduce(
-                lambda a, b: a + b, [L_new[0][l] * L_new[0][l] for l in range(nq)]
-            )
-        )
         pack_and_send(k1, m_new, L_new, s2)
         return m_new, L_new
 
@@ -2997,6 +2997,9 @@ def _ek0_smoother_kernel(
             ]
             for i in range(nq)
         ]
+        # predicted factor of interval k -> k+1, recomputed here (streaming
+        # it from the filter was measured a net loss for EK0 — see the
+        # filter kernel's docstring)
         qT = [
             [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else 0.0
              for i in range(nq)]
@@ -3068,9 +3071,7 @@ def _ek0_smoother_kernel(
         std_ref[k] = block_std(L_new[0])
         return m_new, L_new, s2_k
 
-    jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(T), body, (m_T, L_T, s2_T)
-    )
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T, s2_T))
 
 
 @_no_x64
@@ -3133,20 +3134,21 @@ def ek0_fused_solve(
     )
 
     # one packed state row per step: [ mean (d) | factor (nq) | s2 (1) ],
-    # two slots for double-buffered DMA
+    # two slots for double-buffered DMA. The filter's only output is the
+    # HBM state stream — its solution means/stds are recomputed for free
+    # by the smoother pass, so no (T+1)-sized VMEM output blocks here.
     W = d + nq + 1
     scratch = [
         pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
-    def fentry(m0_blk, p_blk, us_blk, std_blk, st_hbm, row, sem):
+    def fentry(m0_blk, p_blk, st_hbm, row, sem):
         b = pl.program_id(0)
         fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
-                us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
                 st_hbm.at[b], row, sem)
 
-    us_f, std_f, st = pl.pallas_call(
+    st = pl.pallas_call(
         fentry,
         grid=(nb,),
         in_specs=[
@@ -3155,18 +3157,8 @@ def ek0_fused_solve(
                 pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
                              lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-                pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
-                             lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T + 1, _SUB, _LANE),
-                             lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
         scratch_shapes=scratch,
     )(m0_p, ps_b)
 
@@ -3197,7 +3189,7 @@ def ek0_fused_solve(
     us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = std_s.transpose(1, 0, 2, 3).reshape(T + 1, B)
     if _debug:
-        return us, stds, (us_f, std_f, st)
+        return us, stds, st
     return us, stds
 
 
@@ -3245,11 +3237,14 @@ def _ek1_step_lists(
     m, L, p_block, t_new, *,
     f, jac, Af, QLf, pinv0, pinv1, d, D, want_ll=False,
     stop_calib: bool = False,
+    want_Lp: bool = False,
 ):
     """One square-root EK1(dynamic) step on D-vector mean / D x D factor
     lists of lanes. Shared by the streamed-state filter kernel and the
     EK1 data-likelihood kernel. Returns ``(m_new, L_new, s2, ll_inc)``
-    (``ll_inc`` is None unless ``want_ll``)."""
+    (``ll_inc`` is None unless ``want_ll``); with ``want_Lp`` the
+    predicted factor Lp is appended so the caller can stream it to the
+    backward smoother (which then skips its own 2D x D re-factorization)."""
     zero = jnp.zeros_like(m[0])
 
     def Amul_vec(v):
@@ -3376,6 +3371,8 @@ def _ek1_step_lists(
             [2.0 * jnp.log(jnp.maximum(Ls[a][a], 1e-30)) for a in range(d)],
         )
         ll_inc = -0.5 * (zSz + logdet + d * _LOG_2PI)
+    if want_Lp:
+        return m_new, L_new, s2, ll_inc, Lp
     return m_new, L_new, s2, ll_inc
 
 
@@ -3383,6 +3380,7 @@ def _ek1_filter_states_kernel(
     m0_ref, p_ref, st_ref,
     row, sem,
     *, f, jac, At, QLt, pinv0, pinv1, T, dt, t0, d, nq,
+    stream_Lp: bool = False,
 ):
     """Forward EK1 filter (dynamic diffusion), streaming sqrt states."""
     D = d * nq
@@ -3394,9 +3392,16 @@ def _ek1_filter_states_kernel(
     L_init = [[zero for _ in range(D)] for _ in range(D)]
     p_block = p_ref[:]
 
-    # packed row layout: [ L row (D) | mean (1) | s2 (1, in row 0) ],
-    # two slots for double-buffered DMA
-    def pack_and_send(k_idx, m, L, s2):
+    # packed row layout:
+    # [ L row (D) | mean (1) | s2 (1, in row 0) | tril(Lp) row (D) ],
+    # two slots for double-buffered DMA. With ``stream_Lp`` (set when a
+    # smoother pass will consume the stream) Lp — the predicted factor
+    # the step computed anyway — rides along so the smoother skips its
+    # own 2D x D MGS-QR per step (measured: 14.4 -> 13.1 ms on the
+    # 8192-member FHN filter+smoother solve). Without a smoother the
+    # extra tril packing + stream width is pure loss (6.34 -> 6.87 ms
+    # on the filter-only solve), so ``smooth=False`` keeps W = D + 2.
+    def pack_and_send(k_idx, m, L, Lp, s2):
         slot = jax.lax.rem(k_idx, jnp.int32(2))
 
         @pl.when(k_idx >= 2)
@@ -3409,12 +3414,15 @@ def _ek1_filter_states_kernel(
             for c in range(D):
                 row[slot, r, c] = L[r][c]
             row[slot, r, D] = m[r]
+            if stream_Lp:
+                for c in range(r + 1):  # Lp is lower triangular
+                    row[slot, r, D + 2 + c] = Lp[r][c]
         row[slot, 0, D + 1] = s2
         pltpu.make_async_copy(
             row.at[slot], st_ref.at[k_idx], sem.at[slot]
         ).start()
 
-    pack_and_send(jnp.int32(0), m_init, L_init, zero + 1.0)
+    pack_and_send(jnp.int32(0), m_init, L_init, L_init, zero + 1.0)
 
     def body(k, carry):
         m, L = carry
@@ -3423,11 +3431,11 @@ def _ek1_filter_states_kernel(
         t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
             k.astype(_dt) + jnp.asarray(1.0, _dt)
         )
-        m_new, L_new, s2, _ = _ek1_step_lists(
+        m_new, L_new, s2, _, Lp = _ek1_step_lists(
             m, L, p_block, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
-            pinv0=pinv0, pinv1=pinv1, d=d, D=D,
+            pinv0=pinv0, pinv1=pinv1, d=d, D=D, want_Lp=True,
         )
-        pack_and_send(k1, m_new, L_new, s2)
+        pack_and_send(k1, m_new, L_new, Lp, s2)
         return m_new, L_new
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, L_init))
@@ -3463,7 +3471,20 @@ def _ekd_smoother_kernel(
         pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
         m = [row[slot, r, D] for r in range(D)]
         L = [[row[slot, r, c] for c in range(D)] for r in range(D)]
-        return m, L, row[slot, 0, D + 1]
+        # tril(Lp) of the interval k-1 -> k, streamed from the filter;
+        # flat so the loop carry holds no structural zeros
+        Lp_low = [row[slot, r, D + 2 + c]
+                  for r in range(D) for c in range(r + 1)]
+        return m, L, Lp_low, row[slot, 0, D + 1]
+
+    def _unflatten_tril(low):
+        out = [[0.0] * D for _ in range(D)]
+        idx = 0
+        for r in range(D):
+            for c in range(r + 1):
+                out[r][c] = low[idx]
+                idx += 1
+        return out
 
     def block_std(Lrow):
         return pinv0 * jnp.sqrt(
@@ -3471,7 +3492,7 @@ def _ekd_smoother_kernel(
         )
 
     start_load(jnp.int32(T))
-    m_T, L_T, s2_T = wait_and_read(jnp.int32(T))
+    m_T, L_T, Lp_T_low, s2_T = wait_and_read(jnp.int32(T))
     if T >= 1:
         start_load(jnp.int32(T - 1))
     for j in range(d):
@@ -3488,9 +3509,9 @@ def _ekd_smoother_kernel(
         ]
 
     def body(step, carry):
-        m_s, L_s, s2_next = carry
+        m_s, L_s, s2_next, Lp_next_low = carry
         k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
-        m_f, L_f, s2_k = wait_and_read(k)
+        m_f, L_f, Lp_low_k, s2_k = wait_and_read(k)
 
         @pl.when(k >= 1)
         def _():
@@ -3509,12 +3530,9 @@ def _ekd_smoother_kernel(
             ]
             for r in range(D)
         ]
-        qT = [
-            [sq_s2 * QLf[r, c] if QLf[r, c] != 0.0 else 0.0
-             for r in range(D)]
-            for c in range(D)
-        ]
-        Lp = _list_mgs_tril(_t_rows(AL, D) + qT, 2 * D, D)
+        # predicted factor of interval k -> k+1: streamed from the filter
+        # (bit-identical to the 2D x D MGS-QR it would take to recompute)
+        Lp = _unflatten_tril(Lp_next_low)
 
         # G = C_f A^T Cp^-1 with C_f A^T = L_f (A L_f)^T
         M = [
@@ -3573,9 +3591,11 @@ def _ekd_smoother_kernel(
         for j in range(d):
             us_ref[k, j] = pinv0 * m_new[j]
             std_ref[k, j] = block_std(L_new[j])
-        return m_new, L_new, s2_k
+        return m_new, L_new, s2_k, Lp_low_k
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T, s2_T))
+    jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m_T, L_T, s2_T, Lp_T_low)
+    )
 
 
 @_no_x64
@@ -3634,11 +3654,14 @@ def ek1_fused_solve(
                   pinv0=float(1.0 / p_np[0]), T=T, d=d, nq=nq)
     fkernel = functools.partial(
         _ek1_filter_states_kernel, f=f, jac=jac,
-        pinv1=float(1.0 / p_np[1]), dt=float(dt), t0=float(t0), **common,
+        pinv1=float(1.0 / p_np[1]), dt=float(dt), t0=float(t0),
+        stream_Lp=smooth, **common,
     )
 
-    # packed row: [ L row (D) | mean (1) | s2 (1) ], double-buffered
-    W = D + 2
+    # packed row: [ L row (D) | mean (1) | s2 (1) | tril(Lp) (D) ],
+    # double-buffered; the Lp columns (smooth only) let the smoother
+    # skip re-factorizing — see _ek1_filter_states_kernel
+    W = (2 * D + 2) if smooth else (D + 2)
     scratch = [
         pltpu.VMEM((2, D, W, _SUB, _LANE), dtype),
         pltpu.SemaphoreType.DMA((2,)),
