@@ -411,6 +411,7 @@ def solve_fixed_parallel(
     sqrt_form: bool = True,
     time_shard_axis: Optional[str] = None,
     block: Optional[int] = None,
+    windows: Optional[int] = None,
 ):
     """Time-parallel fixed-grid solve (uniform grid).
 
@@ -436,6 +437,15 @@ def solve_fixed_parallel(
     constant too, so the associative elements are unchanged (the EK0 warm
     start runs its coarse Kronecker solve with the IWP prior — it only
     seeds the linearization trajectory).
+
+    ``windows=W`` switches to the WINDOWED iterated solver
+    (`parallel.windowed`): N/W-step windows run sequentially (one
+    window-sized compiled program), the linearization iterates within each
+    window, and the associative scans parallelize inside it. Use it for
+    EK0 on long spans — the global Picard relinearization diverges there
+    (measured: FHN t=[0,20] at every N) while the windowed one contracts —
+    and wherever global-program compile time is the binding cost. Requires
+    ``sqrt_form=True`` and no ``time_shard_axis``.
     """
     t0, t1 = prob.tspan
     if ts is None:
@@ -453,6 +463,12 @@ def solve_fixed_parallel(
             "solve_fixed_parallel requires a uniform grid (constant "
             "preconditioned transition per step); use solve_fixed / "
             "solve_fixed_kron for non-uniform grids"
+        )
+
+    if windows:
+        return _solve_windowed(
+            prob, alg, ts, int(windows), int(iterations), taylor_method,
+            warm_start, sqrt_form, time_shard_axis, block,
         )
 
     # resolve the scan backend first (the warm-start default depends on it)
@@ -488,16 +504,18 @@ def solve_fixed_parallel(
         block = None
 
     pallas_path = isinstance(block, str) and block == "pallas"
+    on_accel = jax.default_backend() != "cpu"
     if warm_start is None:
         # Warm start defaults ON where the coarse solve is trustworthy:
-        # on the kernel path it runs the ADAPTIVE Pallas kernel (stable
-        # at any coarsening), and the EK0 Picard iteration needs it (its
-        # cold start takes ~25-30 sweeps). For EK1 on the XLA path the
-        # fixed-grid coarse solve can blow up to finite garbage once the
-        # coarsened step passes the dynamics' stability limit (measured:
-        # FHN h >= ~0.15), so cold start stays the default there —
-        # short-span/CPU configs converge in a handful of Newton sweeps.
-        warm_start = 8 if (pallas_path or not alg.is_ek1) else 0
+        # on an accelerator it runs the ADAPTIVE Pallas kernel (stable at
+        # any coarsening), and the EK0 Picard iteration needs it (its
+        # cold start takes ~25-30 sweeps). On CPU the only coarse solver
+        # is the fixed-grid Kron scan, which can blow up to finite
+        # garbage once the coarsened step passes the dynamics' stability
+        # limit (measured: FHN h >= ~0.15), so cold start stays the EK1
+        # default there — short-span/CPU configs converge in a handful of
+        # Newton sweeps.
+        warm_start = 8 if (pallas_path or on_accel or not alg.is_ek1) else 0
     u_init = None
     if warm_start:
         # Warm-start the linearization trajectory from a cheap coarse-grid
@@ -511,13 +529,17 @@ def solve_fixed_parallel(
         n_c = max(int(math.ceil((ts.shape[0] - 1) / int(warm_start))), 1)
         t0f, t1f = float(ts_f[0]), float(ts_f[-1])
         q_c = min(alg.order, 3)
-        if pallas_path:
-            # On the kernel path the coarse solve runs through the
+        if pallas_path or on_accel:
+            # On an accelerator the coarse solve runs through the
             # ADAPTIVE Pallas kernel (one problem broadcast over a lane
-            # block): the XLA Kron scan costs a multi-minute remote
-            # compile for a ~1 ms warm start, and a fixed-grid coarse
-            # solve is unstable at large coarsening. Falls back to the
-            # Kron scan for vector fields the kernels cannot trace.
+            # block) regardless of the scan backend: the XLA Kron scan
+            # costs a multi-minute remote compile for a ~1 ms warm
+            # start, and a fixed-grid coarse solve is unstable at large
+            # coarsening (round-3 sweep: the N=1024 XLA row's Kron warm
+            # start at h=0.156 seeded finite garbage under the 1e6
+            # guard and left the sweep unconverged, max_diff 4.5).
+            # Falls back to the Kron scan for vector fields the kernels
+            # cannot trace.
             try:
                 u_init = _warm_start_jit(prob, ts, n_c, q_c, t0f, t1f, True)
             except Exception:
@@ -527,4 +549,65 @@ def solve_fixed_parallel(
     return _solve_parallel_jit(
         prob, alg, ts, ts.shape[0] - 1, int(iterations), taylor_method,
         u_init, bool(sqrt_form), time_shard_axis, block,
+    )
+
+
+def _solve_windowed(prob, alg, ts, windows, iterations, taylor_method,
+                    warm_start, sqrt_form, time_shard_axis, block):
+    """Resolve the windowed solver's config (block/warm-start against the
+    WINDOW length, not N) and dispatch to `parallel.windowed`."""
+    if not sqrt_form:
+        raise ValueError(
+            "windows= runs the square-root windowed solver; the "
+            "covariance form (sqrt_form=False) has no windowed path"
+        )
+    if time_shard_axis is not None:
+        raise ValueError(
+            "windows= processes windows sequentially; a sharded time "
+            "axis needs the global solver (windows=None)"
+        )
+    n = ts.shape[0] - 1
+    W = int(windows)
+    if n % W:
+        raise ValueError(
+            f"windows={W} must divide the number of grid steps ({n})"
+        )
+    M = n // W
+    on_accel = jax.default_backend() != "cpu"
+    if block is None:
+        if on_accel and M >= 1024:
+            block = "pallas"
+        else:
+            from odefilters.parallel.blocked import auto_block
+
+            block = auto_block(M)
+    if not block:
+        block = None
+
+    if warm_start is None:
+        # the in-window constant-extrapolation start already contracts;
+        # a global coarse warm start (adaptive kernel) still saves a
+        # sweep or two on an accelerator, where it is trustworthy+cheap
+        warm_start = 8 if on_accel else 0
+    u_init = None
+    if warm_start:
+        import numpy as _np
+
+        ts_f = _np.asarray(ts)
+        n_c = max(int(math.ceil(n / int(warm_start))), 1)
+        t0f, t1f = float(ts_f[0]), float(ts_f[-1])
+        q_c = min(alg.order, 3)
+        if on_accel:
+            try:
+                u_init = _warm_start_jit(prob, ts, n_c, q_c, t0f, t1f, True)
+            except Exception:
+                u_init = None
+        if u_init is None:
+            u_init = _warm_start_jit(prob, ts, n_c, q_c, t0f, t1f, False)
+
+    from odefilters.parallel.windowed import _solve_windowed_jit
+
+    return _solve_windowed_jit(
+        prob, alg, ts, W, M, int(iterations), taylor_method, u_init,
+        block, u_init is not None,
     )
