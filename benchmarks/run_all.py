@@ -431,6 +431,20 @@ def tpu_main(quick=False):
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
+    # DiagonalEK1 grid kernel: same PDE, per-point gains (the stiff-PDE
+    # production path; covariance lifts to (q+1)^2 per-point fields)
+    run_br1d = jax.jit(
+        lambda: pk.solve_brusselator_ek1d_pallas(
+            70, (0.0, 0.01), 1000, q=3, save_every=50, dtype=jnp.float32
+        )[0]
+    )
+    t = _time(run_br1d, iters=5)
+    results["brusselator_2d_pallas_ek1d"] = {
+        "d_states": 2 * 70 * 70, "steps": 1000, "runtime_s": t,
+        "steps_per_sec": 1000 / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
     # adaptive per-lane-dt ensemble kernel (the realistic parameter-
     # inference workload: every member runs its own PI controller)
     run_ad = jax.jit(

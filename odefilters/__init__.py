@@ -18,7 +18,7 @@ Quick start::
     sol(2.5)         # dense output: Gaussian at t=2.5
 """
 
-from odefilters.algorithms import EK0, EK1, IEKS, AbstractEK
+from odefilters.algorithms import EK0, EK1, IEKS, AbstractEK, DiagonalEK1
 from odefilters.priors import IOUP, IWP, Matern
 from odefilters.linalg import Gaussian
 from odefilters.problem import ODEProblem, ode_problem, remake, rescale_time
@@ -60,6 +60,7 @@ __version__ = "0.1.0"
 __all__ = [
     "EK0",
     "EK1",
+    "DiagonalEK1",
     "IEKS",
     "AbstractEK",
     "Gaussian",

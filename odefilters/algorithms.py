@@ -93,6 +93,10 @@ class AbstractEK:
     def is_ek1(self) -> bool:
         return False
 
+    @property
+    def is_diagonal_ek1(self) -> bool:
+        return False
+
 
 @dataclasses.dataclass(frozen=True)
 class EK0(AbstractEK):
@@ -122,6 +126,44 @@ class EK1(AbstractEK):
 
     @property
     def is_ek1(self) -> bool:
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagonalEK1(EK1):
+    """EK1 with a *diagonal* first-order linearization, ``J -> diag(J)``.
+
+    The measurement operator ``H = (E1 - diag(J) E0) P^-1`` couples each ODE
+    dimension only to itself, so — like EK0 — the whole solve factorizes over
+    dimensions: covariances are per-dimension ``(q+1, q+1)`` factors and the
+    per-step cost is ``O(d q^3)`` instead of the full EK1's ``O((d(q+1))^3)``.
+    Unlike EK0, the linearization sees the local Jacobian diagonal, which
+    keeps the filter stable on stiff-but-weakly-coupled systems (each
+    dimension's own decay rate enters the gain), making it the practical
+    solver for large stiff systems where dense EK1 is unaffordable.
+
+    Not in the reference (v0.1.5 has only EK0/EK1); the algorithm is from
+    Kraemer, Bosch, Schmidt, Hennig: "Probabilistic ODE Solutions in
+    Millions of Dimensions" (ICML 2022), which later versions of the same
+    package ship as ``DiagonalEK1``. Runs on the dense path and on the
+    Kronecker per-dimension fast path (`odefilters/ops/kron.py`).
+
+    The Jacobian diagonal comes from ``prob.jac_diag`` (exact, O(d) for the
+    typical pointwise-reaction PDE), else ``diagonal(prob.jac(...))``, else
+    the ``jax.jacfwd`` diagonal (O(d^2) — fine for moderate d).
+
+    The MV (per-dimension) diffusion models ARE allowed — the paper pairs
+    diagonal linearization with per-dimension calibration; the structural
+    assert that rejects EK1 x MV (`src/diffusions.jl:96-101`) does not
+    apply because the per-dimension block structure is preserved.
+    """
+
+    def __post_init__(self):
+        # skip EK1's MV rejection; run AbstractEK validation only
+        AbstractEK.__post_init__(self)
+
+    @property
+    def is_diagonal_ek1(self) -> bool:
         return True
 
 

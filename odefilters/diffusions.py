@@ -98,11 +98,15 @@ def estimate_dynamic(z: jnp.ndarray, HQL: jnp.ndarray) -> jnp.ndarray:
 
 
 def estimate_dynamic_mv(z: jnp.ndarray, HQL: jnp.ndarray) -> jnp.ndarray:
-    """`MVDynamicDiffusion` (`diffusions.jl:83-112`), EK0 only: with
-    ``H Q H^T = q0 * I_d`` (q0 = its identical diagonal),
-    ``sigma_i^2 = max(z_i^2 / q0, eps)``."""
-    q0 = jnp.sum(HQL[..., 0, :] ** 2, axis=-1)  # first diagonal entry
-    s = z**2 / q0[..., None]
+    """`MVDynamicDiffusion` (`diffusions.jl:83-112`):
+    ``sigma_i^2 = max(z_i^2 / (H Q H^T)_ii, eps)``.
+
+    For EK0 ``H Q H^T = q0 I_d`` (every per-row norm identical —
+    the reference's closed form); DiagonalEK1 keeps H per-dimension
+    diagonal, so the same per-row statistic stays exact with a
+    dimension-dependent diagonal."""
+    q0 = jnp.sum(HQL**2, axis=-1)  # (..., d) diag of H Q H^T
+    s = z**2 / q0
     return jnp.maximum(s, jnp.finfo(z.dtype).eps)
 
 
@@ -120,10 +124,12 @@ def estimate_fixed_local(z: jnp.ndarray, S_chol: jnp.ndarray) -> jnp.ndarray:
 
 
 def estimate_fixed_mv_local(z: jnp.ndarray, S_chol: jnp.ndarray) -> jnp.ndarray:
-    """Per-step statistic of `MVFixedDiffusion` (`diffusions.jl:115-153`),
-    EK0 only: ``Sigma_ii = z_i^2 / S_11``."""
-    S_11 = jnp.sum(S_chol[..., 0, :] ** 2, axis=-1)
-    return z**2 / S_11[..., None]
+    """Per-step statistic of `MVFixedDiffusion` (`diffusions.jl:115-153`):
+    ``Sigma_ii = z_i^2 / S_ii`` — EK0 has ``S = S_11 I_d`` (the
+    reference's closed form); DiagonalEK1's S is diagonal with
+    dimension-dependent entries, read off the factor's row norms."""
+    S_ii = jnp.sum(S_chol**2, axis=-1)  # diag(S) from the tril factor
+    return z**2 / S_ii
 
 
 # --------------------------------------------------------------------------

@@ -66,7 +66,8 @@ def filter_fixed_grid(
     d = prob.d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_model(alg, prob.f, prob.jac, d, dtype,
-                       second_order=prob.second_order)
+                       second_order=prob.second_order,
+                       jac_diag=prob.jac_diag)
     if prior_scale is not None:
         if not model.is_iwp:
             # the scale is baked into the constant IWP factor only;

@@ -40,7 +40,8 @@ def _advance_one_accept(prob, alg, carry, abstol, reltol, max_steps, maxiters, d
     """Run loop-body attempts until exactly one step is accepted."""
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_model(alg, prob.f, prob.jac, prob.d, dtype,
-                       second_order=prob.second_order)
+                       second_order=prob.second_order,
+                       jac_diag=prob.jac_diag)
     cond, body = _make_loop_fns(
         model, prob, abstol, reltol, max_steps, maxiters, dtmin
     )
@@ -65,6 +66,7 @@ class Integrator:
         self._model = make_model(
             alg, prob.f, prob.jac, prob.d, dtype,
             second_order=prob.second_order,
+            jac_diag=prob.jac_diag,
         )
         if prob.second_order:
             from odefilters.taylor import initial_state_2nd

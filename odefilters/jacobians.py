@@ -14,6 +14,26 @@ import jax
 from odefilters.problem import ODEProblem, remake
 
 
+def resolve_jac_diag(f, jac=None, jac_diag=None):
+    """``(u, p, t) -> (d,)`` Jacobian-*diagonal* callable for
+    :class:`odefilters.algorithms.DiagonalEK1`.
+
+    Preference order: an exact user ``jac_diag`` (O(d) for pointwise
+    reaction terms), the diagonal of a user ``jac``, else the diagonal of
+    the ``jax.jacfwd`` Jacobian (O(d^2) — fine for moderate d; supply
+    ``jac_diag`` for PDE-scale states).
+    """
+    import jax.numpy as jnp
+
+    if jac_diag is not None:
+        return jac_diag
+    if jac is not None:
+        return lambda u, p, t: jnp.diagonal(jac(u, p, t))
+    return lambda u, p, t: jnp.diagonal(
+        jax.jacfwd(lambda uu: f(uu, p, t))(u)
+    )
+
+
 def remake_with_jac(prob: ODEProblem, mode: str = "fwd") -> ODEProblem:
     """Attach an autodiff Jacobian to the problem.
 

@@ -109,6 +109,16 @@ def _sol_u_std(x: KronGaussian, second_order: bool) -> jax.Array:
     return _block_std(x.chol, x.mean, 0)
 
 
+
+def _kron_jac_diag(prob, alg):
+    """Resolved (u, p, t) -> (d,) Jacobian diagonal for DiagonalEK1."""
+    if not alg.is_diagonal_ek1:
+        return None
+    from odefilters.jacobians import resolve_jac_diag
+
+    return resolve_jac_diag(prob.f, prob.jac, prob.jac_diag)
+
+
 @partial(jax.jit, static_argnames=("alg", "n_steps", "taylor_method"))
 def _solve_fixed_kron_jit(prob, alg, ts, abstol, reltol, n_steps, taylor_method):
     from odefilters.linalg import highest_precision
@@ -134,7 +144,8 @@ def _solve_fixed_kron_jit_inner(
     q = alg.order
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_kron_model(alg, prob.f, d, dtype,
-                            second_order=prob.second_order)
+                            second_order=prob.second_order,
+                            jac_diag=_kron_jac_diag(prob, alg))
 
     if prob.second_order:
         from odefilters.taylor import taylor_coefficients_2nd
@@ -149,7 +160,7 @@ def _solve_fixed_kron_jit_inner(
             method=taylor_method,
         )
     m0 = jnp.stack(derivs)  # (q+1, d)
-    if alg.diffusionmodel in ("dynamicMV",):
+    if alg.diffusionmodel in ("dynamicMV",) or alg.is_diagonal_ek1:
         L0 = jnp.zeros((d, q + 1, q + 1), dtype)
     else:
         L0 = jnp.zeros((q + 1, q + 1), dtype)
@@ -183,10 +194,11 @@ def _solve_fixed_kron_jit_inner(
             x_filt = KronGaussian(x_filt.mean, jnp.sqrt(final) * x_filt.chol)
         else:
             # per-dim rescale promotes the factor to (N, d, q+1, q+1)
+            # (DiagonalEK1 factors are per-dim already — scale in place)
+            L = (x_filt.chol if x_filt.chol.ndim == 4
+                 else x_filt.chol[:, None, :, :])
             x_filt = KronGaussian(
-                x_filt.mean,
-                jnp.sqrt(final)[None, :, None, None]
-                * x_filt.chol[:, None, :, :],
+                x_filt.mean, jnp.sqrt(final)[None, :, None, None] * L
             )
         diff_buf = jnp.broadcast_to(final, diff_buf.shape).astype(diff_buf.dtype)
         ll = jnp.asarray(jnp.nan, dtype)
@@ -198,7 +210,9 @@ def _solve_fixed_kron_jit_inner(
 
     n = jnp.asarray(n_steps, jnp.int32)
     stats = DEStats(
-        nf=n, njacs=jnp.zeros((), jnp.int32), naccept=n,
+        nf=n,
+        njacs=n if alg.is_diagonal_ek1 else jnp.zeros((), jnp.int32),
+        naccept=n,
         nreject=jnp.zeros((), jnp.int32),
     )
     return KronProbODESolution(
@@ -300,6 +314,9 @@ def _evaluate_one(sol: KronProbODESolution, tval):
     QLt_h = _apply_diff_chol(QLt, sigma2)
     p1, p1i = precond_small(h1, q)
     xf = KronGaussian(sol.x_filt.mean[ii], sol.x_filt.chol[ii])
+    if xf.chol.ndim == 3 and QLt_h.ndim == 2:
+        # per-dim factors (DiagonalEK1) with an isotropic diffusion
+        QLt_h = jnp.broadcast_to(QLt_h, xf.chol.shape)
     m_p = At @ (p1[:, None] * xf.mean)
     Lt_p = tril_factor(
         jnp.concatenate(
@@ -398,7 +415,8 @@ def _solve_adaptive_kron_impl(
     d, q = prob.d, alg.order
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_kron_model(alg, prob.f, d, dtype,
-                            second_order=prob.second_order)
+                            second_order=prob.second_order,
+                            jac_diag=_kron_jac_diag(prob, alg))
     t0, t1 = prob.tspan
     N1 = max_steps + 1
 
@@ -414,7 +432,7 @@ def _solve_adaptive_kron_impl(
             prob.f, prob.u0.astype(dtype), prob.p, t0, q, method=taylor_method
         )
     m0 = jnp.stack(derivs)
-    if alg.diffusionmodel == "dynamicMV":
+    if alg.diffusionmodel == "dynamicMV" or alg.is_diagonal_ek1:
         # per-dimension factors from step one (ops/kron.py dynamicMV path)
         L0 = jnp.zeros((d, q + 1, q + 1), dtype)
         L_buf = jnp.zeros((N1, d, q + 1, q + 1), dtype)
@@ -476,7 +494,8 @@ def _solve_adaptive_kron_impl(
             iters=c["iters"] + 1,
             failed=failed | c["failed"],
             stats=DEStats(
-                nf=st.nf + 1, njacs=st.njacs,
+                nf=st.nf + 1,
+                njacs=st.njacs + (1 if alg.is_diagonal_ek1 else 0),
                 naccept=st.naccept + accept.astype(jnp.int32),
                 nreject=st.nreject + (~accept).astype(jnp.int32),
             ),
@@ -500,11 +519,11 @@ def _solve_adaptive_kron_impl(
             L_cal = jnp.sqrt(final) * x_filt.chol
         else:
             # fixedMV: per-dim rescale promotes (N, q+1, q+1) factors to
-            # (N, d, q+1, q+1), as on the fixed-grid path
-            L_cal = (
-                jnp.sqrt(final)[None, :, None, None]
-                * x_filt.chol[:, None, :, :]
-            )
+            # (N, d, q+1, q+1), as on the fixed-grid path (DiagonalEK1
+            # factors are per-dim already — scale in place)
+            L = (x_filt.chol if x_filt.chol.ndim == 4
+                 else x_filt.chol[:, None, :, :])
+            L_cal = jnp.sqrt(final)[None, :, None, None] * L
         x_filt = KronGaussian(x_filt.mean, L_cal)
         diffs = jnp.broadcast_to(final, diffs.shape).astype(diffs.dtype)
         ll = jnp.asarray(jnp.nan, dtype)
@@ -543,8 +562,10 @@ def solve_adaptive_kron(
     carries per-dimension (d, q+1, q+1) factors — O(N d q^2) buffers, so
     prefer scalar models at extreme PDE scale).
     """
-    if alg.is_ek1:
-        raise ValueError("the Kronecker fast path requires EK0 structure")
+    if alg.is_ek1 and not alg.is_diagonal_ek1:
+        raise ValueError(
+            "the Kronecker fast path requires EK0 or DiagonalEK1 structure"
+        )
     from odefilters.solve import initial_dt
 
     t0, t1 = prob.tspan

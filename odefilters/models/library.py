@@ -152,11 +152,28 @@ def brusselator_2d_f_grids(N: int, alpha=None):
     return f_grids
 
 
+def brusselator_2d_jd_grids(N: int, alpha=None):
+    """Per-point Jacobian *diagonal* of the Brusselator stencil (for
+    DiagonalEK1): d(da)/da = 2ab - (A+1) - 4*alpha*scale,
+    d(db)/db = -a^2 - 4*alpha*scale — O(d), no Jacobian materialized."""
+    A_ = BRUSSELATOR_A
+    scale = float((N - 1) ** 2)
+
+    def jd_grids(fields, p, t):
+        a, b = fields
+        al = float(alpha) if alpha is not None else p
+        lap_diag = -4.0 * al * scale
+        return [2.0 * a * b - (A_ + 1.0) + lap_diag, -a * a + lap_diag]
+
+    return jd_grids
+
+
 def brusselator_2d(N: int = 16, tspan=(0.0, 1.0), alpha: float = 0.1) -> ODEProblem:
     """2D Brusselator reaction-diffusion, semi-discretized on an N x N
     periodic grid -> d = 2 N^2 states (BASELINE config 4: ~1e4 states with
     EK0 + Kronecker covariance)."""
     f_grids = brusselator_2d_f_grids(N)
+    jd_grids = brusselator_2d_jd_grids(N)
 
     def f(u, p, t):
         a = u[: N * N].reshape(N, N)
@@ -164,12 +181,18 @@ def brusselator_2d(N: int = 16, tspan=(0.0, 1.0), alpha: float = 0.1) -> ODEProb
         da, db = f_grids([a, b], p, t)
         return jnp.concatenate([da.ravel(), db.ravel()])
 
+    def jac_diag(u, p, t):
+        a = u[: N * N].reshape(N, N)
+        b = u[N * N :].reshape(N, N)
+        ja, jb = jd_grids([a, b], p, t)
+        return jnp.concatenate([ja.ravel(), jb.ravel()])
+
     key_x = jnp.linspace(0, 1, N)
     X, Y = jnp.meshgrid(key_x, key_x, indexing="ij")
     a0 = 22.0 * (Y * (1 - Y)) ** 1.5
     b0 = 27.0 * (X * (1 - X)) ** 1.5
     u0 = jnp.concatenate([a0.ravel(), b0.ravel()])
-    return ode_problem(f, u0, tspan, p=jnp.asarray(alpha))
+    return ode_problem(f, u0, tspan, p=jnp.asarray(alpha), jac_diag=jac_diag)
 
 
 def seir(

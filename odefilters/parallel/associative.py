@@ -257,11 +257,22 @@ def _solve_parallel_jit_inner(
     E1p = E1 * pinv_full[None, :]
 
     f_v = jax.vmap(lambda u, t: prob.f(u, prob.p, t))
-    jac_v = (
-        jax.vmap(lambda u, t: prob.jac(u, prob.p, t))
-        if prob.jac is not None
-        else jax.vmap(lambda u, t: jax.jacfwd(lambda uu: prob.f(uu, prob.p, t))(u))
-    )
+    if alg.is_diagonal_ek1:
+        # J -> diag(J): the dense (N, d, d) element build is unchanged,
+        # only the linearization is diagonal (the per-dim structure is NOT
+        # exploited here — the time-parallel elements are dense anyway)
+        from odefilters.jacobians import resolve_jac_diag
+
+        _jd = resolve_jac_diag(prob.f, prob.jac, prob.jac_diag)
+        jac_v = jax.vmap(lambda u, t: jnp.diag(_jd(u, prob.p, t)))
+    else:
+        jac_v = (
+            jax.vmap(lambda u, t: prob.jac(u, prob.p, t))
+            if prob.jac is not None
+            else jax.vmap(
+                lambda u, t: jax.jacfwd(lambda uu: prob.f(uu, prob.p, t))(u)
+            )
+        )
 
     t_meas = ts[1:]
 
@@ -515,7 +526,11 @@ def solve_fixed_parallel(
         # limit (measured: FHN h >= ~0.15), so cold start stays the EK1
         # default there — short-span/CPU configs converge in a handful of
         # Newton sweeps.
-        warm_start = 8 if (pallas_path or on_accel or not alg.is_ek1) else 0
+        # DiagonalEK1's off-diagonal couplings relinearize Picard-like
+        # (linear convergence, like EK0) — warm-start it too
+        warm_start = 8 if (
+            pallas_path or on_accel or not alg.is_ek1 or alg.is_diagonal_ek1
+        ) else 0
     u_init = None
     if warm_start:
         # Warm-start the linearization trajectory from a cheap coarse-grid

@@ -140,13 +140,22 @@ def _solve_windowed_inner(
     E1p = E1 * pinv_full[None, :]
 
     f_v = jax.vmap(lambda u, t: prob.f(u, prob.p, t))
-    jac_v = (
-        jax.vmap(lambda u, t: prob.jac(u, prob.p, t))
-        if prob.jac is not None
-        else jax.vmap(
-            lambda u, t: jax.jacfwd(lambda uu: prob.f(uu, prob.p, t))(u)
+    if alg.is_diagonal_ek1:
+        # J -> diag(J): the dense (N, d, d) element build is unchanged,
+        # only the linearization is diagonal (the per-dim structure is NOT
+        # exploited here — the time-parallel elements are dense anyway)
+        from odefilters.jacobians import resolve_jac_diag
+
+        _jd = resolve_jac_diag(prob.f, prob.jac, prob.jac_diag)
+        jac_v = jax.vmap(lambda u, t: jnp.diag(_jd(u, prob.p, t)))
+    else:
+        jac_v = (
+            jax.vmap(lambda u, t: prob.jac(u, prob.p, t))
+            if prob.jac is not None
+            else jax.vmap(
+                lambda u, t: jax.jacfwd(lambda uu: prob.f(uu, prob.p, t))(u)
+            )
         )
-    )
 
     def build_elements(u_lin, t_meas):
         fu = f_v(u_lin, t_meas)                            # (M, d)

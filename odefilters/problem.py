@@ -45,6 +45,9 @@ class ODEProblem:
     jac: Optional[Callable] = dataclasses.field(
         metadata=dict(static=True), default=None
     )
+    jac_diag: Optional[Callable] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
     analytic: Optional[Callable] = dataclasses.field(
         metadata=dict(static=True), default=None
     )
@@ -73,15 +76,21 @@ def remake(prob: ODEProblem, **changes) -> ODEProblem:
     return dataclasses.replace(prob, **changes)
 
 
-def ode_problem(f, u0, tspan, p=None, jac=None, analytic=None) -> ODEProblem:
-    """Convenience constructor with array coercion."""
+def ode_problem(f, u0, tspan, p=None, jac=None, jac_diag=None,
+                analytic=None) -> ODEProblem:
+    """Convenience constructor with array coercion.
+
+    ``jac_diag(u, p, t) -> (d,)``: optional exact Jacobian *diagonal* used
+    by :class:`odefilters.algorithms.DiagonalEK1` — O(d) for pointwise
+    reaction terms, where materializing ``jac`` would be O(d^2)."""
     u0 = jnp.asarray(u0)
     if u0.ndim != 1:
         raise ValueError(
             "Problems which are not vector-valued (e.g. u0 is a scalar "
             "or a matrix) are currently not supported"
         )
-    return ODEProblem(f=f, u0=u0, tspan=tuple(tspan), p=p, jac=jac, analytic=analytic)
+    return ODEProblem(f=f, u0=u0, tspan=tuple(tspan), p=p, jac=jac,
+                      jac_diag=jac_diag, analytic=analytic)
 
 
 def ode_problem_2nd(f, u0, du0, tspan, p=None, jac_u=None, jac_du=None) -> ODEProblem:

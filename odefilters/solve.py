@@ -546,7 +546,8 @@ def _solve_adaptive_impl_inner(
     d = prob.d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_model(alg, prob.f, prob.jac, d, dtype,
-                       second_order=prob.second_order)
+                       second_order=prob.second_order,
+                       jac_diag=prob.jac_diag)
     if prob.second_order:
         from odefilters.taylor import initial_state_2nd
 

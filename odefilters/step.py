@@ -50,6 +50,9 @@ class FilterModel:
     QL: jax.Array      # (D, D) preconditioned process-noise factor
     dtype: Any
     second_order: bool = False
+    # (u, p, t) -> (d,) exact Jacobian diagonal (DiagonalEK1 only); when
+    # None the diagonal is taken from ``jac`` / the jacfwd Jacobian
+    jac_diag: Optional[Callable] = None
 
     @property
     def D(self) -> int:
@@ -81,12 +84,13 @@ class FilterModel:
 
 
 def make_model(alg: AbstractEK, f, jac, d: int, dtype,
-               second_order: bool = False) -> FilterModel:
+               second_order: bool = False, jac_diag=None) -> FilterModel:
     if second_order and alg.order < 2:
         raise ValueError("second-order problems need solver order >= 2")
     A, QL = ibm(d, alg.order, dtype=dtype)
     return FilterModel(alg=alg, d=d, q=alg.order, f=f, jac=jac, A=A, QL=QL,
-                       dtype=dtype, second_order=second_order)
+                       dtype=dtype, second_order=second_order,
+                       jac_diag=jac_diag)
 
 
 @jax.tree_util.register_dataclass
@@ -104,16 +108,25 @@ class StepResult:
     S_chol: jax.Array         # (d, d) innovation factor
 
 
+def _jmul(J, X):
+    """``J @ X`` where J is a dense (d, d) Jacobian or a (d,) diagonal
+    (the DiagonalEK1 linearization — a row scaling, no matmul)."""
+    if J.ndim == 1:
+        return J[:, None] * X
+    return J @ X
+
+
 def _h_mul(M, J, pinv0, pinv1, d: int, is_ek1: bool):
     """``H @ M`` for ``H = (E1 - J E0) P^-1`` without forming H.
 
     ``M`` is (D, K); the preconditioner is block-constant so ``P^-1 M``
     restricted to blocks 0/1 is a scalar row scaling. EK0 drops the
-    Jacobian term (`perform_step.jl:125-127`).
+    Jacobian term (`perform_step.jl:125-127`); DiagonalEK1 passes J as a
+    (d,) diagonal.
     """
     out = pinv1 * M[..., d : 2 * d, :]
     if is_ek1:
-        out = out - J @ (pinv0 * M[..., :d, :])
+        out = out - _jmul(J, pinv0 * M[..., :d, :])
     return out
 
 
@@ -184,12 +197,18 @@ def attempt_step(
                     lambda dv: model.f(dv, u_pred, p_params, t_new)
                 )(du_pred)
             )
+            if alg.is_diagonal_ek1:
+                # diagonal linearization of BOTH partial Jacobians
+                if J_u.ndim == 2:
+                    J_u = jnp.diagonal(J_u)
+                if J_du.ndim == 2:
+                    J_du = jnp.diagonal(J_du)
 
         def Hmul(M):
             out = pinv_s[2] * M[..., 2 * d : 3 * d, :]
             if alg.is_ek1:
-                out = out - J_du @ (pinv_s[1] * M[..., d : 2 * d, :])
-                out = out - J_u @ (pinv_s[0] * M[..., :d, :])
+                out = out - _jmul(J_du, pinv_s[1] * M[..., d : 2 * d, :])
+                out = out - _jmul(J_u, pinv_s[0] * M[..., :d, :])
             return out
 
     else:
@@ -199,10 +218,14 @@ def attempt_step(
         J = None
         if alg.is_ek1:
             u_lin = u_pred if linearize_u is None else linearize_u(t_new)
-            if model.jac is not None:
+            if alg.is_diagonal_ek1 and model.jac_diag is not None:
+                J = model.jac_diag(u_lin, p_params, t_new)  # (d,)
+            elif model.jac is not None:
                 J = model.jac(u_lin, p_params, t_new)
             else:
                 J = jax.jacfwd(lambda u: model.f(u, p_params, t_new))(u_lin)
+            if alg.is_diagonal_ek1 and J.ndim == 2:
+                J = jnp.diagonal(J)  # J -> diag(J), the ICML-2022 trick
 
         def Hmul(M):
             return _h_mul(M, J, pinv_s[0], pinv_s[1], d, alg.is_ek1)

@@ -680,6 +680,36 @@ def test_pallas_kron_grid_matches_kronsolve_interpret():
     np.testing.assert_allclose(float(ll), float(sk.log_likelihood), rtol=1e-6)
 
 
+def test_pallas_kron_grid_ek1d_matches_kronsolve_interpret():
+    """The DiagonalEK1 grid kernel (per-point covariance fields, diagonal
+    gain) reproduces the XLA per-dimension Kronecker path: means, per-point
+    stds, and the log-likelihood."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.kronsolve import solve_fixed_kron
+    from odefilters.ops import pallas_kernels as pk
+
+    N, T = 8, 20
+    prob = odf.models.brusselator_2d(N=N, tspan=(0.0, 0.001))
+    with pltpu.force_tpu_interpret_mode():
+        us, var, ll = pk.solve_brusselator_ek1d_pallas(
+            N, (0.0, 0.001), T, q=3, save_every=5
+        )
+    sk = solve_fixed_kron(
+        prob, odf.DiagonalEK1(order=3, smooth=False), dt=0.001 / T
+    )
+    for r in range(5):
+        np.testing.assert_allclose(
+            np.asarray(us[r]).reshape(-1), np.asarray(sk.u[r * 5]),
+            rtol=1e-9, atol=1e-12,
+        )
+    np.testing.assert_allclose(
+        np.asarray(var[1:]).reshape(4, -1) ** 0.5,
+        np.asarray(sk.u_std[5::5]), rtol=1e-4,
+    )
+    np.testing.assert_allclose(float(ll), float(sk.log_likelihood), rtol=1e-6)
+
+
 def test_continuous_callback_terminal_event():
     """Event location: a terminal threshold crossing is located to solver
     accuracy (bisection on the probabilistic dense-output mean) and the
