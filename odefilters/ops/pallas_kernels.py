@@ -5110,6 +5110,432 @@ def solve_ensemble_ek1_adaptive_pallas(
     )
 
 
+def _auto_jac_diag(f: Callable) -> Callable:
+    """In-kernel Jacobian *diagonal* from d forward-mode JVPs (the b-th
+    one-hot tangent's b-th output component). O(d) JVPs like
+    :func:`_auto_jac`; pass an exact ``jac_diag`` for O(d) total cost on
+    pointwise reaction terms (`odefilters/jacobians.py:17-34`)."""
+
+    def jd(u, p, t):
+        dd = u.shape[0]
+        diag = []
+        for b in range(dd):
+            tangent = jnp.stack(
+                [jnp.ones_like(u[b]) if i == b else jnp.zeros_like(u[b])
+                 for i in range(dd)]
+            )
+            _, col = jax.jvp(lambda uu: f(uu, p, t), (u,), (tangent,))
+            diag.append(col[b])                 # J[b, b]
+        return jnp.stack(diag)                  # (d[, batch...])
+
+    return jd
+
+
+def _ek1d_adaptive_kernel(
+    m0_ref, p_ref, dt0_ref, us_ref, std_ref, ll_ref, nacc_ref, nrej_ref,
+    fail_ref, *,
+    f: Callable, jac_diag: Callable, At: np.ndarray, Qt: np.ndarray,
+    S: int, dt_save: float, t0: float, d: int, nq: int,
+    abstol: float, reltol: float, max_iters: int, dtmin: float,
+    beta1: float, beta2: float, cheb=None,
+):
+    """Per-lane adaptive DiagonalEK1(dynamic): d independent
+    scalar-measurement Kalman filters per member, each with its own
+    (q+1, q+1) covariance and measurement row
+    ``h_j = pinv1 e_1 - J_jj pinv0 e_0`` (diagonal linearization, Kraemer
+    et al. ICML 2022; per-dim semantics ``ops/kron.py
+    _kron_attempt_step_diag``). O(d q^2) state and work per step — EK1
+    stiffness robustness at near-EK0 cost — sharing the barrier/save-grid
+    and PI-controller machinery of `_ek0_adaptive_kernel`."""
+    q_half = nq - 1 + 0.5
+
+    def _is0(x):
+        return isinstance(x, float) and x == 0.0
+
+    h0 = dt0_ref[0]
+    zero = jnp.zeros_like(h0)
+    one = zero + 1.0
+
+    # carry is UNPRECONDITIONED (see _ek0_adaptive_kernel): one mean list
+    # plus d per-dimension covariance lists
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    C = [[[zero for _ in range(nq)] for _ in range(nq)] for _ in range(d)]
+    p_block = p_ref[:]
+
+    for j in range(d):
+        us_ref[0, j] = m0_ref[0, j]
+        std_ref[0, j] = zero
+    u_prev = [m0_ref[0, j] for j in range(d)]
+
+    def cond(carry):
+        seg, iters = carry[0], carry[1]
+        return (seg < S) & (iters < max_iters)
+
+    def body(carry):
+        (seg, iters, t, dt, qold, ll, nacc, nrej, failed,
+         m, C, u_prev) = carry
+        dtype = zero.dtype
+        t_save = jnp.asarray(t0, dtype) + jnp.asarray(dt_save, dtype) * (
+            seg.astype(dtype) + 1.0
+        )
+        not_failed = failed < 0.5
+        active = (t < t_save) & not_failed
+        remaining = t_save - t
+        hit_save = dt >= remaining
+        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), one)
+
+        # -- precondition at this attempt's h (fresh from canonical) --
+        lh = jnp.log(dt_eff)
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        mh = [[m[i][j] * ps_[i] for j in range(d)] for i in range(nq)]
+        Chs = [
+            [[C[j][i][l] * (ps_[i] * ps_[l]) for l in range(nq)]
+             for i in range(nq)]
+            for j in range(d)
+        ]
+        pinv0 = jnp.exp(q_half * lh)
+        pinv1 = jnp.exp((q_half - 1.0) * lh)
+        if cheb is None:
+            Atl = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
+            Qtl = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
+        else:
+            Atl, _, Qtl = _cheb_transition_lists(cheb, lh, nq)
+
+        # -- predict mean; linearize --
+        mp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [Atl[i][l] * mh[l][j] for l in range(nq)
+                     if not _is0(Atl[i][l])],
+                )
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        t_new = jnp.where(hit_save, t_save, t + dt_eff)
+        u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
+        du = f(u_pred, p_block, t_new)
+        jd = jac_diag(u_pred, p_block, t_new)       # (d, sub, lane)
+        z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+
+        # h_j C h_j^T for the per-dim row h_j = pinv1 e1 - jd_j pinv0 e0
+        def h_quad(M, j):
+            return (
+                pinv1 * pinv1 * M[1][1]
+                - 2.0 * jd[j] * pinv0 * pinv1 * M[0][1]
+                + jd[j] * jd[j] * pinv0 * pinv0 * M[0][0]
+            )
+
+        # dynamic diffusion: sigma^2 = mean_j z_j^2 / (h_j Q h_j^T)
+        hq = [h_quad(Qtl, j) for j in range(d)]
+        s2 = functools.reduce(
+            lambda a, b: a + b, [z[j] * z[j] / hq[j] for j in range(d)]
+        ) / d
+
+        # -- per-dim predict cov + scalar-measurement update --
+        m_new = [[None] * d for _ in range(nq)]
+        C_new = []
+        s_list, err_acc = [], zero
+        for j in range(d):
+            Ch = Chs[j]
+            tmp = [
+                [
+                    functools.reduce(
+                        lambda a, b: a + b,
+                        [Atl[i][a] * Ch[a][b] for a in range(nq)
+                         if not _is0(Atl[i][a])],
+                    )
+                    for b in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            Cp = [
+                [
+                    functools.reduce(
+                        lambda a, b: a + b,
+                        [tmp[i][b] * Atl[l][b] for b in range(nq)
+                         if not _is0(Atl[l][b])],
+                    )
+                    + Qtl[i][l] * s2
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            s = h_quad(Cp, j)
+            s_list.append(s)
+            inv_s = 1.0 / s
+            # kg_i = (Cp h_j)_i / s
+            kg = [
+                (pinv1 * Cp[i][1] - jd[j] * pinv0 * Cp[i][0]) * inv_s
+                for i in range(nq)
+            ]
+            for i in range(nq):
+                m_new[i][j] = mp[i][j] - kg[i] * z[j]
+            C_new.append(
+                [[Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
+                 for i in range(nq)]
+            )
+
+        maha = functools.reduce(
+            lambda a, b: a + b, [z[j] * z[j] / s_list[j] for j in range(d)]
+        )
+        logdet = functools.reduce(
+            lambda a, b: a + b,
+            [jnp.log(jnp.maximum(s_list[j], 1e-30)) for j in range(d)],
+        )
+        ll_inc = -0.5 * (maha + logdet + d * _LOG_2PI)
+        u_filt = [pinv0 * m_new[0][j] for j in range(d)]
+
+        # -- error estimate: err_j = dt sqrt(s2 hq_j) / sc_j --
+        for j in range(d):
+            sc = abstol + reltol * jnp.maximum(
+                jnp.abs(u_prev[j]), jnp.abs(u_filt[j])
+            )
+            r = dt_eff * jnp.sqrt(jnp.maximum(s2 * hq[j], 0.0)) / sc
+            err_acc = err_acc + r * r
+        EEst = jnp.sqrt(err_acc / d)
+        EEst = jnp.where(jnp.isfinite(EEst), EEst, 1e10)
+        accept = active & (EEst <= 1.0)
+
+        # -- per-lane PI controller (OrdinaryDiffEq constants) --
+        eg = jnp.maximum(EEst, 1e-35)
+        leg = jnp.log(eg)
+        q11 = jnp.exp(beta1 * leg)
+        qq = q11 * jnp.exp(-beta2 * jnp.log(jnp.maximum(qold, 1e-35)))
+        qq = jnp.maximum(1.0 / _QMAX, jnp.minimum(1.0 / _QMIN, qq / _GAMMA))
+        dt_acc = dt_eff / qq
+        last_seg = seg >= S - 1
+        dt_acc = jnp.where(hit_save & ~last_seg, jnp.maximum(dt_acc, dt), dt_acc)
+        qold_acc = jnp.maximum(EEst, _QOLDINIT)
+        dt_rej = dt_eff / jnp.minimum(1.0 / _QMIN, q11 / _GAMMA)
+        dt_new = jnp.where(accept, dt_acc, dt_rej)
+        newly_failed = active & ~hit_save & (
+            (dt_new < dtmin) | (accept & (t_new <= t))
+        )
+        failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
+        not_failed = failed < 0.5
+
+        # -- un-precondition, then masked commits --
+        m_new = [[m_new[i][j] / ps_[i] for j in range(d)] for i in range(nq)]
+        C_new = [
+            [[C_new[j][i][l] / (ps_[i] * ps_[l]) for l in range(nq)]
+             for i in range(nq)]
+            for j in range(d)
+        ]
+        m = [
+            [jnp.where(accept, m_new[i][j], m[i][j]) for j in range(d)]
+            for i in range(nq)
+        ]
+        C = [
+            [[jnp.where(accept, C_new[j][i][l], C[j][i][l])
+              for l in range(nq)] for i in range(nq)]
+            for j in range(d)
+        ]
+        t = jnp.where(accept, t_new, t)
+        dt = jnp.where(active & not_failed, dt_new, dt)
+        qold = jnp.where(accept, qold_acc, qold)
+        ll = jnp.where(accept, ll + ll_inc, ll)
+        u_prev = [jnp.where(accept, u_filt[j], u_prev[j]) for j in range(d)]
+        nacc = nacc + jnp.where(accept, one, zero)
+        nrej = nrej + jnp.where(active & ~accept, one, zero)
+        t = jnp.where(not_failed, t, zero + jnp.asarray(1e30, zero.dtype))
+
+        seg_done = jnp.min(jnp.where(t >= t_save, one, zero)) > 0.5
+
+        @pl.when(seg_done)
+        def _():
+            seg1 = seg + jnp.ones((), seg.dtype)
+            for j in range(d):
+                us_ref[seg1, j] = m[0][j]
+                std_ref[seg1, j] = jnp.sqrt(jnp.maximum(C[j][0][0], 0.0))
+
+        seg = jnp.where(seg_done, seg + 1, seg)
+        return (seg, iters + 1, t, dt, qold, ll, nacc, nrej, failed,
+                m, C, u_prev)
+
+    init = (
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        zero + jnp.asarray(t0, zero.dtype), h0,
+        zero + _QOLDINIT, zero, zero, zero,
+        jnp.zeros_like(h0), m, C, u_prev,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    ll_ref[...] = out[5]
+    nacc_ref[...] = out[6]
+    nrej_ref[...] = out[7]
+    fail_ref[...] = jnp.where(
+        (out[8] > 0.5) | (out[0] < S),
+        jnp.ones_like(out[5]), jnp.zeros_like(out[5]),
+    )
+
+
+@_no_x64
+def ek1d_adaptive_filter(
+    f: Callable,
+    jac_diag: Optional[Callable],
+    m0: jax.Array,      # (q+1, d, B)
+    ps: jax.Array,      # (n_params, B)
+    dt0s: jax.Array,    # (B,)
+    t0: float,
+    t1: float,
+    n_save: int,
+    q: int,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 100_000,
+    dtmin: Optional[float] = None,
+    prior=None,
+    mesh=None,
+):
+    """Adaptive-step fused DiagonalEK1(dynamic) ensemble filter.
+
+    Like :func:`ek0_adaptive_filter` but with the diagonal-linearization
+    EK1 per member (``J -> diag(J)``, `odefilters/algorithms.py`
+    DiagonalEK1): d independent per-dimension (q+1, q+1) filters, exact
+    per-dim semantics of the Kronecker path (`ops/kron.py
+    _kron_attempt_step_diag`). ``jac_diag=None`` derives the diagonal
+    in-kernel from d JVPs. Returns ``(us, stds, lls, nacc, nrej, failed)``
+    with per-dimension stds (S+1, d, B).
+    """
+    if jac_diag is None:
+        jac_diag = _auto_jac_diag(f)
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_, dt0_: ek1d_adaptive_filter(
+                f, jac_diag, m0_, ps_, dt0_, t0, t1, n_save, q,
+                abstol=abstol, reltol=reltol, max_iters=max_iters,
+                dtmin=dtmin, prior=prior,
+            ),
+            (m0, ps, dt0s), in_axes=(2, 1, 0),
+            out_axes=(2, 2, 0, 0, 0, 0),
+        )
+
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    S = int(n_save)
+    dt_save = (float(t1) - float(t0)) / S
+    if dtmin is None:
+        span = float(t1) - float(t0)
+        eps = float(jnp.finfo(m0.dtype).eps)
+        dtmin = max(1e-14 * span, 4.0 * eps * span)
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    Qt_np = QLt_np @ QLt_np.T
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    cheb = None
+    if prior is not None:
+        from odefilters.priors import (
+            IWP, chebyshev_transition_fit, normalize_prior,
+        )
+
+        if not isinstance(normalize_prior(prior), IWP):
+            cheb = chebyshev_transition_fit(
+                prior, q, float(dtmin), float(t1) - float(t0)
+            )
+
+    m0_b = m0.reshape(nq, d, nb, _SUB, _LANE).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    dt0_b = dt0s.reshape(nb, 1, _SUB, _LANE)
+
+    kernel = functools.partial(
+        _ek1d_adaptive_kernel,
+        f=f, jac_diag=jac_diag,
+        At=At_np.astype(fdtype), Qt=Qt_np.astype(fdtype),
+        S=S, dt_save=dt_save, t0=float(t0), d=d, nq=nq,
+        abstol=float(abstol), reltol=float(reltol),
+        max_iters=int(max_iters), dtmin=float(dtmin),
+        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
+    )
+
+    def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
+              nr_blk, fl_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            dt0_blk.at[jnp.int32(0)],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)], na_blk.at[jnp.int32(0)],
+            nr_blk.at[jnp.int32(0)], fl_blk.at[jnp.int32(0)],
+        )
+
+    lane = lambda: pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    us, stds, lls, nacc, nrej, fail = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            lane(), lane(), lane(), lane(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        ],
+    )(m0_b, ps_b, dt0_b)
+
+    us = us.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    stds = stds.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    return (us, stds, lls.reshape(B), nacc.reshape(B), nrej.reshape(B),
+            fail.reshape(B))
+
+
+def solve_ensemble_ek1d_adaptive_pallas(
+    prob_f: Callable,
+    prob_jac_diag: Optional[Callable],
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_save: int,
+    q: int = 3,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 100_000,
+    prior=None,
+    mesh=None,
+):
+    """Taylor-init + per-lane-adaptive fused DiagonalEK1 kernel."""
+    from odefilters.problem import ode_problem
+    from odefilters.solve import initial_dt
+    from odefilters.taylor import taylor_coefficients
+
+    t0, t1 = tspan
+    B, d = u0s.shape
+
+    def init_one(u0, p):
+        m = jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+        pr = ode_problem(prob_f, u0, tspan, p=p)
+        return m, initial_dt(pr, q, abstol, reltol)
+
+    m0, dt0s = jax.vmap(init_one)(u0s, ps)
+    m0 = m0.transpose(1, 2, 0)
+    return ek1d_adaptive_filter(
+        prob_f, prob_jac_diag, m0, ps.T, dt0s, float(t0), float(t1),
+        n_save, q, abstol=abstol, reltol=reltol, max_iters=max_iters,
+        prior=prior, mesh=mesh,
+    )
+
+
 def solve_adaptive_pallas_single(
     prob_f: Callable,
     u0: jax.Array,

@@ -829,6 +829,57 @@ def test_pallas_ek1_adaptive_matches_driver_interpret():
         )
 
 
+def test_pallas_ek1d_adaptive_matches_driver_interpret():
+    """Per-lane adaptive DiagonalEK1 kernel vs the XLA adaptive driver with
+    tstops on the same save grid. The per-dimension scalar-measurement
+    algebra is the same closed form on both paths (`ops/kron.py
+    _kron_attempt_step_diag`), so — like EK0, unlike dense EK1 — the
+    accept/reject sequences are identical and trajectories match to
+    roundoff; per-dimension filtered stds match the driver's projected
+    posterior."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, S = pk.BLOCK, 8
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, lls, nacc, nrej, fail = pk.solve_ensemble_ek1d_adaptive_pallas(
+            prob.f, None, u0s, ps, prob.tspan, S, q=3,
+            abstol=1e-8, reltol=1e-6,
+        )
+    assert int(jnp.sum(fail)) == 0
+
+    grid = np.linspace(0.0, 2.0, S + 1)
+    for idx in [0, 300]:
+        pr = odf.remake(prob, u0=u0s[idx], p=ps[idx])
+        sol = odf.solve(
+            pr, odf.DiagonalEK1(order=3, smooth=False),
+            abstol=1e-8, reltol=1e-6, tstops=jnp.asarray(grid[1:-1]),
+        )
+        n = int(sol.n_steps)
+        assert int(nacc[idx]) == n  # identical step sequence
+        ts = np.asarray(sol.ts[: n + 1])
+        pu_std = np.asarray(sol.pu.std[: n + 1])
+        for si, tg in enumerate(grid):
+            j = int(np.argmin(np.abs(ts - tg)))
+            assert abs(ts[j] - tg) < 1e-12
+            np.testing.assert_allclose(
+                np.asarray(us[si, :, idx]), np.asarray(sol.u[j]),
+                rtol=1e-9, atol=1e-11,
+            )
+            np.testing.assert_allclose(
+                np.asarray(stds[si, :, idx]), pu_std[j], rtol=1e-6, atol=1e-11
+            )
+        np.testing.assert_allclose(
+            float(lls[idx]), float(sol.log_likelihood), rtol=1e-3
+        )
+
+
 def test_pallas_single_solve_wrapper_interpret():
     """solve_adaptive_pallas_single == the adaptive driver with tstops on
     the same save grid (all lanes identical; member 0 read back)."""
@@ -1137,11 +1188,17 @@ def test_pallas_adaptive_generalized_prior_interpret():
             prob.f, prob.jac, u0s, ps, prob.tspan, S, q=2,
             abstol=1e-8, reltol=1e-6, prior=prior,
         )
+        usd, _, _, naccd, _, faild = pk.solve_ensemble_ek1d_adaptive_pallas(
+            prob.f, None, u0s, ps, prob.tspan, S, q=2,
+            abstol=1e-8, reltol=1e-6, prior=prior,
+        )
     assert int(jnp.sum(fail0)) == 0 and int(jnp.sum(fail1)) == 0
+    assert int(jnp.sum(faild)) == 0
 
     for alg, us, nacc in [
         (odf.EK0(order=2, prior=prior, smooth=False), us0, nacc0),
         (odf.EK1(order=2, prior=prior, smooth=False), us1, nacc1),
+        (odf.DiagonalEK1(order=2, prior=prior, smooth=False), usd, naccd),
     ]:
         sol = odf.solve(
             prob, alg, abstol=1e-8, reltol=1e-6,

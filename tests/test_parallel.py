@@ -442,6 +442,17 @@ def test_pallas_adaptive_sharded_bitexact():
     assert not np.any(np.asarray(out_sh[5]))  # no failed lanes
     for a_sh, a in zip(out_sh, out):
         np.testing.assert_array_equal(np.asarray(a_sh), np.asarray(a))
+    # DiagonalEK1 adaptive kernel: same mesh, same bit-exactness contract
+    with pltpu.force_tpu_interpret_mode():
+        outd_sh = pk.solve_ensemble_ek1d_adaptive_pallas(
+            prob.f, None, u0s, ps, prob.tspan, mesh=mesh, **kw
+        )
+        outd = pk.solve_ensemble_ek1d_adaptive_pallas(
+            prob.f, None, u0s, ps, prob.tspan, **kw
+        )
+    assert not np.any(np.asarray(outd_sh[5]))
+    for a_sh, a in zip(outd_sh, outd):
+        np.testing.assert_array_equal(np.asarray(a_sh), np.asarray(a))
 
 
 def test_pallas_datalik_sharded_bitexact_and_grad():
