@@ -476,6 +476,21 @@ def tpu_main(quick=False):
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
+    # DiagonalEK1 adaptive ensemble kernel: EK1-style linearization at
+    # near-EK0 per-dim cost (d JVP diagonals in-kernel)
+    run_ad1d = jax.jit(
+        lambda u, p: pk.solve_ensemble_ek1d_adaptive_pallas(
+            prob.f, None, u, p, prob.tspan, 20, q=3,
+            abstol=1e-6, reltol=1e-4, max_iters=20_000,
+        )[0]
+    )
+    t = _time(run_ad1d, u0s, ps, iters=5)
+    results["ensemble_8192_pallas_adaptive_ek1d"] = {
+        "B": B, "save_points": 20, "runtime_s": t,
+        "solves_per_sec": B / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
     # gradient of the per-member log-likelihood through the fused filter
     # (custom VJP; backward pass is a second Pallas kernel)
     def loss(m0_, ps_):

@@ -1207,6 +1207,8 @@ def ensemble_data_loglik_pallas(
     jac=None,
     second_order: bool = False,
     calib_grad: bool = True,
+    diagonal_ek1: bool = False,
+    jac_diag=None,
 ):
     """Per-member marginal data log-likelihood from one fused kernel.
 
@@ -1232,6 +1234,13 @@ def ensemble_data_loglik_pallas(
     * ``ek1=True``: the full D x D square-root EK1(dynamic) filter with
       joint noisy updates (Joseph square-root form) — stiff inference
       problems and dense observation operators. ``jac`` optional.
+    * ``diagonal_ek1=True``: DiagonalEK1 on the per-dimension kernel —
+      stiff-but-weakly-coupled inference at EK0's per-dim cost
+      (`algorithms.DiagonalEK1`; the ODE step linearizes on the
+      Jacobian diagonal, ``jac_diag`` optional — derived from d
+      in-kernel JVPs if omitted). Same observation models as the EK0
+      per-dim path: (scaled) one-hot ``obs_matrix`` rows, per-dimension
+      noise, per-member observation sets.
     * ``second_order=True``: u'' = f(du, u, p, t) with
       ``u0s = [u0 | du0]``; full-state observations of u only.
 
@@ -1263,7 +1272,8 @@ def ensemble_data_loglik_pallas(
                 prob_f, u0s_, ps_, tspan, n_steps, ts_data, ys_,
                 obs_noise_std, q=q, prior=prior, obs_matrix=obs_matrix,
                 ek1=ek1, jac=jac, second_order=second_order,
-                calib_grad=calib_grad,
+                calib_grad=calib_grad, diagonal_ek1=diagonal_ek1,
+                jac_diag=jac_diag,
             ),
             (u0s, ps, ys_m),
             in_axes=(0, 0, 0 if ys_m.ndim == 3 else None),
@@ -1341,8 +1351,11 @@ def ensemble_data_loglik_pallas(
     ).transpose(2, 0, 1, 3, 4)
     ps_b = ps.T.reshape(ps.shape[1], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
 
+    if ek1 and diagonal_ek1:
+        raise ValueError("pass ek1=True OR diagonal_ek1=True, not both")
     iso = (
-        not ek1 and not y_batched and C_np is None and r_std.ndim == 0
+        not ek1 and not diagonal_ek1
+        and not y_batched and C_np is None and r_std.ndim == 0
     )
     if second_order and not iso:
         raise NotImplementedError(
@@ -1377,23 +1390,26 @@ def ensemble_data_loglik_pallas(
         )
         return dll.reshape(B), ll.reshape(B)
 
-    # EK0 per-dim path: (scaled) one-hot observation rows only
+    # per-dim path (EK0 or DiagonalEK1): (scaled) one-hot obs rows only
     C_sel = np.eye(d) if C_np is None else C_np
     obs_dims, obs_scales = [], []
     for a in range(d_obs):
         nz = np.nonzero(C_sel[a])[0]
         if nz.size != 1:
             raise ValueError(
-                "EK0 partial observations require (scaled) one-hot "
-                "obs_matrix rows (each row observes one state dimension); "
-                "use ek1=True for dense observation operators"
+                "EK0/DiagonalEK1 partial observations require (scaled) "
+                "one-hot obs_matrix rows (each row observes one state "
+                "dimension); use ek1=True for dense observation operators"
             )
         obs_dims.append(int(nz[0]))
         obs_scales.append(float(C_sel[a, nz[0]]))
+    jd_fn = None
+    if diagonal_ek1:
+        jd_fn = jac_diag if jac_diag is not None else _auto_jac_diag(prob_f)
     dll, ll = _ek0_datalik_pd_vjp(
         prob_f, q, float(dt), float(t0), prior, seg_lens,
         tuple(obs_dims), tuple(obs_scales), tuple(float(r) for r in r2_vec),
-        y_batched, not calib_grad, m0_p, ps_b, y_arr,
+        y_batched, not calib_grad, jd_fn, m0_p, ps_b, y_arr,
     )
     return dll.reshape(B), ll.reshape(B)
 
@@ -1506,6 +1522,111 @@ def _ek0_pd_step_lists(
     return m_new, C_new, ll_inc
 
 
+def _ek1d_pd_step_lists(
+    m, C, p_block, t_new, *,
+    f: Callable, jac_diag: Callable, At: np.ndarray, Qt: np.ndarray,
+    pinv0: float, pinv1: float, d: int, nq: int,
+    stop_calib: bool = False,
+):
+    """One DiagonalEK1(dynamic) step with PER-DIMENSION covariances.
+
+    Same contract as `_ek0_pd_step_lists`, but the measurement row sees
+    the Jacobian diagonal: ``h_j = pinv1 e_1 - J_jj pinv0 e_0`` (diagonal
+    linearization, Kraemer et al. ICML 2022; per-dim semantics of
+    `ops/kron.py _kron_attempt_step_diag` / the dense DiagonalEK1 path).
+    ``jac_diag(u, p, t) -> (d,...)`` — exact or JVP-derived.
+    """
+    mp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [At[i, l] * m[l][j] for l in range(nq) if At[i, l] != 0.0],
+            )
+            for j in range(d)
+        ]
+        for i in range(nq)
+    ]
+    u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
+    du = f(u_pred, p_block, t_new)
+    jd = jac_diag(u_pred, p_block, t_new)
+    z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+
+    # h_j M h_j^T for h_j = pinv1 e_1 - jd_j pinv0 e_0 (M symmetric)
+    def h_quad(M, j):
+        return (
+            pinv1 * pinv1 * M[1][1]
+            - 2.0 * jd[j] * (pinv0 * pinv1) * M[0][1]
+            + jd[j] * jd[j] * (pinv0 * pinv0) * M[0][0]
+        )
+
+    Qtl = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
+    hq = [h_quad(Qtl, j) for j in range(d)]
+    s2 = functools.reduce(
+        lambda a, b: a + b, [z[j] * z[j] / hq[j] for j in range(d)]
+    ) / d
+    if stop_calib:
+        s2 = jax.lax.stop_gradient(s2)
+
+    m_new = [[None] * d for _ in range(nq)]
+    C_new = [None] * d
+    ll_inc = None
+    for j in range(d):
+        Cj = C[j]
+        tmp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, a] * Cj[a][b] for a in range(nq) if At[i, a] != 0.0],
+                )
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        Cp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [tmp[i][b] * At[l, b] for b in range(nq) if At[l, b] != 0.0],
+                )
+                + Qt[i, l] * s2
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        s = h_quad(Cp, j)
+        inv_s = 1.0 / s
+        kg = [
+            (pinv1 * Cp[i][1] - jd[j] * pinv0 * Cp[i][0]) * inv_s
+            for i in range(nq)
+        ]
+        for i in range(nq):
+            m_new[i][j] = mp[i][j] - kg[i] * z[j]
+        C_new[j] = [
+            [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
+            for i in range(nq)
+        ]
+        inc = -0.5 * (
+            z[j] * z[j] * inv_s
+            + jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI
+        )
+        ll_inc = inc if ll_inc is None else ll_inc + inc
+    return m_new, C_new, ll_inc
+
+
+def _pd_step_fn(jac_diag, f, At, Qt, pinv0, pinv1, d, nq, stop_calib=False):
+    """Select the per-dim ODE-step closure: EK0 (``jac_diag=None``) or
+    DiagonalEK1 — shared by the pd datalik kernel and its VJP pair."""
+    if jac_diag is None:
+        return functools.partial(
+            _ek0_pd_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0,
+            pinv1=pinv1, d=d, nq=nq, stop_calib=stop_calib,
+        )
+    return functools.partial(
+        _ek1d_pd_step_lists, f=f, jac_diag=jac_diag, At=At, Qt=Qt,
+        pinv0=pinv0, pinv1=pinv1, d=d, nq=nq, stop_calib=stop_calib,
+    )
+
+
 def _ek0_pd_data_update(
     m, C, y_row, *, obs_dims, obs_scales, r2s, pinv0, nq,
 ):
@@ -1542,6 +1663,7 @@ def _ek0_datalik_pd_kernel(
     pinv0: float, pinv1: float, seg_lens: tuple,
     obs_dims: tuple, obs_scales: tuple, r2s: tuple,
     dt: float, t0: float, d: int, nq: int, y_batched: bool,
+    jac_diag: Optional[Callable] = None,
 ):
     """Statically segmented per-dim EK0 filter + partial-obs data updates.
 
@@ -1549,6 +1671,8 @@ def _ek0_datalik_pd_kernel(
     or a (n_obs, d_obs, 8, 128) VMEM block when per-member
     (``y_batched``). Static segment bounds keep every observation access
     a static index (dynamic SMEM reads compile ~100x slower in Mosaic).
+    ``jac_diag``: switches the ODE step to DiagonalEK1 (same per-dim
+    structure — the data update is linearization-agnostic).
     """
     m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
     zero = jnp.zeros_like(m[0][0])
@@ -1557,10 +1681,7 @@ def _ek0_datalik_pd_kernel(
     ]
     p_block = p_ref[:]
 
-    step = functools.partial(
-        _ek0_pd_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq,
-    )
+    step = _pd_step_fn(jac_diag, f, At, Qt, pinv0, pinv1, d, nq)
     dupd = functools.partial(
         _ek0_pd_data_update, obs_dims=obs_dims, obs_scales=obs_scales,
         r2s=r2s, pinv0=pinv0, nq=nq,
@@ -1593,7 +1714,7 @@ def _ek0_datalik_pd_kernel(
 @_no_x64
 def _ek0_datalik_pd_blocked(
     f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s, y_batched,
-    m0_p, ps_b, y_arr,
+    m0_p, ps_b, y_arr, jac_diag=None,
 ):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
@@ -1607,6 +1728,7 @@ def _ek0_datalik_pd_blocked(
         pinv1=pinv1, seg_lens=tuple(seg_lens), obs_dims=tuple(obs_dims),
         obs_scales=tuple(obs_scales), r2s=tuple(r2s), dt=float(dt),
         t0=float(t0), d=d, nq=nq, y_batched=bool(y_batched),
+        jac_diag=jac_diag,
     )
 
     def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk):
@@ -1894,7 +2016,7 @@ def _ek0_datalik_pd_grad_fwd_kernel(
     m0_ref, p_ref, y_ref, dll_ref, ll_ref, st_ref,
     row, sem, *,
     f, At, Qt, pinv0, pinv1, seg_lens, obs_dims, obs_scales, r2s,
-    dt, t0, d, nq, stop_calib,
+    dt, t0, d, nq, stop_calib, jac_diag=None,
 ):
     """Per-dim datalik filter streaming the state at entry of every ODE
     step (post any data update) for the adjoint sweep — the pd analogue
@@ -1906,9 +2028,8 @@ def _ek0_datalik_pd_grad_fwd_kernel(
     ]
     p_block = p_ref[:]
 
-    step = functools.partial(
-        _ek0_pd_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq, stop_calib=stop_calib,
+    step = _pd_step_fn(
+        jac_diag, f, At, Qt, pinv0, pinv1, d, nq, stop_calib=stop_calib
     )
     dupd = functools.partial(
         _ek0_pd_data_update, obs_dims=obs_dims, obs_scales=obs_scales,
@@ -1992,7 +2113,7 @@ def _ek0_datalik_pd_grad_bwd_kernel(
     dm0_ref, dp_ref, dy_ref,
     row, sem, *,
     f, At, Qt, pinv0, pinv1, seg_lens, obs_dims, obs_scales, r2s,
-    dt, t0, d, nq, stop_calib,
+    dt, t0, d, nq, stop_calib, jac_diag=None,
 ):
     """Adjoint of the per-dim datalik filter: reverse walk of the
     streamed states, in-kernel jax.vjp of the pd step (and of the step
@@ -2018,9 +2139,8 @@ def _ek0_datalik_pd_grad_bwd_kernel(
         ]
         return m, C
 
-    step = functools.partial(
-        _ek0_pd_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq, stop_calib=stop_calib,
+    step = _pd_step_fn(
+        jac_diag, f, At, Qt, pinv0, pinv1, d, nq, stop_calib=stop_calib
     )
     dupd = functools.partial(
         _ek0_pd_data_update, obs_dims=obs_dims, obs_scales=obs_scales,
@@ -2122,23 +2242,23 @@ def _ek0_datalik_pd_grad_bwd_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
 )
 @_no_x64
 def _ek0_datalik_pd_vjp(
     f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s, y_batched,
-    stop_calib, m0_p, ps_b, y_arr,
+    stop_calib, jac_diag, m0_p, ps_b, y_arr,
 ):
     return _ek0_datalik_pd_blocked(
         f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s,
-        y_batched, m0_p, ps_b, y_arr,
+        y_batched, m0_p, ps_b, y_arr, jac_diag=jac_diag,
     )
 
 
 @_no_x64
 def _ek0_datalik_pd_vjp_fwd(
     f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s, y_batched,
-    stop_calib, m0_p, ps_b, y_arr,
+    stop_calib, jac_diag, m0_p, ps_b, y_arr,
 ):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
@@ -2153,6 +2273,7 @@ def _ek0_datalik_pd_vjp_fwd(
         pinv1=pinv1, seg_lens=tuple(seg_lens), obs_dims=tuple(obs_dims),
         obs_scales=tuple(obs_scales), r2s=tuple(r2s), dt=float(dt),
         t0=float(t0), d=d, nq=nq, stop_calib=bool(stop_calib),
+        jac_diag=jac_diag,
     )
     W = d + d * nq
     scratch = [
@@ -2210,7 +2331,7 @@ def _ek0_datalik_pd_vjp_fwd(
 @_no_x64
 def _ek0_datalik_pd_vjp_bwd(
     f, q, dt, t0, prior, seg_lens, obs_dims, obs_scales, r2s, y_batched,
-    stop_calib, res, cts,
+    stop_calib, jac_diag, res, cts,
 ):
     st, ps_b, y_arr = res
     ddll, dall = cts
@@ -2229,6 +2350,7 @@ def _ek0_datalik_pd_vjp_bwd(
         pinv1=pinv1, seg_lens=tuple(seg_lens), obs_dims=tuple(obs_dims),
         obs_scales=tuple(obs_scales), r2s=tuple(r2s), dt=float(dt),
         t0=float(t0), d=d, nq=nq, stop_calib=bool(stop_calib),
+        jac_diag=jac_diag,
     )
     scratch = [
         pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),

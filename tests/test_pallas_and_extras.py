@@ -1312,6 +1312,113 @@ def test_pallas_data_loglik_partial_obs_gradient_interpret():
     assert float(jnp.abs(gy_b[1:]).max()) < 1e-12
 
 
+def test_pallas_data_loglik_diagonal_ek1_interpret_and_grad():
+    """DiagonalEK1 data-likelihood kernel (per-dim covariances, Jacobian
+    diagonal from in-kernel JVPs): partial one-hot observations and
+    per-dimension noise vs the XLA `filter_with_data` run with
+    DiagonalEK1, plus custom-VJP gradients w.r.t. u0, p and the data.
+
+    Tolerances are looser than the EK0 pd test: the DiagonalEK1 gain
+    depends on the state through the Jacobian diagonal, so the dense
+    XLA path's ~1e-16 per-dim-block mixing (per-dim structure is exact
+    only in exact arithmetic) feeds back through the linearization.
+    Verified elsewhere at 1e-11 vs the structurally identical Kron
+    per-dim XLA path; badly-fit members at coarse grids amplify the
+    dense-path difference to ~1e-7 (diff shrinks with grid refinement —
+    roundoff amplification, not bias)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob, ts_data, ys, rng = _lv_datalik_setup()
+    T = 40
+    B = pk.BLOCK
+    scales = 1.0 + 0.1 * rng.standard_normal((B, 4))
+    ps = jnp.asarray(np.asarray(prob.p)[None, :] * scales)
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+
+    # observe 2*prey only, scalar noise
+    C = np.array([[2.0, 0.0]])
+    with pltpu.force_tpu_interpret_mode():
+        dll, oll = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys[:, :1] * 2.0,
+            obs_noise_std=0.1, q=3, obs_matrix=C, diagonal_ek1=True,
+        )
+    assert bool(jnp.all(jnp.isfinite(dll)))
+
+    def one(p):
+        sol, dll_ = odf.filter_with_data(
+            odf.remake(prob, p=p), odf.DiagonalEK1(order=3, smooth=False),
+            ts_data, ys[:, :1] * 2.0, 0.1, obs_matrix=C, n_grid=T,
+        )
+        return dll_, sol.log_likelihood
+
+    for j in (0, 101):
+        ref_d, ref_o = one(ps[j])
+        np.testing.assert_allclose(float(dll[j]), float(ref_d), rtol=1e-6)
+        np.testing.assert_allclose(float(oll[j]), float(ref_o), rtol=1e-5)
+
+    # full-state observations, per-dimension noise vector
+    r_vec = np.array([0.1, 0.3])
+    with pltpu.force_tpu_interpret_mode():
+        dll2, _ = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys,
+            obs_noise_std=r_vec, q=3, diagonal_ek1=True,
+        )
+    _, ref2 = odf.filter_with_data(
+        odf.remake(prob, p=ps[0]), odf.DiagonalEK1(order=3, smooth=False),
+        ts_data, ys, r_vec, n_grid=T,
+    )
+    np.testing.assert_allclose(float(dll2[0]), float(ref2), rtol=1e-6)
+
+    # differs from the EK0 kernel (linearization not silently dropped)
+    with pltpu.force_tpu_interpret_mode():
+        dll0, _ = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys,
+            obs_noise_std=r_vec, q=3,
+        )
+    assert abs(float(dll2[0]) - float(dll0[0])) > 1e-9
+
+    with pytest.raises(ValueError, match="not both"):
+        pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys,
+            obs_noise_std=0.1, q=3, ek1=True, diagonal_ek1=True,
+        )
+
+    # --- gradients through the custom VJP (well-fit member) ---
+    ps_ref = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    C1 = np.array([[1.0, 0.0]])
+    y1 = jnp.asarray(ys[:, :1])
+
+    def loss(u, p, y):
+        dll_, oll_ = pk.ensemble_data_loglik_pallas(
+            prob.f, u, p, prob.tspan, T, ts_data, y, obs_noise_std=0.1,
+            q=3, obs_matrix=C1, diagonal_ek1=True,
+        )
+        return jnp.sum(dll_[:1]) + 0.5 * jnp.sum(oll_[:1])
+
+    with pltpu.force_tpu_interpret_mode():
+        gu, gp, gy = jax.grad(loss, argnums=(0, 1, 2))(u0s, ps_ref, y1)
+
+    def f_ref(u0, p, y):
+        sol, dll_ = odf.filter_with_data(
+            odf.remake(prob, u0=u0, p=p),
+            odf.DiagonalEK1(order=3, smooth=False),
+            ts_data, y, 0.1, obs_matrix=C1, n_grid=T,
+        )
+        return dll_ + 0.5 * sol.log_likelihood
+
+    gux, gpx, gyx = jax.grad(f_ref, argnums=(0, 1, 2))(
+        prob.u0.astype(jnp.float64), ps_ref[0], y1
+    )
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gpx),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gu[0]), np.asarray(gux),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gyx),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_pallas_data_loglik_ek1_gradient_interpret():
     """Custom VJP of the EK1 datalik kernel (adjoint through the in-kernel
     square-root step incl. MGS QRs): gradients w.r.t. u0, p and the
