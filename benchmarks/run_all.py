@@ -668,6 +668,20 @@ def tpu_main(quick=False):
         B_candidates=Bk, grid_steps=Tk, n_obs=9,
     )
 
+    # DiagonalEK1 data-likelihood kernel: stiff-robust linearization at
+    # the per-dim kernel's cost (Jacobian diagonal from d in-kernel JVPs)
+    kfn_e1d = jax.jit(
+        lambda u, p: pk.ensemble_data_loglik_pallas(
+            prob_lv.f, u, p, prob_lv.tspan, Tk, ts_k, ys_k,
+            obs_noise_std=0.05, q=3, diagonal_ek1=True,
+        )[0]
+    )
+    _entry(
+        results, "tpu_datalik_ek1d_pallas",
+        _bench_rate(kfn_e1d, 10, "candidates_per_sec"),
+        B_candidates=Bk, grid_steps=Tk, n_obs=9,
+    )
+
     return results
 
 

@@ -3945,7 +3945,7 @@ def _ek0_adaptive_kernel(
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     S: int, dt_save: float, t0: float, d: int, nq: int,
     abstol: float, reltol: float, max_iters: int, dtmin: float,
-    beta1: float, beta2: float, cheb=None,
+    beta1: float, beta2: float, cheb=None, so: bool = False,
 ):
     q_half = nq - 1 + 0.5          # q + 1/2
 
@@ -4004,7 +4004,11 @@ def _ek0_adaptive_kernel(
             Qtl = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
         else:
             Atl, _, Qtl = _cheb_transition_lists(cheb, lh, nq)
-        hq = pinv1 * pinv1 * Qtl[1][1]
+        # measured derivative block: 1 (z = E1 x - f) or, second-order,
+        # 2 (z = E2 x - f(du, u); step.py:175-181)
+        bx = 2 if so else 1
+        pb = jnp.exp((q_half - bx) * lh)
+        hq = pb * pb * Qtl[bx][bx]
 
         # -- one EK0(dynamic) step in the lane-local preconditioned frame --
         mp = [
@@ -4020,8 +4024,12 @@ def _ek0_adaptive_kernel(
         ]
         t_new = jnp.where(hit_save, t_save, t + dt_eff)
         u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
-        du = f(u_pred, p_block, t_new)
-        z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+        if so:
+            du_pred = jnp.stack([pinv1 * mp[1][j] for j in range(d)])
+            du = f(du_pred, u_pred, p_block, t_new)
+        else:
+            du = f(u_pred, p_block, t_new)
+        z = [pb * mp[bx][j] - du[j] for j in range(d)]
         zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
         s2 = zz / (d * hq)
         tmp = [
@@ -4047,9 +4055,9 @@ def _ek0_adaptive_kernel(
             ]
             for i in range(nq)
         ]
-        s = pinv1 * pinv1 * Cp[1][1]
+        s = pb * pb * Cp[bx][bx]
         inv_s = 1.0 / s
-        kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
+        kg = [pb * Cp[i][bx] * inv_s for i in range(nq)]
         m_new = [[mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)]
         C_new = [
             [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)] for i in range(nq)
@@ -4167,6 +4175,7 @@ def ek0_adaptive_filter(
     dtmin: Optional[float] = None,
     prior=None,
     mesh=None,
+    second_order: bool = False,
 ):
     """Adaptive-step fused EK0(dynamic) ensemble filter, per-lane dt.
 
@@ -4175,16 +4184,20 @@ def ek0_adaptive_filter(
     `perform_step.jl:78-92`) entirely inside one Pallas kernel; the
     solution is emitted on the shared uniform grid of ``n_save`` intervals
     over ``[t0, t1]`` on which every lane lands exactly (tstops
-    semantics). Returns ``(us, stds, lls, nacc, nrej, failed)`` with
+    semantics). ``second_order``: measure derivative block 2 against
+    ``f(du, u, p, t)`` (`step.py:175-181`); ``us`` then holds the
+    position block. Returns ``(us, stds, lls, nacc, nrej, failed)`` with
     shapes ((S+1, d, B), (S+1, B), (B,), (B,), (B,), (B,)).
     """
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
     if mesh is not None:
         return _shard_over_ens(
             mesh,
             lambda m0_, ps_, dt0_: ek0_adaptive_filter(
                 f, m0_, ps_, dt0_, t0, t1, n_save, q, abstol=abstol,
                 reltol=reltol, max_iters=max_iters, dtmin=dtmin,
-                prior=prior,
+                prior=prior, second_order=second_order,
             ),
             (m0, ps, dt0s), in_axes=(2, 1, 0),
             out_axes=(2, 1, 0, 0, 0, 0),
@@ -4232,6 +4245,7 @@ def ek0_adaptive_filter(
         abstol=float(abstol), reltol=float(reltol),
         max_iters=int(max_iters), dtmin=float(dtmin),
         beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
+        so=bool(second_order),
     )
 
     def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
@@ -4292,6 +4306,7 @@ def solve_ensemble_ek0_adaptive_pallas(
     max_iters: int = 100_000,
     prior=None,
     mesh=None,
+    second_order: bool = False,
 ):
     """Taylor-init + per-lane-adaptive fused EK0 kernel over an ensemble.
 
@@ -4300,18 +4315,32 @@ def solve_ensemble_ek0_adaptive_pallas(
     IWP (default) runs on h-free constants; IOUP/Matern evaluate their
     h-dependent preconditioned transition per lane from a Chebyshev
     tabulation (exact to ~1e-12 over the step range; ~2x the per-attempt
-    flops).
+    flops). ``second_order``: ``u0s = [u0 | du0]`` (B, 2d) with
+    ``prob_f(du, u, p, t)``; ``us`` holds the position block.
     """
-    from odefilters.problem import ode_problem
+    from odefilters.problem import ode_problem, ode_problem_2nd
     from odefilters.solve import initial_dt
-    from odefilters.taylor import taylor_coefficients
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
 
     t0, t1 = tspan
-    B, d = u0s.shape
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
 
-    def init_one(u0, p):
-        m = jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
-        pr = ode_problem(prob_f, u0, tspan, p=p)
+    def init_one(u0_full, p):
+        if second_order:
+            m = jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+            pr = ode_problem_2nd(
+                prob_f, u0_full[:d], u0_full[d:], tspan, p=p
+            )
+        else:
+            m = jnp.stack(taylor_coefficients(prob_f, u0_full, p, t0, q))
+            pr = ode_problem(prob_f, u0_full, tspan, p=p)
         return m, initial_dt(pr, q, abstol, reltol)
 
     m0, dt0s = jax.vmap(init_one)(u0s, ps)
@@ -4319,7 +4348,7 @@ def solve_ensemble_ek0_adaptive_pallas(
     return ek0_adaptive_filter(
         prob_f, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
         abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
-        mesh=mesh,
+        mesh=mesh, second_order=second_order,
     )
 
 

@@ -829,6 +829,60 @@ def test_pallas_ek1_adaptive_matches_driver_interpret():
         )
 
 
+def test_pallas_ek0_adaptive_second_order_interpret():
+    """Second-order problems on the per-lane adaptive EK0 ensemble kernel
+    (u0s = [u0 | du0], measurement block 2): identical accepted-step
+    sequence and save-grid positions vs the XLA adaptive driver with
+    tstops on the same grid."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.problem import ode_problem_2nd
+
+    prob = odf.models.pendulum_2nd(tspan=(0.0, 1.0))
+    B, S = pk.BLOCK, 4
+    d = prob.d
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2 * d))).astype(
+        jnp.float64
+    )
+    ps = jnp.broadcast_to(jnp.atleast_1d(prob.p), (B, 1)).astype(jnp.float64)
+
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, lls, nacc, nrej, fail = pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u0s, ps, prob.tspan, S, q=3, abstol=1e-6, reltol=1e-4,
+            second_order=True,
+        )
+    assert int(jnp.sum(fail)) == 0
+
+    grid = np.linspace(0.0, 1.0, S + 1)
+    for idx in [0, 300]:
+        pr = ode_problem_2nd(
+            prob.f, u0s[idx][:d], u0s[idx][d:], prob.tspan, p=ps[idx][0]
+        )
+        sol = odf.solve(
+            pr, odf.EK0(order=3, smooth=False),
+            abstol=1e-6, reltol=1e-4, tstops=jnp.asarray(grid[1:-1]),
+        )
+        n = int(sol.n_steps)
+        assert int(nacc[idx]) == n  # identical step sequence
+        ts = np.asarray(sol.ts[: n + 1])
+        for si, tg in enumerate(grid):
+            j = int(np.argmin(np.abs(ts - tg)))
+            np.testing.assert_allclose(
+                np.asarray(us[si, :, idx]), np.asarray(sol.u[j][:d]),
+                rtol=1e-9, atol=1e-11,
+            )
+        np.testing.assert_allclose(
+            float(lls[idx]), float(sol.log_likelihood), rtol=1e-3
+        )
+
+    with pytest.raises(ValueError, match="q >= 2"):
+        pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u0s, ps, prob.tspan, S, q=1, second_order=True
+        )
+
+
 def test_pallas_ek1d_adaptive_matches_driver_interpret():
     """Per-lane adaptive DiagonalEK1 kernel vs the XLA adaptive driver with
     tstops on the same save grid. The per-dimension scalar-measurement
