@@ -5282,13 +5282,36 @@ def _auto_jac_diag(f: Callable) -> Callable:
     return jd
 
 
+def _auto_jac_diag_2nd(f: Callable) -> Callable:
+    """Diagonals of BOTH partial Jacobians of a second-order RHS
+    ``f(du, u, p, t)`` from 2d forward-mode JVPs: returns
+    ``(Ju_diag, Jdu_diag)`` (each ``(d, ...)``) — the diagonal
+    linearization of `step.py:186-205`."""
+
+    def jd2(du, u, p, t):
+        dd = u.shape[0]
+        diag_u, diag_du = [], []
+        for b in range(dd):
+            tangent = jnp.stack(
+                [jnp.ones_like(u[b]) if i == b else jnp.zeros_like(u[b])
+                 for i in range(dd)]
+            )
+            _, col = jax.jvp(lambda uu: f(du, uu, p, t), (u,), (tangent,))
+            diag_u.append(col[b])
+            _, col = jax.jvp(lambda dv: f(dv, u, p, t), (du,), (tangent,))
+            diag_du.append(col[b])
+        return jnp.stack(diag_u), jnp.stack(diag_du)
+
+    return jd2
+
+
 def _ek1d_adaptive_kernel(
     m0_ref, p_ref, dt0_ref, us_ref, std_ref, ll_ref, nacc_ref, nrej_ref,
     fail_ref, *,
     f: Callable, jac_diag: Callable, At: np.ndarray, Qt: np.ndarray,
     S: int, dt_save: float, t0: float, d: int, nq: int,
     abstol: float, reltol: float, max_iters: int, dtmin: float,
-    beta1: float, beta2: float, cheb=None,
+    beta1: float, beta2: float, cheb=None, so: bool = False,
 ):
     """Per-lane adaptive DiagonalEK1(dynamic): d independent
     scalar-measurement Kalman filters per member, each with its own
@@ -5297,7 +5320,12 @@ def _ek1d_adaptive_kernel(
     et al. ICML 2022; per-dim semantics ``ops/kron.py
     _kron_attempt_step_diag``). O(d q^2) state and work per step — EK1
     stiffness robustness at near-EK0 cost — sharing the barrier/save-grid
-    and PI-controller machinery of `_ek0_adaptive_kernel`."""
+    and PI-controller machinery of `_ek0_adaptive_kernel`.
+
+    ``so``: second-order problems — measurement block 2 with the
+    diagonal linearization of BOTH partial Jacobians,
+    ``h_j = pinv2 e_2 - Jdu_jj pinv1 e_1 - Ju_jj pinv0 e_0``
+    (`step.py:200-212`); ``jac_diag(du, u, p, t) -> (Ju_diag, Jdu_diag)``."""
     q_half = nq - 1 + 0.5
 
     def _is0(x):
@@ -5366,16 +5394,30 @@ def _ek1d_adaptive_kernel(
         ]
         t_new = jnp.where(hit_save, t_save, t + dt_eff)
         u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
-        du = f(u_pred, p_block, t_new)
-        jd = jac_diag(u_pred, p_block, t_new)       # (d, sub, lane)
-        z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+        if so:
+            pinv2 = jnp.exp((q_half - 2.0) * lh)
+            du_pred = jnp.stack([pinv1 * mp[1][j] for j in range(d)])
+            ddu = f(du_pred, u_pred, p_block, t_new)
+            jd_u, jd_du = jac_diag(du_pred, u_pred, p_block, t_new)
+            z = [pinv2 * mp[2][j] - ddu[j] for j in range(d)]
+            # h_j = pinv2 e2 - Jdu_jj pinv1 e1 - Ju_jj pinv0 e0
+            hc = [[-jd_u[j] * pinv0, -jd_du[j] * pinv1, pinv2]
+                  for j in range(d)]
+            nh = 3
+        else:
+            du = f(u_pred, p_block, t_new)
+            jd = jac_diag(u_pred, p_block, t_new)   # (d, sub, lane)
+            z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+            # h_j = pinv1 e1 - jd_j pinv0 e0
+            hc = [[-jd[j] * pinv0, pinv1] for j in range(d)]
+            nh = 2
 
-        # h_j C h_j^T for the per-dim row h_j = pinv1 e1 - jd_j pinv0 e0
         def h_quad(M, j):
-            return (
-                pinv1 * pinv1 * M[1][1]
-                - 2.0 * jd[j] * pinv0 * pinv1 * M[0][1]
-                + jd[j] * jd[j] * pinv0 * pinv0 * M[0][0]
+            c = hc[j]
+            return functools.reduce(
+                lambda a, b: a + b,
+                [c[i] * c[l] * M[i][l]
+                 for i in range(nh) for l in range(nh)],
             )
 
         # dynamic diffusion: sigma^2 = mean_j z_j^2 / (h_j Q h_j^T)
@@ -5418,7 +5460,10 @@ def _ek1d_adaptive_kernel(
             inv_s = 1.0 / s
             # kg_i = (Cp h_j)_i / s
             kg = [
-                (pinv1 * Cp[i][1] - jd[j] * pinv0 * Cp[i][0]) * inv_s
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [hc[j][l] * Cp[i][l] for l in range(nh)],
+                ) * inv_s
                 for i in range(nq)
             ]
             for i in range(nq):
@@ -5538,6 +5583,7 @@ def ek1d_adaptive_filter(
     dtmin: Optional[float] = None,
     prior=None,
     mesh=None,
+    second_order: bool = False,
 ):
     """Adaptive-step fused DiagonalEK1(dynamic) ensemble filter.
 
@@ -5546,18 +5592,25 @@ def ek1d_adaptive_filter(
     DiagonalEK1): d independent per-dimension (q+1, q+1) filters, exact
     per-dim semantics of the Kronecker path (`ops/kron.py
     _kron_attempt_step_diag`). ``jac_diag=None`` derives the diagonal
-    in-kernel from d JVPs. Returns ``(us, stds, lls, nacc, nrej, failed)``
-    with per-dimension stds (S+1, d, B).
+    in-kernel from d JVPs. ``second_order``: measurement block 2 with
+    both partial-Jacobian diagonals (``jac_diag(du, u, p, t) ->
+    (Ju_diag, Jdu_diag)``; auto from 2d JVPs). Returns
+    ``(us, stds, lls, nacc, nrej, failed)`` with per-dimension stds
+    (S+1, d, B).
     """
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
     if jac_diag is None:
-        jac_diag = _auto_jac_diag(f)
+        jac_diag = (
+            _auto_jac_diag_2nd(f) if second_order else _auto_jac_diag(f)
+        )
     if mesh is not None:
         return _shard_over_ens(
             mesh,
             lambda m0_, ps_, dt0_: ek1d_adaptive_filter(
                 f, jac_diag, m0_, ps_, dt0_, t0, t1, n_save, q,
                 abstol=abstol, reltol=reltol, max_iters=max_iters,
-                dtmin=dtmin, prior=prior,
+                dtmin=dtmin, prior=prior, second_order=second_order,
             ),
             (m0, ps, dt0s), in_axes=(2, 1, 0),
             out_axes=(2, 2, 0, 0, 0, 0),
@@ -5603,6 +5656,7 @@ def ek1d_adaptive_filter(
         abstol=float(abstol), reltol=float(reltol),
         max_iters=int(max_iters), dtmin=float(dtmin),
         beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
+        so=bool(second_order),
     )
 
     def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
@@ -5664,18 +5718,36 @@ def solve_ensemble_ek1d_adaptive_pallas(
     max_iters: int = 100_000,
     prior=None,
     mesh=None,
+    second_order: bool = False,
 ):
-    """Taylor-init + per-lane-adaptive fused DiagonalEK1 kernel."""
-    from odefilters.problem import ode_problem
+    """Taylor-init + per-lane-adaptive fused DiagonalEK1 kernel.
+
+    ``second_order``: ``u0s = [u0 | du0]`` (B, 2d) with
+    ``prob_f(du, u, p, t)``; ``prob_jac_diag(du, u, p, t)`` returns the
+    pair of partial-Jacobian diagonals (or None for auto-JVP)."""
+    from odefilters.problem import ode_problem, ode_problem_2nd
     from odefilters.solve import initial_dt
-    from odefilters.taylor import taylor_coefficients
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
 
     t0, t1 = tspan
-    B, d = u0s.shape
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
 
-    def init_one(u0, p):
-        m = jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
-        pr = ode_problem(prob_f, u0, tspan, p=p)
+    def init_one(u0_full, p):
+        if second_order:
+            m = jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+            pr = ode_problem_2nd(
+                prob_f, u0_full[:d], u0_full[d:], tspan, p=p
+            )
+        else:
+            m = jnp.stack(taylor_coefficients(prob_f, u0_full, p, t0, q))
+            pr = ode_problem(prob_f, u0_full, tspan, p=p)
         return m, initial_dt(pr, q, abstol, reltol)
 
     m0, dt0s = jax.vmap(init_one)(u0s, ps)
@@ -5683,7 +5755,7 @@ def solve_ensemble_ek1d_adaptive_pallas(
     return ek1d_adaptive_filter(
         prob_f, prob_jac_diag, m0, ps.T, dt0s, float(t0), float(t1),
         n_save, q, abstol=abstol, reltol=reltol, max_iters=max_iters,
-        prior=prior, mesh=mesh,
+        prior=prior, mesh=mesh, second_order=second_order,
     )
 
 

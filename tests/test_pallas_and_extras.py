@@ -882,6 +882,32 @@ def test_pallas_ek0_adaptive_second_order_interpret():
             prob.f, u0s, ps, prob.tspan, S, q=1, second_order=True
         )
 
+    # DiagonalEK1 variant: both partial-Jacobian diagonals from 2d
+    # in-kernel JVPs (step.py:200-212 semantics)
+    with pltpu.force_tpu_interpret_mode():
+        usd, _, llsd, naccd, _, faild = pk.solve_ensemble_ek1d_adaptive_pallas(
+            prob.f, None, u0s, ps, prob.tspan, S, q=3,
+            abstol=1e-6, reltol=1e-4, second_order=True,
+        )
+    assert int(jnp.sum(faild)) == 0
+    for idx in [0, 300]:
+        pr = ode_problem_2nd(
+            prob.f, u0s[idx][:d], u0s[idx][d:], prob.tspan, p=ps[idx][0]
+        )
+        sol = odf.solve(
+            pr, odf.DiagonalEK1(order=3, smooth=False),
+            abstol=1e-6, reltol=1e-4, tstops=jnp.asarray(grid[1:-1]),
+        )
+        n = int(sol.n_steps)
+        assert int(naccd[idx]) == n
+        ts = np.asarray(sol.ts[: n + 1])
+        for si, tg in enumerate(grid):
+            j = int(np.argmin(np.abs(ts - tg)))
+            np.testing.assert_allclose(
+                np.asarray(usd[si, :, idx]), np.asarray(sol.u[j][:d]),
+                rtol=1e-9, atol=1e-11,
+            )
+
 
 def test_pallas_ek1d_adaptive_matches_driver_interpret():
     """Per-lane adaptive DiagonalEK1 kernel vs the XLA adaptive driver with
