@@ -296,6 +296,28 @@ def _auto_jac(f: Callable) -> Callable:
     return jac
 
 
+def _auto_jac_2nd(f: Callable) -> Callable:
+    """Both full partial Jacobians of a second-order RHS
+    ``f(du, u, p, t)`` from 2d in-kernel JVP columns: returns
+    ``(J_u, J_du)``, each ``(d, d[, batch...])`` (`step.py:186-199`)."""
+
+    def jac2(du, u, p, t):
+        dd = u.shape[0]
+        cols_u, cols_du = [], []
+        for b in range(dd):
+            tangent = jnp.stack(
+                [jnp.ones_like(u[b]) if i == b else jnp.zeros_like(u[b])
+                 for i in range(dd)]
+            )
+            _, col = jax.jvp(lambda uu: f(du, uu, p, t), (u,), (tangent,))
+            cols_u.append(col)
+            _, col = jax.jvp(lambda dv: f(dv, u, p, t), (du,), (tangent,))
+            cols_du.append(col)
+        return jnp.stack(cols_u, axis=1), jnp.stack(cols_du, axis=1)
+
+    return jac2
+
+
 
 def _ek0_consts(q: int, dt: float, np_dtype, prior=None):
     """Shared static constants: (At, Qt, pinv0, pinv1) for a given order.
@@ -4831,11 +4853,15 @@ def _ek1_adaptive_kernel(
     f: Callable, jac: Callable, At: np.ndarray, QLt: np.ndarray,
     S: int, dt_save: float, t0: float, d: int, nq: int,
     abstol: float, reltol: float, max_iters: int, dtmin: float,
-    beta1: float, beta2: float, cheb=None,
+    beta1: float, beta2: float, cheb=None, so: bool = False,
 ):
     """Per-lane adaptive EK1(dynamic): the full D x D square-root EKF per
     member with its own PI controller, sharing the barrier/save-grid
-    machinery of `_ek0_adaptive_kernel`."""
+    machinery of `_ek0_adaptive_kernel`.
+
+    ``so``: second-order problems — measurement block 2 with both full
+    partial Jacobians, ``H = (E2 - J_du E1 - J_u E0) P^-1``
+    (`step.py:175-212`); ``jac(du, u, p, t) -> (J_u, J_du)``."""
     D = d * nq
     Af = np.kron(At, np.eye(d))
     QLf = np.kron(QLt, np.eye(d))
@@ -4905,21 +4931,42 @@ def _ek1_adaptive_kernel(
         ]
         t_new = jnp.where(hit_save, t_save, t + dt_eff)
         u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
-        du = f(u_pred, p_block, t_new)
-        J = jac(u_pred, p_block, t_new)
-        z = [pinv1 * mp[d + a] - du[a] for a in range(d)]
+        if so:
+            pinv2 = jnp.exp((q_half - 2.0) * lh)
+            du_pred = jnp.stack([pinv1 * mp[d + a] for a in range(d)])
+            ddu = f(du_pred, u_pred, p_block, t_new)
+            Ju, Jdu = jac(du_pred, u_pred, p_block, t_new)
+            z = [pinv2 * mp[2 * d + a] - ddu[a] for a in range(d)]
 
-        def Hmul_cols(M, K):
-            out = []
-            for a in range(d):
-                row_ = []
-                for kk in range(K):
-                    v = pinv1 * M[d + a][kk]
-                    for b in range(d):
-                        v = v - J[a, b] * (pinv0 * M[b][kk])
-                    row_.append(v)
-                out.append(row_)
-            return out
+            def Hmul_cols(M, K):
+                # H = (E2 - J_du E1 - J_u E0) P^-1 (step.py:207-212)
+                out = []
+                for a in range(d):
+                    row_ = []
+                    for kk in range(K):
+                        v = pinv2 * M[2 * d + a][kk]
+                        for b in range(d):
+                            v = v - Jdu[a, b] * (pinv1 * M[d + b][kk])
+                            v = v - Ju[a, b] * (pinv0 * M[b][kk])
+                        row_.append(v)
+                    out.append(row_)
+                return out
+        else:
+            du = f(u_pred, p_block, t_new)
+            J = jac(u_pred, p_block, t_new)
+            z = [pinv1 * mp[d + a] - du[a] for a in range(d)]
+
+            def Hmul_cols(M, K):
+                out = []
+                for a in range(d):
+                    row_ = []
+                    for kk in range(K):
+                        v = pinv1 * M[d + a][kk]
+                        for b in range(d):
+                            v = v - J[a, b] * (pinv0 * M[b][kk])
+                        row_.append(v)
+                    out.append(row_)
+                return out
 
         # dynamic diffusion + error statistic from H Q H^T
         QL_lists = [[zero if _is0(QLfl[r][c]) else QLfl[r][c] + zero
@@ -5113,25 +5160,30 @@ def ek1_adaptive_filter(
     dtmin: Optional[float] = None,
     prior=None,
     mesh=None,
+    second_order: bool = False,
 ):
     """Adaptive-step fused EK1(dynamic) ensemble filter, per-lane dt.
 
     Like :func:`ek0_adaptive_filter` but with the full D x D square-root
     extended Kalman filter per member (EK1 linearization; ``jac=None``
-    derives the Jacobian in-kernel via JVP columns). Returns
-    ``(us, stds, lls, nacc, nrej, failed)`` where ``stds`` is per-dimension
-    (S+1, d, B). Non-IWP ``prior``: per-lane Chebyshev-tabulated
-    transitions, as in :func:`ek0_adaptive_filter`.
+    derives the Jacobian in-kernel via JVP columns). ``second_order``:
+    measurement block 2 with both full partial Jacobians
+    (``jac(du, u, p, t) -> (J_u, J_du)``; auto from 2d JVP columns).
+    Returns ``(us, stds, lls, nacc, nrej, failed)`` where ``stds`` is
+    per-dimension (S+1, d, B). Non-IWP ``prior``: per-lane
+    Chebyshev-tabulated transitions, as in :func:`ek0_adaptive_filter`.
     """
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
     if jac is None:
-        jac = _auto_jac(f)
+        jac = _auto_jac_2nd(f) if second_order else _auto_jac(f)
     if mesh is not None:
         return _shard_over_ens(
             mesh,
             lambda m0_, ps_, dt0_: ek1_adaptive_filter(
                 f, jac, m0_, ps_, dt0_, t0, t1, n_save, q, abstol=abstol,
                 reltol=reltol, max_iters=max_iters, dtmin=dtmin,
-                prior=prior,
+                prior=prior, second_order=second_order,
             ),
             (m0, ps, dt0s), in_axes=(2, 1, 0),
             out_axes=(2, 2, 0, 0, 0, 0),
@@ -5177,6 +5229,7 @@ def ek1_adaptive_filter(
         abstol=float(abstol), reltol=float(reltol),
         max_iters=int(max_iters), dtmin=float(dtmin),
         beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
+        so=bool(second_order),
     )
 
     def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
@@ -5238,18 +5291,36 @@ def solve_ensemble_ek1_adaptive_pallas(
     max_iters: int = 100_000,
     prior=None,
     mesh=None,
+    second_order: bool = False,
 ):
-    """Taylor-init + per-lane-adaptive fused EK1 kernel over an ensemble."""
-    from odefilters.problem import ode_problem
+    """Taylor-init + per-lane-adaptive fused EK1 kernel over an ensemble.
+
+    ``second_order``: ``u0s = [u0 | du0]`` (B, 2d) with
+    ``prob_f(du, u, p, t)``; ``prob_jac(du, u, p, t)`` returns the pair
+    of full partial Jacobians (or None for auto-JVP)."""
+    from odefilters.problem import ode_problem, ode_problem_2nd
     from odefilters.solve import initial_dt
-    from odefilters.taylor import taylor_coefficients
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
 
     t0, t1 = tspan
-    B, d = u0s.shape
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
 
-    def init_one(u0, p):
-        m = jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
-        pr = ode_problem(prob_f, u0, tspan, p=p)
+    def init_one(u0_full, p):
+        if second_order:
+            m = jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+            pr = ode_problem_2nd(
+                prob_f, u0_full[:d], u0_full[d:], tspan, p=p
+            )
+        else:
+            m = jnp.stack(taylor_coefficients(prob_f, u0_full, p, t0, q))
+            pr = ode_problem(prob_f, u0_full, tspan, p=p)
         return m, initial_dt(pr, q, abstol, reltol)
 
     m0, dt0s = jax.vmap(init_one)(u0s, ps)
@@ -5257,7 +5328,7 @@ def solve_ensemble_ek1_adaptive_pallas(
     return ek1_adaptive_filter(
         prob_f, prob_jac, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
         abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
-        mesh=mesh,
+        mesh=mesh, second_order=second_order,
     )
 
 
@@ -5771,6 +5842,9 @@ def solve_adaptive_pallas_single(
     max_iters: int = 100_000,
     jac: Optional[Callable] = None,
     ek1: bool = False,
+    diagonal_ek1: bool = False,
+    jac_diag: Optional[Callable] = None,
+    second_order: bool = False,
 ):
     """Single-trajectory adaptive solve at kernel latency.
 
@@ -5778,19 +5852,32 @@ def solve_adaptive_pallas_single(
     adaptive kernel and reads member 0 back — all lanes take identical
     steps, so this is exactly one adaptive solve with ~2x lower per-step
     latency than the XLA while-loop driver and ~1 s compiles (vs the
-    driver's 20 s+ on the remote chip). Returns
-    ``(us, stds, ll, nacc, nrej, failed)`` for the save grid.
+    driver's 20 s+ on the remote chip). ``ek1``/``diagonal_ek1`` select
+    the linearization; ``second_order`` (EK0/DiagonalEK1 kernels) takes
+    ``u0 = [u0 | du0]``. Returns ``(us, stds, ll, nacc, nrej, failed)``
+    for the save grid.
     """
+    if ek1 and diagonal_ek1:
+        raise ValueError("pass ek1=True OR diagonal_ek1=True, not both")
     u0s = jnp.broadcast_to(u0, (BLOCK,) + u0.shape)
     ps = jnp.broadcast_to(p, (BLOCK,) + jnp.shape(p))
     if ek1:
         us, stds, lls, nacc, nrej, fail = solve_ensemble_ek1_adaptive_pallas(
             prob_f, jac, u0s, ps, tspan, n_save, q=q,
             abstol=abstol, reltol=reltol, max_iters=max_iters,
+            second_order=second_order,
+        )
+        return (us[..., 0], stds[..., 0], lls[0], nacc[0], nrej[0], fail[0])
+    if diagonal_ek1:
+        us, stds, lls, nacc, nrej, fail = solve_ensemble_ek1d_adaptive_pallas(
+            prob_f, jac_diag, u0s, ps, tspan, n_save, q=q,
+            abstol=abstol, reltol=reltol, max_iters=max_iters,
+            second_order=second_order,
         )
         return (us[..., 0], stds[..., 0], lls[0], nacc[0], nrej[0], fail[0])
     us, stds, lls, nacc, nrej, fail = solve_ensemble_ek0_adaptive_pallas(
         prob_f, u0s, ps, tspan, n_save, q=q,
         abstol=abstol, reltol=reltol, max_iters=max_iters,
+        second_order=second_order,
     )
     return us[..., 0], stds[..., 0], lls[0], nacc[0], nrej[0], fail[0]

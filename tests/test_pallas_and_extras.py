@@ -908,6 +908,34 @@ def test_pallas_ek0_adaptive_second_order_interpret():
                 rtol=1e-9, atol=1e-11,
             )
 
+    # full EK1 variant: both full partial Jacobians in-kernel. Like the
+    # first-order EK1 kernel (MGS+Cholesky-of-Gram vs the driver's QR),
+    # accept/reject sequences can diverge slightly — step counts within
+    # a few percent, trajectories within accumulated-tolerance error.
+    with pltpu.force_tpu_interpret_mode():
+        use, _, _, nacce, _, faile = pk.solve_ensemble_ek1_adaptive_pallas(
+            prob.f, None, u0s, ps, prob.tspan, S, q=3,
+            abstol=1e-6, reltol=1e-4, second_order=True,
+        )
+    assert int(jnp.sum(faile)) == 0
+    for idx in [0, 300]:
+        pr = ode_problem_2nd(
+            prob.f, u0s[idx][:d], u0s[idx][d:], prob.tspan, p=ps[idx][0]
+        )
+        sol = odf.solve(
+            pr, odf.EK1(order=3, smooth=False),
+            abstol=1e-6, reltol=1e-4, tstops=jnp.asarray(grid[1:-1]),
+        )
+        n = int(sol.n_steps)
+        assert abs(int(nacce[idx]) - n) <= max(3, n // 20)
+        ts = np.asarray(sol.ts[: n + 1])
+        for si, tg in enumerate(grid):
+            j = int(np.argmin(np.abs(ts - tg)))
+            np.testing.assert_allclose(
+                np.asarray(use[si, :, idx]), np.asarray(sol.u[j][:d]),
+                rtol=1e-3, atol=1e-4,
+            )
+
 
 def test_pallas_ek1d_adaptive_matches_driver_interpret():
     """Per-lane adaptive DiagonalEK1 kernel vs the XLA adaptive driver with
