@@ -2966,6 +2966,7 @@ def _ek0_filter_states_kernel(
     m0_ref, p_ref, st_ref,
     row, sem,
     *, f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
+    so: bool = False, pinv_b: float = 0.0,
 ):
     """Forward EK0 filter; streams one packed (mean | factor | s2) row of
     preconditioned square-root state to HBM per step (single DMA). The
@@ -2979,8 +2980,10 @@ def _ek0_filter_states_kernel(
     stream columns to both DMAs, which outweighs the skipped small QR.
     The EK1 pair, whose skipped QR is 2D x D, DOES stream Lp — see
     `_ek1_filter_states_kernel`."""
-    # Qt here is the noise *factor* QLt: Q[1,1] = sum of squares of row 1
-    hq = pinv1 * pinv1 * float((Qt[1] ** 2).sum())
+    bx = 2 if so else 1             # measured derivative block
+    pb = pinv_b if so else pinv1    # its preconditioner entry
+    # Qt here is the noise *factor* QLt: Q[b,b] = sum of squares of row b
+    hq = pb * pb * float((Qt[bx] ** 2).sum())
 
     m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
     zero = jnp.zeros_like(m_init[0][0])
@@ -3032,8 +3035,12 @@ def _ek0_filter_states_kernel(
             k.astype(_dt) + jnp.asarray(1.0, _dt)
         )
         u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
-        du = f(u_pred, p_block, t_new)
-        z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+        if so:  # z = E2 x - f(du, u): the 2nd-order measurement (step.py)
+            du_pred = jnp.stack([pinv1 * mp[1][j] for j in range(d)])
+            du = f(du_pred, u_pred, p_block, t_new)
+        else:
+            du = f(u_pred, p_block, t_new)
+        z = [pb * mp[bx][j] - du[j] for j in range(d)]
         zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
         s2 = zz / (d * hq)
         sq_s2 = sqlt(s2)
@@ -3053,19 +3060,19 @@ def _ek0_filter_states_kernel(
             for a in range(nq)
         ]
         Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
-        s = pinv1 * pinv1 * functools.reduce(
-            lambda a, b: a + b, [Lp[1][l] * Lp[1][l] for l in range(nq)]
+        s = pb * pb * functools.reduce(
+            lambda a, b: a + b, [Lp[bx][l] * Lp[bx][l] for l in range(nq)]
         )
         inv_s = 1.0 / s
         c_col = [
             functools.reduce(
-                lambda a, b: a + b, [Lp[i][l] * Lp[1][l] for l in range(nq)]
+                lambda a, b: a + b, [Lp[i][l] * Lp[bx][l] for l in range(nq)]
             )
             for i in range(nq)
         ]
-        kg = [pinv1 * c_col[i] * inv_s for i in range(nq)]
+        kg = [pb * c_col[i] * inv_s for i in range(nq)]
         m_new = [[mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)]
-        Zrow = [pinv1 * Lp[1][l] for l in range(nq)]
+        Zrow = [pb * Lp[bx][l] for l in range(nq)]
         L_new = [
             [Lp[i][l] - kg[i] * Zrow[l] for l in range(nq)] for i in range(nq)
         ]
@@ -3230,6 +3237,7 @@ def ek0_fused_solve(
     _debug: bool = False,
     prior=None,
     mesh=None,
+    second_order: bool = False,
 ):
     """Complete fused probabilistic solve: filter + RTS smoother kernels.
 
@@ -3237,7 +3245,11 @@ def ek0_fused_solve(
     solution, shapes (T+1, d, B) / (T+1, B). ``mesh``: optional 1-D device
     mesh sharding the ensemble axis (both kernels run per-shard; the
     intermediate state stream stays shard-local, no collectives).
+    ``second_order``: measurement block 2 in the filter kernel; the RTS
+    smoother pass is measurement-agnostic and runs unchanged.
     """
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
     if mesh is not None:
         if _debug:
             raise ValueError("_debug outputs are not available under mesh=")
@@ -3245,6 +3257,7 @@ def ek0_fused_solve(
             mesh,
             lambda m0_, ps_: ek0_fused_solve(
                 f, m0_, ps_, t0, dt, n_steps, q, prior=prior,
+                second_order=second_order,
             ),
             (m0, ps), in_axes=(2, 1), out_axes=(2, 1),
         )
@@ -3274,7 +3287,8 @@ def ek0_fused_solve(
 
     fkernel = functools.partial(
         _ek0_filter_states_kernel, f=f, pinv1=float(1.0 / p_np[1]),
-        dt=float(dt), t0=float(t0), **common,
+        dt=float(dt), t0=float(t0), so=bool(second_order),
+        pinv_b=float(1.0 / p_np[2]) if second_order else 0.0, **common,
     )
 
     # one packed state row per step: [ mean (d) | factor (nq) | s2 (1) ],
@@ -3346,24 +3360,39 @@ def solve_ensemble_ek0_pallas_smooth(
     q: int = 3,
     prior=None,
     mesh=None,
+    second_order: bool = False,
 ):
     """Taylor-init + fused filter + fused RTS smoother over an ensemble.
 
     ``prior``: optional IOUP/Matern instance — on the (uniform) kernel grid
     any Gauss-Markov prior's preconditioned transition is a compile-time
-    constant, so generalized priors run at identical kernel speed."""
-    from odefilters.taylor import taylor_coefficients
+    constant, so generalized priors run at identical kernel speed.
+    ``second_order``: ``u0s = [u0 | du0]`` (B, 2d) with
+    ``prob_f(du, u, p, t)``; outputs expose the position block."""
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
 
     t0, t1 = tspan
     dt = (t1 - t0) / n_steps
-    B, d = u0s.shape
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
 
-    def init_one(u0, p):
-        return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+    if second_order:
+        def init_one(u0_full, p):
+            return jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+    else:
+        def init_one(u0, p):
+            return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
 
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
     return ek0_fused_solve(prob_f, m0, ps.T, float(t0), float(dt), n_steps, q,
-                           prior=prior, mesh=mesh)
+                           prior=prior, mesh=mesh,
+                           second_order=second_order)
 
 
 # ==========================================================================

@@ -230,6 +230,22 @@ def test_second_order_pallas_kernel_interpret():
         g = jax.grad(loss)(ps)
     assert bool(jnp.all(jnp.isfinite(g)))
 
+    # fused filter + RTS smoother pair (the smoother is
+    # measurement-agnostic; only the streaming filter gets the so branch)
+    with pltpu.force_tpu_interpret_mode():
+        us_s, stds_s = pk.solve_ensemble_ek0_pallas_smooth(
+            prob.f, u0s, ps, prob.tspan, T, q=3, second_order=True
+        )
+    sd_s = odf.solve_fixed(prob, odf.EK0(order=3, smooth=True), ts=ts)
+    np.testing.assert_allclose(
+        np.asarray(us_s[:, :, 0]), np.asarray(sd_s.u[:, :d]),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stds_s[1:, 0]), np.asarray(sd_s.pu.std[1:, 0]),
+        rtol=1e-6, atol=1e-12,
+    )
+
 
 def test_pallas_data_loglik_matches_xla_interpret():
     """Fused data-likelihood kernel (physics-enhanced regression at kernel
