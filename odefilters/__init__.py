@@ -53,7 +53,9 @@ from odefilters import plotting
 from odefilters import callbacks
 from odefilters import jacobians
 from odefilters import workprecision
+from odefilters import ensemble
 from odefilters.callbacks import ContinuousCallback, DiscreteCallback
+from odefilters.ensemble import EnsembleKernelSolution, solve_ensemble_pallas
 
 __version__ = "0.1.0"
 
@@ -89,6 +91,9 @@ __all__ = [
     "callbacks",
     "jacobians",
     "workprecision",
+    "ensemble",
+    "EnsembleKernelSolution",
+    "solve_ensemble_pallas",
     "DiscreteCallback",
     "ContinuousCallback",
     "models",

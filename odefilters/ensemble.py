@@ -1,0 +1,194 @@
+"""One front door for the fused Pallas ensemble kernels.
+
+The reference solves one IVP at a time (`/root/reference/src/ProbNumDiffEq.jl`
+— single-process, single-thread); this framework's flagship workload is
+thousands of independent ``(u0, p)`` candidates per chip. The individual
+kernels live in :mod:`odefilters.ops.pallas_kernels` with per-kernel
+signatures (vector field + Jacobian callables, explicit ``second_order``
+flags); this module maps the user-facing problem/algorithm vocabulary of
+:func:`odefilters.solve` — an :class:`~odefilters.problem.ODEProblem`
+(first- or second-order, with optional ``jac``/``jac_diag``) and an
+:class:`~odefilters.algorithms.AbstractEK` (EK0 / EK1 / DiagonalEK1,
+``smooth``, ``prior``) — onto the right fused kernel:
+
+===========  ==========================  =========================================
+algorithm    adaptive=True               adaptive=False (fixed grid)
+===========  ==========================  =========================================
+EK0          per-lane-dt adaptive        fused filter; + fused RTS smoother kernel
+             kernel                      when ``alg.smooth``
+DiagonalEK1  per-dim adaptive kernel     (no fixed-grid ensemble kernel — use
+                                         ``adaptive=True`` or the Kron path)
+EK1          full D x D adaptive kernel  full D x D filter (+ smoother kernel)
+===========  ==========================  =========================================
+
+All paths accept ``mesh=`` (1-D device mesh; the ensemble axis shards via
+``shard_map``, zero hot-loop collectives) and ``prior=`` via the algorithm.
+The kernels implement the *dynamic* diffusion model only — the per-step
+MLE calibration every fused filter bakes in (`diffusions.jl:72-80`
+semantics); other diffusion models raise with guidance to the XLA paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+
+from odefilters.algorithms import AbstractEK
+from odefilters.priors import IWP, normalize_prior
+from odefilters.problem import ODEProblem
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnsembleKernelSolution:
+    """Batched output of a fused ensemble kernel.
+
+    ``us``: (S+1, d, B) posterior means on the save grid (positions only
+    for second-order problems). ``stds``: per-dim marginal stds —
+    (S+1, d, B), or (S+1, B) for the EK0 paths whose covariance is
+    isotropic across dims. ``lls``: (B,) ODE-residual log-likelihoods
+    (fixed-grid filter paths and adaptive paths; None from the fused
+    smoother pair, which streams states instead). Adaptive paths also
+    fill ``nacc``/``nrej``/``failed`` (per-member accepted/rejected step
+    counts and failure flags); fixed-grid paths leave them None.
+    """
+
+    us: jax.Array
+    stds: jax.Array
+    lls: Optional[jax.Array] = None
+    nacc: Optional[jax.Array] = None
+    nrej: Optional[jax.Array] = None
+    failed: Optional[jax.Array] = None
+
+
+def _pair_jac(jac):
+    """Normalize a 2nd-order problem's ``(jac_u, jac_du)`` tuple (as stored
+    by :func:`odefilters.problem.ode_problem_2nd`) into the pair-returning
+    callable the kernels expect; None entries disable the exact path."""
+    if jac is None:
+        return None
+    if isinstance(jac, tuple):
+        jac_u, jac_du = jac
+        if jac_u is None or jac_du is None:
+            return None
+        return lambda du, u, p, t: (jac_u(du, u, p, t), jac_du(du, u, p, t))
+    return jac
+
+
+def _diag_from_full(jac, d):
+    """Lane-safe Jacobian diagonal from a full ``jac`` callable: explicit
+    ``[a, a]`` indexing (a (d, d, sub, lane) array's jnp.diagonal would
+    contract the wrong axes inside a kernel)."""
+    import jax.numpy as jnp
+
+    def jd(u, p, t):
+        J = jac(u, p, t)
+        return jnp.stack([J[a, a] for a in range(d)])
+
+    return jd
+
+
+def solve_ensemble_pallas(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    u0s: jax.Array,
+    ps: jax.Array,
+    *,
+    n_save: int = 20,
+    adaptive: bool = True,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 100_000,
+    mesh=None,
+) -> EnsembleKernelSolution:
+    """Solve ``B`` independent IVPs ``(u0s[i], ps[i])`` on fused kernels.
+
+    The ensemble analogue of ``solve(prob, alg)`` at fused-kernel
+    throughput (~1M adaptive solves/s @ 8192 members on one chip,
+    `benchmarks/results.json`). ``u0s``: (B, d) — or (B, 2d) = [u0 | du0]
+    when ``prob.second_order``; ``ps``: (B, n_params); B a multiple of
+    ``ops.pallas_kernels.BLOCK`` (1024). ``n_save``: number of uniform
+    save intervals over ``prob.tspan`` (adaptive lanes land on the save
+    grid exactly — tstops semantics); on fixed grids it is the step count.
+
+    Adaptive output statistics mirror the driver's per-member values:
+    identical accepted-step sequences for EK0/DiagonalEK1, a few-percent
+    sequence divergence for EK1 (MGS vs the driver's QR — documented in
+    docs/kernels.md).
+    """
+    from odefilters.ops import pallas_kernels as pk
+
+    if alg.diffusionmodel != "dynamic":
+        raise NotImplementedError(
+            f"the fused ensemble kernels implement the dynamic diffusion "
+            f"model; got {alg.diffusionmodel!r} — use "
+            f"parallel.sharding.solve_ensemble (XLA) for other models"
+        )
+    prior = None if isinstance(normalize_prior(alg.prior), IWP) else alg.prior
+    q = alg.order
+    so = bool(prob.second_order)
+    d = prob.d
+    kw: dict[str, Any] = dict(abstol=abstol, reltol=reltol, mesh=mesh)
+
+    if adaptive:
+        if alg.smooth:
+            raise NotImplementedError(
+                "the adaptive ensemble kernels are filter-only; pass "
+                "alg with smooth=False (or adaptive=False for the fused "
+                "filter+smoother pair)"
+            )
+        kw.update(max_iters=max_iters, prior=prior, second_order=so)
+        if getattr(alg, "is_diagonal_ek1", False):
+            # prob.jac_diag follows the first-order (u, p, t) signature;
+            # second-order needs the pair-returning form — auto-JVP there
+            jd = None
+            if not so:
+                jd = prob.jac_diag
+                if jd is None and prob.jac is not None:
+                    jd = _diag_from_full(prob.jac, d)
+            out = pk.solve_ensemble_ek1d_adaptive_pallas(
+                prob.f, jd, u0s, ps, prob.tspan, n_save, q=q, **kw
+            )
+        elif alg.is_ek1:
+            out = pk.solve_ensemble_ek1_adaptive_pallas(
+                prob.f, _pair_jac(prob.jac) if so else prob.jac,
+                u0s, ps, prob.tspan, n_save, q=q, **kw
+            )
+        else:
+            out = pk.solve_ensemble_ek0_adaptive_pallas(
+                prob.f, u0s, ps, prob.tspan, n_save, q=q, **kw
+            )
+        return EnsembleKernelSolution(*out)
+
+    # ---- fixed grid ----
+    del kw  # fixed-grid kernels take no tolerances (no controller)
+    if getattr(alg, "is_diagonal_ek1", False):
+        raise NotImplementedError(
+            "DiagonalEK1 has no fixed-grid ensemble kernel; use "
+            "adaptive=True (per-dim adaptive kernel) or the Kronecker "
+            "path (kronsolve.solve_fixed_kron)"
+        )
+    if alg.is_ek1:
+        if so:
+            raise NotImplementedError(
+                "second-order fixed-grid ensembles run on the EK0 kernel "
+                "or the adaptive EK1 kernel"
+            )
+        us, stds = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, n_save, q=q,
+            smooth=alg.smooth, prior=prior, mesh=mesh,
+        )
+        return EnsembleKernelSolution(us, stds)
+    if alg.smooth:
+        us, stds = pk.solve_ensemble_ek0_pallas_smooth(
+            prob.f, u0s, ps, prob.tspan, n_save, q=q, prior=prior,
+            mesh=mesh, second_order=so,
+        )
+        return EnsembleKernelSolution(us, stds)
+    us, stds, lls = pk.solve_ensemble_ek0_pallas(
+        prob.f, u0s, ps, prob.tspan, n_save, q=q, prior=prior, mesh=mesh,
+        second_order=so,
+    )
+    return EnsembleKernelSolution(us, stds, lls)

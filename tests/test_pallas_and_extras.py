@@ -845,6 +845,72 @@ def test_pallas_ek1_adaptive_matches_driver_interpret():
         )
 
 
+def test_solve_ensemble_pallas_dispatch_interpret():
+    """`odf.solve_ensemble_pallas`: the user-facing front door maps the
+    (problem, algorithm) vocabulary of `solve` onto the fused kernels —
+    EK0/EK1/DiagonalEK1 x adaptive/fixed x smooth x second-order — and
+    raises with guidance where no fused kernel exists."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 0.5))
+    B = pk.BLOCK
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    kw = dict(n_save=4, abstol=1e-6, reltol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        s0 = odf.solve_ensemble_pallas(
+            prob, odf.EK0(order=3, smooth=False), u0s, ps, **kw
+        )
+        s1 = odf.solve_ensemble_pallas(
+            prob, odf.EK1(order=3, smooth=False), u0s, ps, **kw
+        )
+        sd = odf.solve_ensemble_pallas(
+            prob, odf.DiagonalEK1(order=3, smooth=False), u0s, ps, **kw
+        )
+        ref0 = pk.solve_ensemble_ek0_adaptive_pallas(
+            prob.f, u0s, ps, prob.tspan, 4, q=3, abstol=1e-6, reltol=1e-4
+        )
+    np.testing.assert_array_equal(np.asarray(s0.us), np.asarray(ref0[0]))
+    for s in (s0, s1, sd):
+        assert int(s.failed.sum()) == 0
+
+    with pltpu.force_tpu_interpret_mode():
+        f_sm = odf.solve_ensemble_pallas(
+            prob, odf.EK0(order=3, smooth=True), u0s, ps,
+            n_save=10, adaptive=False,
+        )
+        f_fi = odf.solve_ensemble_pallas(
+            prob, odf.EK0(order=3, smooth=False), u0s, ps,
+            n_save=10, adaptive=False,
+        )
+    assert f_sm.us.shape == (11, 2, B) and f_sm.lls is None
+    assert f_fi.lls.shape == (B,)
+
+    with pytest.raises(NotImplementedError, match="dynamic"):
+        odf.solve_ensemble_pallas(
+            prob, odf.EK0(order=3, diffusionmodel="fixed"), u0s, ps
+        )
+    with pytest.raises(NotImplementedError, match="filter-only"):
+        odf.solve_ensemble_pallas(prob, odf.EK0(order=3, smooth=True), u0s, ps)
+    with pytest.raises(NotImplementedError, match="Kronecker"):
+        odf.solve_ensemble_pallas(
+            prob, odf.DiagonalEK1(order=3, smooth=False), u0s, ps,
+            adaptive=False,
+        )
+
+    # second-order problems route through prob.second_order
+    prob2 = odf.models.pendulum_2nd(tspan=(0.0, 0.5))
+    u0s2 = jnp.broadcast_to(prob2.u0, (B, 2)).astype(jnp.float64)
+    ps2 = jnp.broadcast_to(jnp.atleast_1d(prob2.p), (B, 1)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        so = odf.solve_ensemble_pallas(
+            prob2, odf.DiagonalEK1(order=3, smooth=False), u0s2, ps2, **kw
+        )
+    assert int(so.failed.sum()) == 0
+
+
 def test_pallas_ek0_adaptive_second_order_interpret():
     """Second-order problems on the per-lane adaptive EK0 ensemble kernel
     (u0s = [u0 | du0], measurement block 2): identical accepted-step
