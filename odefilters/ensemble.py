@@ -165,11 +165,21 @@ def solve_ensemble_pallas(
     # ---- fixed grid ----
     del kw  # fixed-grid kernels take no tolerances (no controller)
     if getattr(alg, "is_diagonal_ek1", False):
-        raise NotImplementedError(
-            "DiagonalEK1 has no fixed-grid ensemble kernel; use "
-            "adaptive=True (per-dim adaptive kernel) or the Kronecker "
-            "path (kronsolve.solve_fixed_kron)"
+        if alg.smooth or so:
+            raise NotImplementedError(
+                "the fixed-grid DiagonalEK1 ensemble kernel is a "
+                "first-order filter; use adaptive=True (which covers "
+                "second-order) or the Kronecker path "
+                "(kronsolve.solve_fixed_kron) for smoothing"
+            )
+        jd = prob.jac_diag
+        if jd is None and prob.jac is not None:
+            jd = _diag_from_full(prob.jac, d)
+        us, stds, lls = pk.solve_ensemble_ek1d_pallas(
+            prob.f, jd, u0s, ps, prob.tspan, n_save, q=q, prior=prior,
+            mesh=mesh,
         )
+        return EnsembleKernelSolution(us, stds, lls)
     if alg.is_ek1:
         if so:
             raise NotImplementedError(

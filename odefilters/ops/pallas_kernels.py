@@ -5805,6 +5805,163 @@ def ek1d_adaptive_filter(
             fail.reshape(B))
 
 
+def _ek1d_kernel(
+    m0_ref, p_ref, us_ref, std_ref, ll_ref, *,
+    f: Callable, jac_diag: Callable, At: np.ndarray, Qt: np.ndarray,
+    pinv0: float, pinv1: float, T: int, dt: float, t0: float,
+    d: int, nq: int,
+):
+    """Fixed-grid fused DiagonalEK1(dynamic) ensemble filter: the per-dim
+    step of the datalik kernels (`_ek1d_pd_step_lists`) in a plain time
+    loop, emitting per-dim means/stds each step."""
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    zero = jnp.zeros_like(m[0][0])
+    C = [[[zero for _ in range(nq)] for _ in range(nq)] for _ in range(d)]
+    p_block = p_ref[:]
+
+    for j in range(d):
+        us_ref[0, j] = pinv0 * m[0][j]
+        std_ref[0, j] = zero
+
+    step = functools.partial(
+        _ek1d_pd_step_lists, f=f, jac_diag=jac_diag, At=At, Qt=Qt,
+        pinv0=pinv0, pinv1=pinv1, d=d, nq=nq,
+    )
+
+    def body(k, carry):
+        m, C, ll = carry
+        k1 = k + jnp.ones((), k.dtype)
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        m_new, C_new, ll_inc = step(m, C, p_block, t_new)
+        for j in range(d):
+            us_ref[k1, j] = pinv0 * m_new[0][j]
+            std_ref[k1, j] = pinv0 * jnp.sqrt(
+                jnp.maximum(C_new[j][0][0], 0.0)
+            )
+        return m_new, C_new, ll + ll_inc
+
+    _, _, ll = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m, C, zero)
+    )
+    ll_ref[...] = ll
+
+
+@_no_x64
+def ek1d_fused_filter(
+    f: Callable,
+    jac_diag: Optional[Callable],
+    m0: jax.Array,      # (q+1, d, B) unpreconditioned Taylor init means
+    ps: jax.Array,      # (n_params, B)
+    t0: float,
+    dt: float,
+    n_steps: int,
+    q: int,
+    prior=None,
+    mesh=None,
+):
+    """Fixed-grid fused DiagonalEK1 ensemble filter.
+
+    Returns ``(us, stds, lls)`` with per-dimension stds (T+1, d, B);
+    ``jac_diag=None`` derives the Jacobian diagonal from d in-kernel
+    JVPs. Per-dim semantics identical to the Kronecker XLA path
+    (`ops/kron.py _kron_attempt_step_diag`).
+    """
+    if jac_diag is None:
+        jac_diag = _auto_jac_diag(f)
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_: ek1d_fused_filter(
+                f, jac_diag, m0_, ps_, t0, dt, n_steps, q, prior=prior,
+            ),
+            (m0, ps), in_axes=(2, 1), out_axes=(2, 2, 0),
+        )
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    T = int(n_steps)
+
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, float(dt), fdtype, prior)
+
+    m0_p = (jnp.asarray(p_np, dtype)[:, None, None] * m0).reshape(
+        nq, d, nb, _SUB, _LANE
+    ).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+
+    kernel = functools.partial(
+        _ek1d_kernel, f=f, jac_diag=jac_diag, At=At, Qt=Qt,
+        pinv0=pinv0, pinv1=pinv1, T=T, dt=float(dt), t0=float(t0),
+        d=d, nq=nq,
+    )
+
+    def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)],
+        )
+
+    us, stds, lls = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        ],
+    )(m0_p, ps_b)
+
+    us = us.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+    stds = stds.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+    return us, stds, lls.reshape(B)
+
+
+def solve_ensemble_ek1d_pallas(
+    prob_f: Callable,
+    prob_jac_diag: Optional[Callable],
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_steps: int,
+    q: int = 3,
+    prior=None,
+    mesh=None,
+):
+    """Taylor-init + fixed-grid fused DiagonalEK1 ensemble filter."""
+    from odefilters.taylor import taylor_coefficients
+
+    t0, t1 = tspan
+    dt = (t1 - t0) / n_steps
+    B, d = u0s.shape
+
+    def init_one(u0, p):
+        return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+
+    m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
+    return ek1d_fused_filter(
+        prob_f, prob_jac_diag, m0, ps.T, float(t0), float(dt), n_steps, q,
+        prior=prior, mesh=mesh,
+    )
+
+
 def solve_ensemble_ek1d_adaptive_pallas(
     prob_f: Callable,
     prob_jac_diag: Optional[Callable],

@@ -896,9 +896,27 @@ def test_solve_ensemble_pallas_dispatch_interpret():
         odf.solve_ensemble_pallas(prob, odf.EK0(order=3, smooth=True), u0s, ps)
     with pytest.raises(NotImplementedError, match="Kronecker"):
         odf.solve_ensemble_pallas(
-            prob, odf.DiagonalEK1(order=3, smooth=False), u0s, ps,
+            prob, odf.DiagonalEK1(order=3, smooth=True), u0s, ps,
             adaptive=False,
         )
+
+    # fixed-grid DiagonalEK1 ensemble kernel == the Kron XLA per-dim path
+    from odefilters.kronsolve import solve_fixed_kron
+
+    with pltpu.force_tpu_interpret_mode():
+        fd = odf.solve_ensemble_pallas(
+            prob, odf.DiagonalEK1(order=3, smooth=False), u0s, ps,
+            n_save=10, adaptive=False,
+        )
+    sk = solve_fixed_kron(
+        prob, odf.DiagonalEK1(order=3, smooth=False), dt=0.5 / 10
+    )
+    np.testing.assert_allclose(
+        np.asarray(fd.us[:, :, 0]), np.asarray(sk.u), rtol=1e-10, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        float(fd.lls[0]), float(sk.log_likelihood), rtol=1e-9
+    )
 
     # second-order problems route through prob.second_order
     prob2 = odf.models.pendulum_2nd(tspan=(0.0, 0.5))
