@@ -55,7 +55,11 @@ from odefilters import jacobians
 from odefilters import workprecision
 from odefilters import ensemble
 from odefilters.callbacks import ContinuousCallback, DiscreteCallback
-from odefilters.ensemble import EnsembleKernelSolution, solve_ensemble_pallas
+from odefilters.ensemble import (
+    EnsembleKernelSolution,
+    sample_ensemble_pallas,
+    solve_ensemble_pallas,
+)
 
 __version__ = "0.1.0"
 
@@ -94,6 +98,7 @@ __all__ = [
     "ensemble",
     "EnsembleKernelSolution",
     "solve_ensemble_pallas",
+    "sample_ensemble_pallas",
     "DiscreteCallback",
     "ContinuousCallback",
     "models",

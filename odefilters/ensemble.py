@@ -202,3 +202,45 @@ def solve_ensemble_pallas(
         second_order=so,
     )
     return EnsembleKernelSolution(us, stds, lls)
+
+
+def sample_ensemble_pallas(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    u0s: jax.Array,
+    ps: jax.Array,
+    key,
+    *,
+    n_steps: int = 100,
+    mesh=None,
+) -> jax.Array:
+    """One joint smoothing-posterior sample path per ensemble member.
+
+    The fused-kernel analogue of :func:`odefilters.sample` (reference:
+    `/root/reference/src/solution_sampling.jl:15-23`): a fixed-grid forward
+    filter kernel + a backward conditioning sampler kernel, returning
+    ``(n_steps+1, d, B)`` solution-block samples. For ``n`` samples of ONE
+    trajectory, tile the member ``n`` times across the batch — every member
+    draws independent normals. EK0 + dynamic diffusion only (the sampler
+    consumes the EK0 packed state stream); like :func:`odefilters.sample`,
+    requires ``alg.smooth`` (a joint backward draw IS a smoothing pass).
+    """
+    from odefilters.ops import pallas_kernels as pk
+
+    if alg.diffusionmodel != "dynamic":
+        raise NotImplementedError(
+            "the fused sampler implements the dynamic diffusion model; use "
+            "odefilters.sample on an XLA solution for other models"
+        )
+    if getattr(alg, "is_diagonal_ek1", False) or alg.is_ek1:
+        raise NotImplementedError(
+            "the fused sampler runs on the EK0 kernel pair; use "
+            "odefilters.sample on an XLA solution for EK1 linearizations"
+        )
+    if not alg.smooth:
+        raise ValueError("sampling not implemented for non-smoothed posteriors")
+    prior = None if isinstance(normalize_prior(alg.prior), IWP) else alg.prior
+    return pk.sample_ensemble_ek0_pallas(
+        prob.f, u0s, ps, prob.tspan, n_steps, key, q=alg.order,
+        prior=prior, mesh=mesh, second_order=bool(prob.second_order),
+    )

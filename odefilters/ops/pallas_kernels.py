@@ -3395,6 +3395,331 @@ def solve_ensemble_ek0_pallas_smooth(
                            second_order=second_order)
 
 
+def _ek0_sampler_kernel(
+    st_ref, z_ref, us_ref,
+    row, sem, zrow, zsem,
+    *, At, Qt, pinv0, T, d, nq,
+):
+    """Backward joint-posterior sampling over the packed streamed states.
+
+    The RTS smoother recursion with the carried smoothed state replaced by
+    the carried *sample*: condition the filtered state on the next drawn
+    value (a zero-covariance target, so the 3-block smoothing stack loses
+    its ``G L_s`` term) and re-draw from the conditional using one streamed
+    (q+1, d) block of standard normals per step. Mirrors the reference's
+    per-sample backward loop (`/root/reference/src/solution_sampling.jl:44-59`)
+    with the whole lane block advancing in lockstep; one sample per member
+    per pass. Streamed normals (not in-kernel RNG) keep the kernel
+    deterministic and exactly replicable by the jnp reference in the tests.
+    """
+    QLt_c = Qt  # the noise *factor* QLt
+
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+        pltpu.make_async_copy(z_ref.at[k], zrow.at[slot], zsem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        pltpu.make_async_copy(z_ref.at[k], zrow.at[slot], zsem.at[slot]).wait()
+        m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
+        L = [[row[slot, i, d + l] for l in range(nq)] for i in range(nq)]
+        z = [[zrow[slot, i, j] for j in range(d)] for i in range(nq)]
+        return m, L, row[slot, 0, d + nq], z
+
+    start_load(jnp.int32(T))
+    m_T, L_T, s2_T, z_T = wait_and_read(jnp.int32(T))
+    if T >= 1:
+        start_load(jnp.int32(T - 1))   # prefetch the first backward row
+    # x_T = m_T + L_T z_T in preconditioned coordinates (the diagonal
+    # preconditioner commutes with sampling: P^-1 (m + L z) has exactly the
+    # unpreconditioned posterior's mean and factor)
+    x = [
+        [
+            m_T[i][j]
+            + _sreduce([_smul(L_T[i][l], z_T[l][j]) for l in range(nq)])
+            for j in range(d)
+        ]
+        for i in range(nq)
+    ]
+    for j in range(d):
+        us_ref[T, j] = pinv0 * x[0][j]
+
+    def body(step, carry):
+        x, s2_next = carry
+        k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
+        m_f, L_f, s2_k, z = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.ones((), k.dtype))
+        sq_s2 = jnp.sqrt(s2_next)   # diffusion of interval k -> k+1
+
+        AtL = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, a] * L_f[a][b] for a in range(nq) if At[i, a] != 0.0],
+                )
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        qT = [
+            [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else 0.0
+             for i in range(nq)]
+            for a in range(nq)
+        ]
+        Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
+
+        M = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [L_f[i][b] * AtL[l][b] for b in range(nq)],
+                )
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        G = [_list_cho_solve(Lp, M[i], nq) for i in range(nq)]
+
+        mp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, l] * m_f[l][j] for l in range(nq) if At[i, l] != 0.0],
+                )
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        dm = [[x[i][j] - mp[i][j] for j in range(d)] for i in range(nq)]
+        m_c = [
+            [
+                m_f[i][j]
+                + functools.reduce(
+                    lambda a, b: a + b, [G[i][l] * dm[l][j] for l in range(nq)]
+                )
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+
+        # conditional factor: the smoothing stack with the G L_s block
+        # dropped (the conditioning target has zero covariance)
+        GA = _matmul_lists(G, [[At[i, l] for l in range(nq)] for i in range(nq)], nq)
+        IGA = [
+            [
+                (1.0 if i == l else 0.0) - GA[i][l]
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        b1 = _matmul_lists(IGA, L_f, nq)
+        GQ = [
+            [
+                sq_s2
+                * functools.reduce(
+                    lambda a, b: a + b,
+                    [G[i][a] * QLt_c[a, l] for a in range(l, nq)],
+                )
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        L_c = _list_mgs_tril(_t_rows(b1, nq) + _t_rows(GQ, nq), 2 * nq, nq)
+
+        x_new = [
+            [
+                m_c[i][j]
+                + _sreduce([_smul(L_c[i][l], z[l][j]) for l in range(nq)])
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        for j in range(d):
+            us_ref[k, j] = pinv0 * x_new[0][j]
+        return x_new, s2_k
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (x, s2_T))
+
+
+@_no_x64
+def ek0_fused_sample(
+    f: Callable,
+    m0: jax.Array,        # (q+1, d, B) unpreconditioned Taylor init means
+    ps: jax.Array,        # (n_params, B)
+    normals: jax.Array,   # (T+1, q+1, d, B) standard normals
+    t0: float,
+    dt: float,
+    n_steps: int,
+    q: int,
+    prior=None,
+    mesh=None,
+    second_order: bool = False,
+):
+    """Fused joint-posterior sampling: filter kernel + backward sampler kernel.
+
+    Returns ``us`` (T+1, d, B) — one joint sample of the solution path per
+    ensemble member, drawn from the exact smoothing posterior (the marginals
+    match the fused smoother's mean/std; tested). ``normals`` must be i.i.d.
+    standard normals; pass the SAME array to the jnp replica for bit-level
+    validation. ``mesh``: optional 1-D device mesh sharding the ensemble
+    axis. Reference semantics: `/root/reference/src/solution_sampling.jl:24-62`.
+    """
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_, z_: (ek0_fused_sample(
+                f, m0_, ps_, z_, t0, dt, n_steps, q, prior=prior,
+                second_order=second_order,
+            ),),
+            (m0, ps, normals), in_axes=(2, 1, 3), out_axes=(2,),
+        )[0]
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    if normals.shape != (n_steps + 1, nq, d, B):
+        raise ValueError(
+            f"normals must have shape {(n_steps + 1, nq, d, B)}, got "
+            f"{normals.shape}"
+        )
+    nb = B // BLOCK
+    T = int(n_steps)
+
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    m0_p = (jnp.asarray(p_np, dtype)[:, None, None] * m0).reshape(
+        nq, d, nb, _SUB, _LANE
+    ).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    z_b = normals.astype(dtype).reshape(
+        T + 1, nq, d, nb, _SUB, _LANE
+    ).transpose(3, 0, 1, 2, 4, 5)
+
+    common = dict(At=At_np.astype(fdtype), Qt=QLt_np.astype(fdtype),
+                  pinv0=float(1.0 / p_np[0]), T=T, d=d, nq=nq)
+
+    fkernel = functools.partial(
+        _ek0_filter_states_kernel, f=f, pinv1=float(1.0 / p_np[1]),
+        dt=float(dt), t0=float(t0), so=bool(second_order),
+        pinv_b=float(1.0 / p_np[2]) if second_order else 0.0, **common,
+    )
+
+    W = d + nq + 1
+    fscratch = [
+        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def fentry(m0_blk, p_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                st_hbm.at[b], row, sem)
+
+    st = pl.pallas_call(
+        fentry,
+        grid=(nb,),
+        in_specs=[
+                pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                             lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
+        scratch_shapes=fscratch,
+    )(m0_p, ps_b)
+
+    skernel = functools.partial(_ek0_sampler_kernel, **common)
+
+    def sentry(st_hbm, z_hbm, us_blk, row, sem, zrow, zsem):
+        b = pl.program_id(0)
+        skernel(st_hbm.at[b], z_hbm.at[b], us_blk.at[jnp.int32(0)],
+                row, sem, zrow, zsem)
+
+    us_s = pl.pallas_call(
+        sentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                               lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, nq, d, _SUB, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(st, z_b)
+
+    return us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+
+
+def sample_ensemble_ek0_pallas(
+    prob_f: Callable,
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_steps: int,
+    key,
+    q: int = 3,
+    prior=None,
+    mesh=None,
+    second_order: bool = False,
+):
+    """Joint posterior samples over an ensemble at kernel speed.
+
+    One exact smoothing-posterior sample path per member, (T+1, d, B):
+    Taylor init + fused forward filter + fused backward conditioning
+    sampler (`/root/reference/src/solution_sampling.jl:15-23` semantics on
+    the uniform kernel grid). For n samples of ONE trajectory, tile the
+    member across the batch: every member draws with independent normals.
+    ``second_order``: ``u0s = [u0 | du0]`` (B, 2d); samples expose the
+    position block."""
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
+
+    t0, t1 = tspan
+    dt = (t1 - t0) / n_steps
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
+
+    if second_order:
+        def init_one(u0_full, p):
+            return jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+    else:
+        def init_one(u0, p):
+            return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+
+    m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
+    normals = jax.random.normal(
+        key, (int(n_steps) + 1, q + 1, d, B), m0.dtype
+    )
+    return ek0_fused_sample(
+        prob_f, m0, ps.T, normals, float(t0), float(dt), n_steps, q,
+        prior=prior, mesh=mesh, second_order=second_order,
+    )
+
+
 # ==========================================================================
 # EK1 fused kernel pair: full D x D square-root extended Kalman filtering
 # inside the kernel (D = d(q+1)). EK1 breaks the Kronecker structure, so

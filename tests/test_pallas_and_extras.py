@@ -1681,3 +1681,123 @@ def test_pallas_data_loglik_ek1_gradient_interpret():
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(gy), np.asarray(gyx),
                                rtol=1e-6, atol=1e-9)
+
+
+def _sample_replica_np(st_j, z_j, At, QLt, pinv0, T, d, nq):
+    """Numpy replica of `_ek0_sampler_kernel` for one member: backward
+    conditioning on the drawn value with a re-draw from the conditional,
+    factors via sign-fixed QR (== the kernel's positive-diagonal MGS)."""
+
+    def tril_of(stack):
+        r = np.linalg.qr(stack, mode="r")
+        s = np.sign(np.diag(r))
+        s[s == 0.0] = 1.0
+        return (s[:, None] * r).T
+
+    m = [st_j[k, :, :d] for k in range(T + 1)]
+    L = [st_j[k, :, d:d + nq] for k in range(T + 1)]
+    s2 = [st_j[k, 0, d + nq] for k in range(T + 1)]
+
+    x = m[T] + L[T] @ z_j[T]
+    out = np.zeros((T + 1, d))
+    out[T] = pinv0 * x[0]
+    for k in range(T - 1, -1, -1):
+        sq = np.sqrt(s2[k + 1])
+        AtL = At @ L[k]
+        Lp = tril_of(np.vstack([AtL.T, (sq * QLt).T]))
+        M = L[k] @ AtL.T
+        G = np.linalg.solve(Lp @ Lp.T, M.T).T
+        m_c = m[k] + G @ (x - At @ m[k])
+        b1 = (np.eye(nq) - G @ At) @ L[k]
+        Lc = tril_of(np.vstack([b1.T, (sq * (G @ QLt)).T]))
+        x = m_c + Lc @ z_j[k]
+        out[k] = pinv0 * x[0]
+    return out
+
+
+def test_pallas_sampler_matches_replica_interpret():
+    """The fused backward-sampling kernel reproduces a numpy replica of the
+    backward-conditioning recursion exactly (same streamed states, same
+    normals, f64 interpret mode) — the joint-sample analogue of the
+    smoother-kernel equality test (`solution_sampling.jl:24-62` semantics)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.taylor import taylor_coefficients
+
+    prob = odf.models.lotka_volterra(tspan=(0.0, 3.0))
+    B, T, q, d = pk.BLOCK, 25, 2, 2
+    nq = q + 1
+    dt = 3.0 / T
+    key = jax.random.PRNGKey(7)
+    ku, kz = jax.random.split(key)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(ku, (B, d))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    normals = jax.random.normal(kz, (T + 1, nq, d, B), jnp.float64)
+
+    m0 = jax.vmap(
+        lambda u0, p: jnp.stack(taylor_coefficients(prob.f, u0, p, 0.0, q))
+    )(u0s, ps).transpose(1, 2, 0)
+
+    with pltpu.force_tpu_interpret_mode():
+        us = pk.ek0_fused_sample(
+            prob.f, m0, ps.T, normals, 0.0, dt, T, q
+        )
+        # the identical filter pass, with its packed state stream exposed
+        _, _, st = pk.ek0_fused_solve(
+            prob.f, m0, ps.T, 0.0, dt, T, q, _debug=True
+        )
+
+    At, QLt = pk._prior_consts_np(None, q, dt)
+    pinv0 = float(dt ** (q + 0.5))
+    st_np = np.asarray(st, np.float64)      # (1, T+1, nq, W, SUB, LANE)
+    z_np = np.asarray(normals, np.float64)
+    for j in [0, 13, 500]:
+        sub, lane = j // pk._LANE, j % pk._LANE
+        ref = _sample_replica_np(
+            st_np[0, :, :, :, sub, lane], z_np[:, :, :, j],
+            At, QLt, pinv0, T, d, nq,
+        )
+        np.testing.assert_allclose(
+            np.asarray(us[:, :, j]), ref, rtol=1e-7, atol=1e-9
+        )
+
+
+def test_pallas_sampler_marginals_calibrated():
+    """1024 joint samples of ONE posterior (member tiled across the block):
+    empirical per-time marginals must match the fused smoother's mean/std —
+    the statistical counterpart of the replica equality test, and the
+    kernel analogue of the reference's 3-sigma sampler calibration test
+    (`test/solution.jl:71-72`)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 4.0))
+    B, T, q, d = pk.BLOCK, 40, 3, 2
+    u0s = jnp.broadcast_to(prob.u0, (B, d)).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+
+    with pltpu.force_tpu_interpret_mode():
+        us = pk.sample_ensemble_ek0_pallas(
+            prob.f, u0s, ps, prob.tspan, T, jax.random.PRNGKey(3), q=q
+        )
+        us_s, stds_s = pk.solve_ensemble_ek0_pallas_smooth(
+            prob.f, u0s, ps, prob.tspan, T, q=q
+        )
+
+    mean_emp = np.asarray(us).mean(axis=2)           # (T+1, d)
+    std_emp = np.asarray(us).std(axis=2)
+    mean_s = np.asarray(us_s[:, :, 0])
+    std_s = np.asarray(stds_s[:, 0])
+
+    # mean: within 5 standard errors of the smoothed mean
+    se = np.broadcast_to(std_s[:, None] / np.sqrt(B), mean_emp.shape)
+    np.testing.assert_array_less(
+        np.abs(mean_emp - mean_s), 5.0 * se + 1e-12
+    )
+    # std (solution block is isotropic for EK0: per-dim std == stds_s):
+    # within the ~4.5-sigma sampling band of a 1024-sample std estimate
+    mask = std_s > 1e-8
+    ratio = std_emp[mask, :] / std_s[mask, None]
+    assert float(np.max(np.abs(ratio - 1.0))) < 0.2, ratio

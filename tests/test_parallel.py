@@ -701,3 +701,40 @@ def test_windowed_validation_errors():
         solve_fixed_parallel(
             prob, odf.EK0(order=2), dt=0.02, windows=5, time_shard_axis="time"
         )
+
+
+def test_pallas_sampler_sharded_bitexact():
+    """The filter+sampler pair through the shard_map entry point (1-device
+    mesh — both kernels stream via DMA; see the smoother-pair test above
+    for the interpret-mode multi-device caveat). Also covers the
+    sample_ensemble_pallas front door's algorithm checks."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import AxisType, Mesh
+
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    B, T = pk.BLOCK, 8
+    key = jax.random.PRNGKey(11)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float32)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float32)
+    mesh1 = Mesh(
+        np.asarray(jax.devices()[:1]), ("ens",), axis_types=(AxisType.Auto,)
+    )
+    alg = odf.EK0(order=2, smooth=True)
+    with pltpu.force_tpu_interpret_mode():
+        us_sh = odf.sample_ensemble_pallas(
+            prob, alg, u0s, ps, key, n_steps=T, mesh=mesh1
+        )
+        us = odf.sample_ensemble_pallas(prob, alg, u0s, ps, key, n_steps=T)
+    np.testing.assert_array_equal(np.asarray(us_sh), np.asarray(us))
+    assert us.shape == (T + 1, 2, B)
+
+    with pytest.raises(ValueError, match="non-smoothed"):
+        odf.sample_ensemble_pallas(
+            prob, odf.EK0(order=2, smooth=False), u0s, ps, key, n_steps=T
+        )
+    with pytest.raises(NotImplementedError, match="EK0"):
+        odf.sample_ensemble_pallas(
+            prob, odf.EK1(order=2, smooth=True), u0s, ps, key, n_steps=T
+        )
