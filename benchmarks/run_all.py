@@ -405,6 +405,24 @@ def tpu_main(quick=False):
     }
 
     @jax.jit
+    def run_sample8(u0s, ps, key):
+        us = pk.sample_ensemble_ek0_pallas(
+            prob.f, u0s, ps, prob.tspan, T, key, q=3, n_samples=8
+        )
+        return us[-1].sum()
+
+    t = _time(run_sample8, u0s, ps, key, iters=10)
+    results["ensemble_8192_pallas_sampler_x8"] = {
+        "B": B, "grid_steps": T, "n_samples": 8, "runtime_s": t,
+        "sample_paths_per_sec": 8 * B / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+        "note": (
+            "all 8 samples share one backward pass; the gain/factor work "
+            "is sample-independent"
+        ),
+    }
+
+    @jax.jit
     def run_ek1(u0s, ps):
         us, stds = pk.solve_ensemble_ek1_pallas(
             prob.f, prob.jac, u0s, ps, prob.tspan, T, q=3, smooth=False

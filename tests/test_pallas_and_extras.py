@@ -1726,14 +1726,14 @@ def test_pallas_sampler_matches_replica_interpret():
     from odefilters.taylor import taylor_coefficients
 
     prob = odf.models.lotka_volterra(tspan=(0.0, 3.0))
-    B, T, q, d = pk.BLOCK, 25, 2, 2
+    B, T, q, d, S = pk.BLOCK, 25, 2, 2, 2
     nq = q + 1
     dt = 3.0 / T
     key = jax.random.PRNGKey(7)
     ku, kz = jax.random.split(key)
     u0s = (prob.u0 + 0.05 * jax.random.normal(ku, (B, d))).astype(jnp.float64)
     ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
-    normals = jax.random.normal(kz, (T + 1, nq, d, B), jnp.float64)
+    normals = jax.random.normal(kz, (T + 1, S, nq, d, B), jnp.float64)
 
     m0 = jax.vmap(
         lambda u0, p: jnp.stack(taylor_coefficients(prob.f, u0, p, 0.0, q))
@@ -1752,15 +1752,17 @@ def test_pallas_sampler_matches_replica_interpret():
     pinv0 = float(dt ** (q + 0.5))
     st_np = np.asarray(st, np.float64)      # (1, T+1, nq, W, SUB, LANE)
     z_np = np.asarray(normals, np.float64)
+    assert us.shape == (T + 1, S, d, B)
     for j in [0, 13, 500]:
         sub, lane = j // pk._LANE, j % pk._LANE
-        ref = _sample_replica_np(
-            st_np[0, :, :, :, sub, lane], z_np[:, :, :, j],
-            At, QLt, pinv0, T, d, nq,
-        )
-        np.testing.assert_allclose(
-            np.asarray(us[:, :, j]), ref, rtol=1e-7, atol=1e-9
-        )
+        for s in range(S):
+            ref = _sample_replica_np(
+                st_np[0, :, :, :, sub, lane], z_np[:, s, :, :, j],
+                At, QLt, pinv0, T, d, nq,
+            )
+            np.testing.assert_allclose(
+                np.asarray(us[:, s, :, j]), ref, rtol=1e-7, atol=1e-9
+            )
 
 
 def test_pallas_sampler_marginals_calibrated():
