@@ -450,6 +450,20 @@ def tpu_main(quick=False):
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
+    @jax.jit
+    def run_ek1_sample4(u0s, ps, key):
+        us = pk.sample_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, T, key, q=3, n_samples=4
+        )
+        return us[-1].sum()
+
+    t = _time(run_ek1_sample4, u0s, ps, key, iters=10)
+    results["ensemble_8192_pallas_ek1_sampler_x4"] = {
+        "B": B, "grid_steps": T, "n_samples": 4, "runtime_s": t,
+        "sample_paths_per_sec": 4 * B / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
     # config 4 on-chip: fused Kron-grid kernel (whole PDE solve in VMEM)
     run_br = jax.jit(
         lambda: pk.solve_brusselator_ek0_pallas(

@@ -236,14 +236,23 @@ def sample_ensemble_pallas(
             "the fused sampler implements the dynamic diffusion model; use "
             "odefilters.sample on an XLA solution for other models"
         )
-    if getattr(alg, "is_diagonal_ek1", False) or alg.is_ek1:
+    if getattr(alg, "is_diagonal_ek1", False):
         raise NotImplementedError(
-            "the fused sampler runs on the EK0 kernel pair; use "
-            "odefilters.sample on an XLA solution for EK1 linearizations"
+            "the fused sampler runs on the EK0 or EK1 kernel pairs; use "
+            "odefilters.sample on an XLA solution for DiagonalEK1"
         )
     if not alg.smooth:
         raise ValueError("sampling not implemented for non-smoothed posteriors")
     prior = None if isinstance(normalize_prior(alg.prior), IWP) else alg.prior
+    if alg.is_ek1:
+        if prob.second_order:
+            raise NotImplementedError(
+                "second-order sampling runs on the EK0 kernel pair"
+            )
+        return pk.sample_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, n_steps, key,
+            q=alg.order, n_samples=n_samples, prior=prior, mesh=mesh,
+        )
     return pk.sample_ensemble_ek0_pallas(
         prob.f, u0s, ps, prob.tspan, n_steps, key, q=alg.order,
         n_samples=n_samples, prior=prior, mesh=mesh,

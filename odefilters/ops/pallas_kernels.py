@@ -3560,7 +3560,9 @@ def _ek0_sampler_kernel(
                         lambda a, b: a + b,
                         [G[i][l] * dm[l][j] for l in range(nq)],
                     )
-                    + _sreduce([_smul(L_c[i][l], z[s][l][j]) for l in range(nq)])
+                    + _sreduce(
+                        [_smul(L_c[i][l], z[s][l][j]) for l in range(i + 1)]
+                    )  # L_c is lower-triangular by construction
                     for j in range(d)
                 ]
                 for i in range(nq)
@@ -4144,6 +4146,184 @@ def _ekd_smoother_kernel(
     )
 
 
+def _ekd_sampler_kernel(
+    st_ref, z_ref, us_ref,
+    row, sem, zrow, zsem, orow, osem,
+    *, At, QLt, pinv0, T, d, nq, S,
+):
+    """Backward joint-posterior sampling over D x D sqrt states (EK1 or any
+    dense-factor filter) — the `_ekd_smoother_kernel` recursion with the
+    carried smoothed state replaced by ``S`` carried samples: condition on
+    the drawn next value (zero-covariance target, so the 3-block smoothing
+    stack loses its ``G L_s`` term) and re-draw from the conditional
+    (`/root/reference/src/solution_sampling.jl:44-59`). The predicted
+    factor is streamed from the filter; the gain solve and the 2D x D
+    conditional-factor MGS are sample-independent, so all ``S`` samples
+    share them. Normals streamed from HBM; (S, d) solution-sample rows
+    DMA-streamed out."""
+    D = d * nq
+    Af = np.kron(At, np.eye(d))
+    QLf = np.kron(QLt, np.eye(d))
+
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+        pltpu.make_async_copy(z_ref.at[k], zrow.at[slot], zsem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        pltpu.make_async_copy(z_ref.at[k], zrow.at[slot], zsem.at[slot]).wait()
+        m = [row[slot, r, D] for r in range(D)]
+        L = [[row[slot, r, c] for c in range(D)] for r in range(D)]
+        Lp_low = [row[slot, r, D + 2 + c]
+                  for r in range(D) for c in range(r + 1)]
+        z = [[zrow[slot, s, r] for r in range(D)] for s in range(S)]
+        return m, L, Lp_low, row[slot, 0, D + 1], z
+
+    def _unflatten_tril(low):
+        out = [[0.0] * D for _ in range(D)]
+        idx = 0
+        for r in range(D):
+            for c in range(r + 1):
+                out[r][c] = low[idx]
+                idx += 1
+        return out
+
+    def emit(k, xs):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k <= jnp.int32(T - 2))
+        def _():
+            pltpu.make_async_copy(
+                orow.at[slot], us_ref.at[k + jnp.int32(2)], osem.at[slot]
+            ).wait()
+
+        for s in range(S):
+            for j in range(d):
+                orow[slot, s, j] = pinv0 * xs[s][j]
+        pltpu.make_async_copy(
+            orow.at[slot], us_ref.at[k], osem.at[slot]
+        ).start()
+
+    start_load(jnp.int32(T))
+    m_T, L_T, Lp_T_low, s2_T, z_T = wait_and_read(jnp.int32(T))
+    if T >= 1:
+        start_load(jnp.int32(T - 1))
+    # the streamed updated factor is a general (non-triangular) square root
+    xs = [
+        [
+            m_T[r]
+            + _sreduce([_smul(L_T[r][c], z_T[s][c]) for c in range(D)])
+            for r in range(D)
+        ]
+        for s in range(S)
+    ]
+    emit(jnp.int32(T), xs)
+
+    def Amul_vec(m):
+        return [
+            functools.reduce(
+                lambda a, b: a + b,
+                [Af[r, c] * m[c] for c in range(D) if Af[r, c] != 0.0],
+            )
+            for r in range(D)
+        ]
+
+    def body(step, carry):
+        xs, s2_next, Lp_next_low = carry
+        k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
+        m_f, L_f, Lp_low_k, s2_k, z = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.ones((), k.dtype))
+
+        sq_s2 = jnp.sqrt(jnp.maximum(s2_next, 0.0))
+
+        AL = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [Af[r, c] * L_f[c][kk] for c in range(D) if Af[r, c] != 0.0],
+                )
+                for kk in range(D)
+            ]
+            for r in range(D)
+        ]
+        Lp = _unflatten_tril(Lp_next_low)
+
+        M = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [L_f[r][b] * AL[l][b] for b in range(D)],
+                )
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        G = [_list_cho_solve(Lp, M[r], D) for r in range(D)]
+
+        mp = Amul_vec(m_f)
+
+        GA = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [G[r][c] * Af[c, l] for c in range(D) if Af[c, l] != 0.0],
+                )
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        IGA = [
+            [(1.0 if r == l else 0.0) - GA[r][l] for l in range(D)]
+            for r in range(D)
+        ]
+        b1 = _matmul_lists(IGA, L_f, D)
+        GQ = [
+            [
+                sq_s2
+                * functools.reduce(
+                    lambda a, b: a + b,
+                    [G[r][c] * QLf[c, l] for c in range(D) if QLf[c, l] != 0.0],
+                )
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        # conditional factor: smoothing stack without the G L_s block
+        # (zero-covariance conditioning target); shared by every sample
+        L_c = _list_mgs_tril(_t_rows(b1, D) + _t_rows(GQ, D), 2 * D, D)
+
+        xs_new = []
+        for s in range(S):
+            dm = [xs[s][r] - mp[r] for r in range(D)]
+            xs_new.append([
+                m_f[r]
+                + functools.reduce(
+                    lambda a, b: a + b, [G[r][l] * dm[l] for l in range(D)]
+                )
+                + _sreduce([_smul(L_c[r][c], z[s][c]) for c in range(r + 1)])
+                for r in range(D)
+            ])
+        emit(k, xs_new)
+        return xs_new, s2_k, Lp_low_k
+
+    jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (xs, s2_T, Lp_T_low)
+    )
+    # drain the last (up to two) in-flight sample-row copies
+    pltpu.make_async_copy(
+        orow.at[jnp.int32(0)], us_ref.at[jnp.int32(0)], osem.at[jnp.int32(0)]
+    ).wait()
+    if T >= 1:
+        pltpu.make_async_copy(
+            orow.at[jnp.int32(1)], us_ref.at[jnp.int32(1)], osem.at[jnp.int32(1)]
+        ).wait()
+
+
 @_no_x64
 def ek1_fused_solve(
     f: Callable,
@@ -4157,6 +4337,7 @@ def ek1_fused_solve(
     smooth: bool = True,
     prior=None,
     mesh=None,
+    _debug: bool = False,
 ):
     """Fused EK1 solve (dynamic diffusion) over an ensemble: the full
     D x D square-root extended Kalman filter (+ optional RTS smoother)
@@ -4164,10 +4345,13 @@ def ek1_fused_solve(
     index-and-stack style like ``f``; pass ``None`` to derive it inside the
     kernel via forward-mode JVP columns (trace-time autodiff). Returns
     ``(us, stds)`` with shapes (T+1, d, B) each (per-dimension marginal
-    stds). ``mesh``: optional 1-D device mesh sharding the ensemble axis."""
+    stds). ``mesh``: optional 1-D device mesh sharding the ensemble axis.
+    ``_debug`` appends the packed state stream to the outputs."""
     if jac is None:
         jac = _auto_jac(f)
     if mesh is not None:
+        if _debug:
+            raise ValueError("_debug outputs are not available under mesh=")
         return _shard_over_ens(
             mesh,
             lambda m0_, ps_: ek1_fused_solve(
@@ -4267,7 +4451,172 @@ def ek1_fused_solve(
 
     us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = std_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+    if _debug:
+        return us, stds, st
     return us, stds
+
+
+@_no_x64
+def ek1_fused_sample(
+    f: Callable,
+    jac: Callable,
+    m0: jax.Array,        # (q+1, d, B)
+    ps: jax.Array,        # (n_params, B)
+    normals: jax.Array,   # (T+1, S, D, B), D = d(q+1)
+    t0: float,
+    dt: float,
+    n_steps: int,
+    q: int,
+    prior=None,
+    mesh=None,
+):
+    """Fused EK1 joint-posterior sampling: D x D filter kernel + backward
+    dense-factor sampler kernel. Returns ``us`` (T+1, S, d, B) — ``S``
+    joint solution-path samples per member from the exact smoothing
+    posterior; the gain/factor work per step is sample-independent and
+    shared (measured: S=4 on FHN q=3 runs at the fused smoother's cost —
+    1.9M sample paths/s @ 8192 members). Remote-chip compile of the
+    D x D sampler unroll is slow (~18 min at q=3, S=4; cached after).
+    Reference: `/root/reference/src/solution_sampling.jl:24-62`."""
+    if jac is None:
+        jac = _auto_jac(f)
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_, z_: (ek1_fused_sample(
+                f, jac, m0_, ps_, z_, t0, dt, n_steps, q, prior=prior,
+            ),),
+            (m0, ps, normals), in_axes=(2, 1, 3), out_axes=(3,),
+        )[0]
+    nq = q + 1
+    _, d, B = m0.shape
+    D = d * nq
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    if (
+        normals.ndim != 4
+        or normals.shape[0] != n_steps + 1
+        or normals.shape[2:] != (D, B)
+    ):
+        raise ValueError(
+            f"normals must have shape {(n_steps + 1, 'S', D, B)}, got "
+            f"{normals.shape}"
+        )
+    S = int(normals.shape[1])
+    nb = B // BLOCK
+    T = int(n_steps)
+
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    m0_p = (jnp.asarray(p_np, dtype)[:, None, None] * m0).reshape(
+        nq, d, nb, _SUB, _LANE
+    ).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    z_b = normals.astype(dtype).reshape(
+        T + 1, S, D, nb, _SUB, _LANE
+    ).transpose(3, 0, 1, 2, 4, 5)
+
+    common = dict(At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+                  pinv0=float(1.0 / p_np[0]), T=T, d=d, nq=nq)
+    fkernel = functools.partial(
+        _ek1_filter_states_kernel, f=f, jac=jac,
+        pinv1=float(1.0 / p_np[1]), dt=float(dt), t0=float(t0),
+        stream_Lp=True, **common,
+    )
+
+    W = 2 * D + 2
+    fscratch = [
+        pltpu.VMEM((2, D, W, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def fentry(m0_blk, p_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                st_hbm.at[b], row, sem)
+
+    st = pl.pallas_call(
+        fentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, T + 1, D, W, _SUB, _LANE), dtype),
+        scratch_shapes=fscratch,
+    )(m0_p, ps_b)
+
+    skernel = functools.partial(_ekd_sampler_kernel, S=S, **common)
+
+    def sentry(st_hbm, z_hbm, us_hbm, row, sem, zrow, zsem, orow, osem):
+        b = pl.program_id(0)
+        skernel(st_hbm.at[b], z_hbm.at[b], us_hbm.at[b],
+                row, sem, zrow, zsem, orow, osem)
+
+    us_s = pl.pallas_call(
+        sentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, T + 1, S, d, _SUB, _LANE), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, D, W, _SUB, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, S, D, _SUB, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, S, d, _SUB, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(st, z_b)
+
+    return us_s.transpose(1, 2, 3, 0, 4, 5).reshape(T + 1, S, d, B)
+
+
+def sample_ensemble_ek1_pallas(
+    prob_f: Callable,
+    prob_jac: Callable,
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_steps: int,
+    key,
+    q: int = 3,
+    n_samples: int = 1,
+    prior=None,
+    mesh=None,
+):
+    """Joint EK1 posterior samples over an ensemble at kernel speed:
+    Taylor init + fused D x D filter + fused backward sampler.
+    (T+1, d, B) for ``n_samples=1``, else (T+1, n_samples, d, B)."""
+    from odefilters.taylor import taylor_coefficients
+
+    t0, t1 = tspan
+    dt = (t1 - t0) / n_steps
+    B, d = u0s.shape
+
+    def init_one(u0, p):
+        return jnp.stack(taylor_coefficients(prob_f, u0, p, t0, q))
+
+    m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
+    S = int(n_samples)
+    normals = jax.random.normal(
+        key, (int(n_steps) + 1, S, d * (q + 1), B), m0.dtype
+    )
+    us = ek1_fused_sample(
+        prob_f, prob_jac, m0, ps.T, normals, float(t0), float(dt),
+        n_steps, q, prior=prior, mesh=mesh,
+    )
+    return us[:, 0] if S == 1 else us
 
 
 def solve_ensemble_ek1_pallas(

@@ -1803,3 +1803,67 @@ def test_pallas_sampler_marginals_calibrated():
     mask = std_s > 1e-8
     ratio = std_emp[mask, :] / std_s[mask, None]
     assert float(np.max(np.abs(ratio - 1.0))) < 0.2, ratio
+
+
+def test_pallas_ek1_sampler_deterministic_and_calibrated():
+    """Dense-factor (EK1) backward-sampling kernel, validated at the two
+    levels that are well-posed: (a) with zero normals the sampler recursion
+    IS the smoothed-mean recursion — bit-exact against the fused EK1
+    smoother; (b) 1024 samples of one posterior match the smoother's
+    per-dim marginals. Exact draw-level replication across implementations
+    is NOT well-posed for EK1: the conditional covariance is exactly
+    rank-deficient (the R=0 ODE-measurement update zeroes C H^T, d zero
+    singular values — verified), so in the null directions any factor is
+    roundoff-arbitrary; the drawn sample differs while the distribution is
+    identical (the EK0 sampler's replica test works because its degenerate
+    direction is axis-aligned in the per-block factor)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.taylor import taylor_coefficients
+
+    prob = odf.models.lotka_volterra(tspan=(0.0, 2.0))
+    B, T, q, d, S = pk.BLOCK, 18, 2, 2, 2
+    D = 2 * (q + 1)
+    dt = 2.0 / T
+    key = jax.random.PRNGKey(5)
+    ku, kz = jax.random.split(key)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(ku, (B, d))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+
+    m0 = jax.vmap(
+        lambda u0, p: jnp.stack(taylor_coefficients(prob.f, u0, p, 0.0, q))
+    )(u0s, ps).transpose(1, 2, 0)
+
+    # (a) zero normals: sampler == smoothed means, bit-exact
+    zeros = jnp.zeros((T + 1, S, D, B), jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        us0 = pk.ek1_fused_sample(
+            prob.f, prob.jac, m0, ps.T, zeros, 0.0, dt, T, q
+        )
+        us_sm, stds_sm = pk.ek1_fused_solve(
+            prob.f, prob.jac, m0, ps.T, 0.0, dt, T, q, smooth=True
+        )
+    for s in range(S):
+        np.testing.assert_array_equal(np.asarray(us0[:, s]), np.asarray(us_sm))
+
+    # (b) marginal calibration: 1024 samples of ONE posterior (tiled member)
+    u0s_t = jnp.broadcast_to(prob.u0, (B, d)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        us = odf.sample_ensemble_pallas(
+            prob, odf.EK1(order=q, smooth=True), u0s_t, ps,
+            jax.random.PRNGKey(1), n_steps=T,
+        )
+        us_s1, stds_s1 = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s_t, ps, prob.tspan, T, q=q, smooth=True
+        )
+    assert us.shape == (T + 1, d, B)
+    mean_emp = np.asarray(us).mean(axis=2)
+    std_emp = np.asarray(us).std(axis=2)
+    mean_s = np.asarray(us_s1[:, :, 0])
+    std_s = np.asarray(stds_s1[:, :, 0])
+    se = std_s / np.sqrt(B)
+    np.testing.assert_array_less(np.abs(mean_emp - mean_s), 5.0 * se + 1e-12)
+    mask = std_s > 1e-8
+    ratio = std_emp[mask] / std_s[mask]
+    assert float(np.max(np.abs(ratio - 1.0))) < 0.2, ratio

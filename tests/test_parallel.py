@@ -734,7 +734,8 @@ def test_pallas_sampler_sharded_bitexact():
         odf.sample_ensemble_pallas(
             prob, odf.EK0(order=2, smooth=False), u0s, ps, key, n_steps=T
         )
-    with pytest.raises(NotImplementedError, match="EK0"):
+    with pytest.raises(NotImplementedError, match="DiagonalEK1"):
         odf.sample_ensemble_pallas(
-            prob, odf.EK1(order=2, smooth=True), u0s, ps, key, n_steps=T
+            prob, odf.DiagonalEK1(order=2, smooth=True), u0s, ps, key,
+            n_steps=T
         )
