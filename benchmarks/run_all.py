@@ -464,6 +464,29 @@ def tpu_main(quick=False):
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
+    # ensemble IEKS (MAP): 4 sweeps of the fused EK1 pair, re-linearizing
+    # at the previous sweep's smoothed means (kernel lin-trajectory stream)
+    prob_lv5 = odf.models.lotka_volterra(tspan=(0.0, 5.0))
+    u0s_lv = (prob_lv5.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(
+        jnp.float32
+    )
+    ps_lv = jnp.broadcast_to(prob_lv5.p, (B, 4)).astype(jnp.float32)
+    alg_ieks = odf.IEKS(order=3)
+
+    @jax.jit
+    def run_ieks(u0s, ps):
+        sol = odf.ieks_ensemble_pallas(
+            prob_lv5, alg_ieks, u0s, ps, n_steps=200, iterations=4
+        )
+        return sol.us[-1].sum()
+
+    t = _time(run_ieks, u0s_lv, ps_lv, iters=5)
+    results["ensemble_8192_pallas_ieks"] = {
+        "B": B, "grid_steps": 200, "iterations": 4, "runtime_s": t,
+        "map_solves_per_sec": B / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
     # config 4 on-chip: fused Kron-grid kernel (whole PDE solve in VMEM)
     run_br = jax.jit(
         lambda: pk.solve_brusselator_ek0_pallas(

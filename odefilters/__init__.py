@@ -36,7 +36,7 @@ from odefilters.kronsolve import (
     solve_fixed_kron,
 )
 from odefilters.datalik import data_loglik, filter_with_data
-from odefilters.ieks import solve_ieks
+from odefilters.ieks import solve_ieks, solve_ieks_fixed
 from odefilters.integrator import Integrator, init
 from odefilters.sampling import (
     dense_sample,
@@ -57,6 +57,7 @@ from odefilters import ensemble
 from odefilters.callbacks import ContinuousCallback, DiscreteCallback
 from odefilters.ensemble import (
     EnsembleKernelSolution,
+    ieks_ensemble_pallas,
     sample_ensemble_pallas,
     solve_ensemble_pallas,
 )
@@ -84,6 +85,7 @@ __all__ = [
     "solve_adaptive_kron",
     "KronProbODESolution",
     "solve_ieks",
+    "solve_ieks_fixed",
     "init",
     "Integrator",
     "sampling",
@@ -99,6 +101,7 @@ __all__ = [
     "EnsembleKernelSolution",
     "solve_ensemble_pallas",
     "sample_ensemble_pallas",
+    "ieks_ensemble_pallas",
     "DiscreteCallback",
     "ContinuousCallback",
     "models",

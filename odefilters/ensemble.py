@@ -258,3 +258,49 @@ def sample_ensemble_pallas(
         n_samples=n_samples, prior=prior, mesh=mesh,
         second_order=bool(prob.second_order),
     )
+
+
+def ieks_ensemble_pallas(
+    prob: ODEProblem,
+    alg: AbstractEK,
+    u0s: jax.Array,
+    ps: jax.Array,
+    *,
+    n_steps: int = 100,
+    iterations: int = 10,
+    mesh=None,
+) -> EnsembleKernelSolution:
+    """Ensemble IEKS (MAP estimation) on the fused EK1 kernel pair.
+
+    The fused-kernel analogue of :func:`odefilters.ieks.solve_ieks_fixed`
+    (`/root/reference/src/ieks.jl:53-61` semantics on a shared fixed grid):
+    iterate the fused EK1 filter+smoother, streaming the previous
+    iteration's smoothed means into the filter kernel as per-member
+    Jacobian linearization points. The first sweep linearizes at the
+    predicted mean (a plain EK1 solve); every later sweep re-linearizes
+    the WHOLE trajectory at once. B independent MAP problems per call.
+    First-order problems, EK1, dynamic diffusion only.
+    """
+    from odefilters.ops import pallas_kernels as pk
+
+    if alg.diffusionmodel != "dynamic":
+        raise NotImplementedError(
+            "the fused kernels implement the dynamic diffusion model"
+        )
+    if getattr(alg, "is_diagonal_ek1", False) or not alg.is_ek1:
+        raise NotImplementedError("ensemble IEKS linearizes on the EK1 kernel")
+    if prob.second_order:
+        raise NotImplementedError("ensemble IEKS is first-order only")
+    if not alg.smooth:
+        raise ValueError(
+            "IEKS requires smooth=True (it linearizes at smoothed means)"
+        )
+    prior = None if isinstance(normalize_prior(alg.prior), IWP) else alg.prior
+    us = None
+    stds = None
+    for _ in range(max(int(iterations), 1)):
+        us, stds = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, n_steps, q=alg.order,
+            smooth=True, prior=prior, mesh=mesh, linearize_traj=us,
+        )
+    return EnsembleKernelSolution(us, stds)

@@ -43,6 +43,7 @@ def filter_fixed_grid(
     obs_update=None,
     prior_scale=None,
     stop_calib_grad: bool = False,
+    linearize_us=None,
 ):
     """The shared fixed-grid filter scan (model/Taylor init + one
     ``lax.scan`` of `attempt_step` over the grid).
@@ -56,6 +57,11 @@ def filter_fixed_grid(
     per-dimension) baked into the process-noise factor, so the pass runs
     against the ALREADY-scaled prior (datalik's calibrate-then-condition
     for static diffusion models).
+
+    ``linearize_us``: optional (n_steps+1, d) array of EK1 linearization
+    points per grid row — the fixed-grid IEKS hook (the adaptive driver's
+    ``linearize_sol`` evaluated on the grid, `perform_step.jl:111-113`);
+    row ``i+1`` linearizes the measurement of step ``i -> i+1``.
 
     Returns ``(model, x_filt, diff_buf, ll, extra, sigma2_last)``.
     """
@@ -101,9 +107,14 @@ def filter_fixed_grid(
     def body(carry, i):
         x, sigma2, ll, extra, k = carry
         t, dt = ts[i], ts[i + 1] - ts[i]
+        lin = None
+        if linearize_us is not None:
+            u_lin_row = linearize_us[i + 1]
+            lin = lambda t_new: u_lin_row  # noqa: E731
         res = attempt_step(
             model, x, x.mean[: model.sol_d], t, dt, sigma2, k, abstol,
-            reltol, prob.p, stop_calib_grad=stop_calib_grad,
+            reltol, prob.p, linearize_u=lin,
+            stop_calib_grad=stop_calib_grad,
         )
         x1 = res.x_filt
         if obs_update is not None:
@@ -139,11 +150,13 @@ def _solve_fixed_impl_inner(
     n_steps: int,
     taylor_method: str,
     calibrate_errors: bool,
+    linearize_us=None,
 ):
     from odefilters.solve import _postprocess  # local import to avoid cycle
 
     model, x_filt, diff_buf, ll, _, sigma2_last = filter_fixed_grid(
-        prob, alg, ts, abstol, reltol, taylor_method
+        prob, alg, ts, abstol, reltol, taylor_method,
+        linearize_us=linearize_us,
     )
     n = jnp.asarray(n_steps, jnp.int32)
     stats = DEStats(
@@ -158,9 +171,10 @@ def _solve_fixed_impl_inner(
 
 @partial(jax.jit, static_argnames=("alg", "n_steps", "taylor_method", "calibrate_errors"))
 def _solve_fixed_jit(prob, alg, ts, abstol, reltol, n_steps, taylor_method,
-                     calibrate_errors):
+                     calibrate_errors, linearize_us=None):
     return _solve_fixed_impl(
-        prob, alg, ts, abstol, reltol, n_steps, taylor_method, calibrate_errors
+        prob, alg, ts, abstol, reltol, n_steps, taylor_method,
+        calibrate_errors, linearize_us=linearize_us,
     )
 
 
@@ -173,10 +187,13 @@ def solve_fixed(
     abstol: float = 1e-6,
     reltol: float = 1e-3,
     taylor_method: str = "auto",
+    linearize_us: Optional[jax.Array] = None,
 ) -> ProbODESolution:
     """Fixed-grid solve: supply either a step size ``dt`` or a grid ``ts``.
 
     The grid must start at ``tspan[0]`` and end at ``tspan[1]``.
+    ``linearize_us``: optional (n+1, d) EK1 linearization points per grid
+    row (the fixed-grid IEKS hook; see :func:`odefilters.ieks.solve_ieks_fixed`).
     """
     t0, t1 = prob.tspan
     if ts is None:
@@ -189,6 +206,15 @@ def solve_fixed(
         ts = jnp.asarray(ts)
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     ts = ts.astype(dtype)
+    if linearize_us is not None:
+        linearize_us = jnp.asarray(linearize_us, dtype)
+        if linearize_us.shape != (ts.shape[0], prob.d):
+            raise ValueError(
+                f"linearize_us must have shape {(ts.shape[0], prob.d)} "
+                f"(one linearization point per grid row), got "
+                f"{linearize_us.shape}"
+            )
     return _solve_fixed_jit(
-        prob, alg, ts, abstol, reltol, ts.shape[0] - 1, taylor_method, True
+        prob, alg, ts, abstol, reltol, ts.shape[0] - 1, taylor_method, True,
+        linearize_us,
     )

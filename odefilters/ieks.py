@@ -48,3 +48,39 @@ def solve_ieks(
             linearize_sol=sol, **kwargs,
         )
     return sol
+
+
+def solve_ieks_fixed(
+    prob: ODEProblem,
+    alg: Optional[IEKS] = None,
+    *,
+    ts,
+    iterations: int = 10,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+) -> ProbODESolution:
+    """Fixed-grid IEKS: iterate the fixed-grid EK1 solve, linearizing the
+    measurement at the previous iteration's smoothed posterior mean ON the
+    grid (no dense-output evaluation needed — the grid is shared across
+    iterations, so ``linearize_us`` is simply the previous ``sol.u``).
+
+    This is the natural TPU shape of `ieks.jl:53-61` (one fused scan per
+    sweep, reverse-mode differentiable) and the XLA reference for the
+    fused-kernel ensemble IEKS (`odefilters.ieks_ensemble_pallas`).
+    First-order problems only (the second-order measurement has no
+    linearization hook).
+    """
+    from odefilters.fixedgrid import solve_fixed
+
+    if alg is None:
+        alg = IEKS()
+    if prob.second_order:
+        raise NotImplementedError("fixed-grid IEKS is first-order only")
+    sol = None
+    for _ in range(iterations):
+        lin = None if sol is None else sol.u
+        sol = solve_fixed(
+            prob, alg, ts=ts, abstol=abstol, reltol=reltol,
+            linearize_us=lin,
+        )
+    return sol

@@ -3786,13 +3786,17 @@ def _ek1_step_lists(
     f, jac, Af, QLf, pinv0, pinv1, d, D, want_ll=False,
     stop_calib: bool = False,
     want_Lp: bool = False,
+    u_lin=None,
 ):
     """One square-root EK1(dynamic) step on D-vector mean / D x D factor
     lists of lanes. Shared by the streamed-state filter kernel and the
     EK1 data-likelihood kernel. Returns ``(m_new, L_new, s2, ll_inc)``
     (``ll_inc`` is None unless ``want_ll``); with ``want_Lp`` the
     predicted factor Lp is appended so the caller can stream it to the
-    backward smoother (which then skips its own 2D x D re-factorization)."""
+    backward smoother (which then skips its own 2D x D re-factorization).
+    ``u_lin``: optional (d, 8, 128) linearization point for the Jacobian
+    (the IEKS hook, `perform_step.jl:111-113`); the residual still
+    evaluates ``f`` at the predicted mean, only J moves."""
     zero = jnp.zeros_like(m[0])
 
     def Amul_vec(v):
@@ -3819,7 +3823,7 @@ def _ek1_step_lists(
     mp = Amul_vec(m)
     u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
     du = f(u_pred, p_block, t_new)
-    J = jac(u_pred, p_block, t_new)          # (d, d, 8, 128)
+    J = jac(u_pred if u_lin is None else u_lin, p_block, t_new)  # (d,d,8,128)
     z = [pinv1 * mp[d + a] - du[a] for a in range(d)]
 
     def Hmul_cols(M, K):
@@ -3929,8 +3933,13 @@ def _ek1_filter_states_kernel(
     row, sem,
     *, f, jac, At, QLt, pinv0, pinv1, T, dt, t0, d, nq,
     stream_Lp: bool = False,
+    lin_ref=None, lrow=None, lsem=None,
 ):
-    """Forward EK1 filter (dynamic diffusion), streaming sqrt states."""
+    """Forward EK1 filter (dynamic diffusion), streaming sqrt states.
+
+    ``lin_ref``: optional HBM ref of (T+1, d) linearization-point rows
+    (the IEKS hook) — double-buffered DMA reads in forward order; row k+1
+    linearizes the Jacobian of step k -> k+1."""
     D = d * nq
     Af = np.kron(At, np.eye(d))          # (D, D) floats
     QLf = np.kron(QLt, np.eye(d))        # (D, D) lower floats
@@ -3972,6 +3981,15 @@ def _ek1_filter_states_kernel(
 
     pack_and_send(jnp.int32(0), m_init, L_init, L_init, zero + 1.0)
 
+    if lin_ref is not None:
+        def start_lin(k1):
+            slot = jax.lax.rem(k1, jnp.int32(2))
+            pltpu.make_async_copy(
+                lin_ref.at[k1], lrow.at[slot], lsem.at[slot]
+            ).start()
+
+        start_lin(jnp.int32(1))   # prefetch the first measurement row
+
     def body(k, carry):
         m, L = carry
         _dt = zero.dtype
@@ -3979,9 +3997,21 @@ def _ek1_filter_states_kernel(
         t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
             k.astype(_dt) + jnp.asarray(1.0, _dt)
         )
+        u_lin = None
+        if lin_ref is not None:
+            slot = jax.lax.rem(k1, jnp.int32(2))
+            pltpu.make_async_copy(
+                lin_ref.at[k1], lrow.at[slot], lsem.at[slot]
+            ).wait()
+            u_lin = jnp.stack([lrow[slot, j] for j in range(d)])
+
+            @pl.when(k1 < jnp.int32(T))
+            def _():
+                start_lin(k1 + jnp.ones((), k1.dtype))
         m_new, L_new, s2, _, Lp = _ek1_step_lists(
             m, L, p_block, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
             pinv0=pinv0, pinv1=pinv1, d=d, D=D, want_Lp=True,
+            u_lin=u_lin,
         )
         pack_and_send(k1, m_new, L_new, Lp, s2)
         return m_new, L_new
@@ -4338,6 +4368,7 @@ def ek1_fused_solve(
     prior=None,
     mesh=None,
     _debug: bool = False,
+    linearize_traj=None,
 ):
     """Fused EK1 solve (dynamic diffusion) over an ensemble: the full
     D x D square-root extended Kalman filter (+ optional RTS smoother)
@@ -4346,19 +4377,31 @@ def ek1_fused_solve(
     kernel via forward-mode JVP columns (trace-time autodiff). Returns
     ``(us, stds)`` with shapes (T+1, d, B) each (per-dimension marginal
     stds). ``mesh``: optional 1-D device mesh sharding the ensemble axis.
-    ``_debug`` appends the packed state stream to the outputs."""
+    ``_debug`` appends the packed state stream to the outputs.
+    ``linearize_traj``: optional (T+1, d, B) per-member Jacobian
+    linearization points (the IEKS hook — row k+1 linearizes step
+    k -> k+1), DMA-streamed into the filter kernel."""
     if jac is None:
         jac = _auto_jac(f)
     if mesh is not None:
         if _debug:
             raise ValueError("_debug outputs are not available under mesh=")
+        if linearize_traj is None:
+            return _shard_over_ens(
+                mesh,
+                lambda m0_, ps_: ek1_fused_solve(
+                    f, jac, m0_, ps_, t0, dt, n_steps, q,
+                    smooth=smooth, prior=prior,
+                ),
+                (m0, ps), in_axes=(2, 1), out_axes=(2, 2),
+            )
         return _shard_over_ens(
             mesh,
-            lambda m0_, ps_: ek1_fused_solve(
+            lambda m0_, ps_, lin_: ek1_fused_solve(
                 f, jac, m0_, ps_, t0, dt, n_steps, q,
-                smooth=smooth, prior=prior,
+                smooth=smooth, prior=prior, linearize_traj=lin_,
             ),
-            (m0, ps), in_axes=(2, 1), out_axes=(2, 2),
+            (m0, ps, linearize_traj), in_axes=(2, 1, 2), out_axes=(2, 2),
         )
 
     nq = q + 1
@@ -4397,10 +4440,37 @@ def ek1_fused_solve(
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
-    def fentry(m0_blk, p_blk, st_hbm, row, sem):
-        b = pl.program_id(0)
-        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
-                st_hbm.at[b], row, sem)
+    if linearize_traj is None:
+        def fentry(m0_blk, p_blk, st_hbm, row, sem):
+            b = pl.program_id(0)
+            fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                    st_hbm.at[b], row, sem)
+
+        fin_specs = []
+        fin_args = ()
+        fscratch = scratch
+    else:
+        if linearize_traj.shape != (T + 1, d, B):
+            raise ValueError(
+                f"linearize_traj must have shape {(T + 1, d, B)}, got "
+                f"{linearize_traj.shape}"
+            )
+        lin_b = linearize_traj.astype(dtype).reshape(
+            T + 1, d, nb, _SUB, _LANE
+        ).transpose(2, 0, 1, 3, 4)
+
+        def fentry(m0_blk, p_blk, lin_hbm, st_hbm, row, sem, lrow, lsem):
+            b = pl.program_id(0)
+            fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                    st_hbm.at[b], row, sem,
+                    lin_ref=lin_hbm.at[b], lrow=lrow, lsem=lsem)
+
+        fin_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        fin_args = (lin_b,)
+        fscratch = scratch + [
+            pltpu.VMEM((2, d, _SUB, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
     st = pl.pallas_call(
         fentry,
@@ -4410,11 +4480,11 @@ def ek1_fused_solve(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
                          lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + fin_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nb, T + 1, D, W, _SUB, _LANE), dtype),
-        scratch_shapes=scratch,
-    )(m0_p, ps_b)
+        scratch_shapes=fscratch,
+    )(m0_p, ps_b, *fin_args)
 
     if not smooth:
         # filter means/stds derived from the packed stream (preconditioned)
@@ -4630,6 +4700,7 @@ def solve_ensemble_ek1_pallas(
     smooth: bool = True,
     prior=None,
     mesh=None,
+    linearize_traj=None,
 ):
     """Taylor-init + fused EK1 filter(+smoother) over an ensemble."""
     from odefilters.taylor import taylor_coefficients
@@ -4645,6 +4716,7 @@ def solve_ensemble_ek1_pallas(
     return ek1_fused_solve(
         prob_f, prob_jac, m0, ps.T, float(t0), float(dt), n_steps, q,
         smooth=smooth, prior=prior, mesh=mesh,
+        linearize_traj=linearize_traj,
     )
 
 

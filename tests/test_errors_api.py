@@ -98,3 +98,30 @@ def test_saveat():
     np.testing.assert_allclose(
         g.mean, prob.analytic(prob.u0, prob.p, 1.3), atol=1e-5
     )
+
+
+def test_solve_ieks_fixed_first_sweep_is_plain_ek1():
+    """Fixed-grid IEKS: sweep 1 linearizes at the predicted mean, i.e. IS
+    the plain fixed-grid EK1 solve (`ieks.jl:53-61`: the first iteration
+    has linearize_at == nothing); and the iteration converges."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from odefilters.ieks import solve_ieks_fixed
+
+    prob = odf.models.lotka_volterra(tspan=(0.0, 2.0))
+    ts = jnp.linspace(0.0, 2.0, 41)
+    alg = odf.IEKS(order=2)
+    s1 = solve_ieks_fixed(prob, alg, ts=ts, iterations=1)
+    sp = odf.solve_fixed(prob, alg, ts=ts)
+    np.testing.assert_array_equal(np.asarray(s1.u), np.asarray(sp.u))
+
+    s4 = solve_ieks_fixed(prob, alg, ts=ts, iterations=4)
+    s5 = solve_ieks_fixed(prob, alg, ts=ts, iterations=5)
+    d14 = float(jnp.max(jnp.abs(s4.u - s1.u)))
+    d45 = float(jnp.max(jnp.abs(s5.u - s4.u)))
+    assert d45 < 0.1 * max(d14, 1e-12), (d14, d45)
+    with pytest.raises(NotImplementedError, match="first-order"):
+        solve_ieks_fixed(
+            odf.models.pendulum_2nd(), alg, ts=ts, iterations=1
+        )

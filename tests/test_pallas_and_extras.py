@@ -1867,3 +1867,60 @@ def test_pallas_ek1_sampler_deterministic_and_calibrated():
     mask = std_s > 1e-8
     ratio = std_emp[mask] / std_s[mask]
     assert float(np.max(np.abs(ratio - 1.0))) < 0.2, ratio
+
+
+def test_pallas_ensemble_ieks_matches_xla_interpret():
+    """Ensemble IEKS on the fused EK1 kernel pair: the streamed
+    linearization trajectory must reproduce the XLA fixed-grid IEKS
+    (`solve_ieks_fixed`, `ieks.jl:53-61` semantics) member-wise, and the
+    iteration must converge (successive sweeps change less)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ieks import solve_ieks_fixed
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.lotka_volterra(tspan=(0.0, 3.0))
+    B, T, q = pk.BLOCK, 30, 2
+    key = jax.random.PRNGKey(9)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    alg = odf.IEKS(order=q)
+    ts = jnp.linspace(0.0, 3.0, T + 1)
+
+    with pltpu.force_tpu_interpret_mode():
+        sol3 = odf.ieks_ensemble_pallas(
+            prob, alg, u0s, ps, n_steps=T, iterations=3
+        )
+        sol4 = odf.ieks_ensemble_pallas(
+            prob, alg, u0s, ps, n_steps=T, iterations=4
+        )
+
+    for idx in [0, 41]:
+        sx = solve_ieks_fixed(
+            odf.remake(prob, u0=u0s[idx], p=ps[idx]), alg, ts=ts,
+            iterations=3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol3.us[:, :, idx]), np.asarray(sx.u),
+            rtol=1e-8, atol=1e-10,
+        )
+        # stds at the EK1-kernel house tolerance (MGS vs the driver's QR)
+        np.testing.assert_allclose(
+            np.asarray(sol3.stds[:, :, idx])[5:], np.asarray(sx.pu.std)[5:],
+            rtol=1e-3, atol=1e-10,
+        )
+
+    # convergence: sweep-to-sweep change shrinks
+    with pltpu.force_tpu_interpret_mode():
+        sol1 = odf.ieks_ensemble_pallas(
+            prob, alg, u0s, ps, n_steps=T, iterations=1
+        )
+    d12 = float(jnp.max(jnp.abs(sol3.us - sol1.us)))
+    d34 = float(jnp.max(jnp.abs(sol4.us - sol3.us)))
+    assert d34 < 0.1 * max(d12, 1e-12), (d12, d34)
+
+    # error paths
+    with pytest.raises(NotImplementedError, match="EK1"):
+        odf.ieks_ensemble_pallas(
+            prob, odf.EK0(order=q, smooth=True), u0s, ps, n_steps=T
+        )
