@@ -167,6 +167,32 @@ class DiagonalEK1(EK1):
         return True
 
 
+def ExpEK(rate, order: int = 3, diffusionmodel: str = "dynamic",
+          smooth: bool = True) -> EK0:
+    """Probabilistic exponential integrator: EK0 with the dimension-coupled
+    ``IOUP(rate=L)`` prior.
+
+    For a semi-linear problem ``u' = L u + g(u)`` pass the linear part
+    ``L`` (a (d, d) matrix): the prior extrapolates with ``expm(L h)``, so
+    the fast linear scales are followed exactly and the step size is set by
+    the slow nonlinearity ``g`` alone — the probabilistic analogue of a
+    classical exponential integrator. From Bosch, Hennig, Tronarp,
+    "Probabilistic Exponential Integrators" (NeurIPS 2023); later upstream
+    versions ship it as ``ExpEK(L=...)``. The reference v0.1.5 has neither
+    (only the IWP prior, `/root/reference/src/priors.jl`,
+    `algorithms.jl:24`).
+
+    A scalar ``rate`` is also accepted (the dimension-factorized IOUP; runs
+    on every path). Matrix rates run on the dense solver path
+    (:func:`odefilters.solve.solve` / ``solve_fixed``), smoothing, dense
+    output and sampling included.
+    """
+    from odefilters.priors import IOUP
+
+    return EK0(prior=IOUP(rate=rate), order=order,
+               diffusionmodel=diffusionmodel, smooth=smooth)
+
+
 @dataclasses.dataclass(frozen=True)
 class IEKS(EK1):
     """Iterated extended Kalman smoothing config.

@@ -215,13 +215,53 @@ class IOUP:
     The q-th derivative mean-reverts with drift ``rate`` (negative = stable):
     ``d u^(q) = rate * u^(q) dt + dW``. Useful for ODEs with known decay or
     (rate matching the dominant eigenvalue) semi-stiff dynamics.
+
+    ``rate`` may also be a square ``(d, d)`` matrix ``L`` (array-like; stored
+    as a nested tuple so the config stays hashable): the *dimension-coupled*
+    prior ``d u^(q) = L u^(q) dt + dW`` of probabilistic EXPONENTIAL
+    integrators — with ``L`` the (dominant) linear part of the vector field,
+    the prior's extrapolation is ``expm(L h)``-exact, so semi-linear stiff
+    problems take L-driven steps instead of resolving the fast scales
+    (Bosch, Hennig, Tronarp, "Probabilistic Exponential Integrators",
+    NeurIPS 2023; shipped by later upstream versions — the reference v0.1.5
+    has only the IWP, `/root/reference/src/priors.jl`). Matrix rates couple
+    the state dimensions, so they run on the dense solver path only (no
+    Kronecker small factor exists; `transition_precond_small` raises).
+    See :func:`odefilters.algorithms.ExpEK`.
     """
 
-    rate: float = -1.0
+    rate: object = -1.0
 
     def __post_init__(self):
-        if not math.isfinite(self.rate):
-            raise ValueError(f"IOUP rate must be finite, got {self.rate!r}")
+        r = self.rate
+        if isinstance(r, (int, float)) and not isinstance(r, bool):
+            if not math.isfinite(r):
+                raise ValueError(f"IOUP rate must be finite, got {r!r}")
+            object.__setattr__(self, "rate", float(r))
+            return
+        arr = np.asarray(r, dtype=float)
+        if arr.ndim == 0:
+            if not np.isfinite(arr):
+                raise ValueError(f"IOUP rate must be finite, got {r!r}")
+            object.__setattr__(self, "rate", float(arr))
+            return
+        if arr.ndim != 2 or arr.shape[0] != arr.shape[1] or arr.shape[0] == 0:
+            raise ValueError(
+                f"IOUP rate must be a scalar or a square (d, d) matrix, got "
+                f"shape {arr.shape}"
+            )
+        if not np.all(np.isfinite(arr)):
+            raise ValueError("IOUP rate matrix must be finite")
+        object.__setattr__(self, "rate", tuple(map(tuple, arr.tolist())))
+
+    @property
+    def rate_is_matrix(self) -> bool:
+        return isinstance(self.rate, tuple)
+
+    @property
+    def rate_np(self) -> np.ndarray:
+        """The rate as a float64 numpy array (matrix rates only)."""
+        return np.asarray(self.rate, dtype=np.float64)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -245,6 +285,20 @@ class Matern:
 
 
 Prior = IWP | IOUP | Matern
+
+
+def _reject_matrix_rate(prior, where: str) -> None:
+    """Matrix-rate IOUP has no per-dimension (q+1)-block structure: the
+    coupled drift makes A/Q dense over all D = d(q+1) states, so every
+    path that relies on the Kronecker small factor must reject it."""
+    if isinstance(prior, IOUP) and prior.rate_is_matrix:
+        raise ValueError(
+            f"{where} supports dimension-factorized priors only; the "
+            "matrix-rate IOUP (probabilistic exponential integrator) "
+            "couples dimensions — use the dense solver path "
+            "(odefilters.solve / solve_fixed with EK0/EK1, e.g. via "
+            "algorithms.ExpEK)"
+        )
 
 
 def normalize_prior(prior) -> Prior:
@@ -275,6 +329,12 @@ def _drift_np(prior: Prior, q: int) -> np.ndarray:
     for j in range(q):
         F[j, j + 1] = 1.0
     if isinstance(prior, IOUP):
+        if prior.rate_is_matrix:
+            raise ValueError(
+                "matrix-rate IOUP couples the ODE dimensions: there is no "
+                "(q+1)-dim companion drift; use the dense-path "
+                "transition_precond_coupled/_full machinery"
+            )
         F[q, q] = prior.rate
     elif isinstance(prior, Matern):
         nu = q + 0.5
@@ -344,6 +404,7 @@ def transition_precond_small(
     prior = normalize_prior(prior)
     if isinstance(prior, IWP):
         return ibm_small(q, dtype)
+    _reject_matrix_rate(prior, "transition_precond_small")
 
     from odefilters.linalg import tril_factor
 
@@ -386,6 +447,7 @@ def transition_precond_small_np(prior: Prior, q: int, h: float):
     if isinstance(prior, IWP):
         A, _, L = _ibm_small_np(q)
         return A, L
+    _reject_matrix_rate(prior, "the structured (Kronecker / Pallas-kernel)")
     n = q + 1
     h = float(h)
     F = _drift_np(prior, q)
@@ -405,11 +467,70 @@ def transition_precond_small_np(prior: Prior, q: int, h: float):
     return A_p, L * sign[None, :]
 
 
+def transition_precond_coupled(
+    L, d: int, q: int, h, dtype=jnp.float64, quad_nodes: int | None = None,
+):
+    """Preconditioned ``(D, D)`` transition of the dimension-COUPLED IOUP
+    prior ``d u^(q) = L u^(q) dt + dW`` with ``L`` a ``(d, d)`` matrix — the
+    Gauss-Markov prior of probabilistic exponential integrators (Bosch,
+    Hennig, Tronarp, NeurIPS 2023; the reference v0.1.5 has only the IWP,
+    `/root/reference/src/priors.jl`).
+
+    The scalar construction of :func:`transition_precond_small` lifted to
+    block form. In preconditioned coordinates ``M_p := h P F P^-1`` has
+    blocks ``F[j,k] * h^(j-k+1)``: identity superdiagonal blocks (exponent
+    0) and ``h L`` in the (q, q) block — every used exponent >= 0, no
+    h-power overflow. Then ``A_p = expm(M_p)`` and
+    ``Q_p = int_0^1 a(c) a(c)^T dc`` with ``a(c) = expm(M_p c)[:, q-block]``
+    of shape (D, d) (the change of variables s = c h absorbs both the
+    ``ds`` Jacobian and the ``P E_q = h^-1/2 E_q`` row scaling), evaluated
+    by Gauss-Legendre quadrature in square-root form: stack the weighted
+    block columns (K d rows) and re-triangularize with one QR.
+
+    ``L`` may be a traced array (per-step re-linearized priors); ``h`` is
+    traceable. Solver-free (expm via scaling-and-squaring Taylor, QR
+    factorization) — TPU-f64-legal per the no-LU rule.
+    """
+    from odefilters.linalg import tril_factor
+
+    n = q + 1
+    D = n * d
+    K = default_quad_nodes(q) if quad_nodes is None else quad_nodes
+    if K * d < D:
+        raise ValueError(f"need at least {n} quadrature nodes for full rank")
+    h = jnp.asarray(h, dtype)
+    L = jnp.asarray(L, dtype)
+    base = np.zeros((D, D))
+    for j in range(q):
+        base[j * d : (j + 1) * d, (j + 1) * d : (j + 2) * d] = np.eye(d)
+    M = jnp.asarray(base, dtype)
+    M = M.at[q * d :, q * d :].set(h * L)
+
+    c, w0 = _gl_nodes(K)
+    scal = jnp.concatenate([jnp.ones((1,), dtype), jnp.asarray(c, dtype)])
+    E = expm_small(M[None] * scal[:, None, None])  # (K+1, D, D)
+    A_p = E[0]
+    cols = E[1:, :, q * d :] * jnp.sqrt(jnp.asarray(w0, dtype))[:, None, None]
+    X = jnp.swapaxes(cols, 1, 2).reshape(K * d, D)  # rows: weighted a(c)^T
+    QL_p = tril_factor(X)
+    return A_p, QL_p
+
+
 def transition_precond_full(
     prior: Prior, d: int, q: int, h, dtype=jnp.float64,
     quad_nodes: int | None = None,
 ):
-    """Full ``(D, D)`` preconditioned transition pair (Kronecker with I_d)."""
+    """Full ``(D, D)`` preconditioned transition pair (Kronecker with I_d;
+    dimension-coupled expm for the matrix-rate IOUP)."""
+    prior = normalize_prior(prior)
+    if isinstance(prior, IOUP) and prior.rate_is_matrix:
+        Lr = prior.rate_np
+        if Lr.shape != (d, d):
+            raise ValueError(
+                f"IOUP matrix rate has shape {Lr.shape}; the problem has "
+                f"d = {d} dimensions — expected ({d}, {d})"
+            )
+        return transition_precond_coupled(Lr, d, q, h, dtype, quad_nodes)
     A_s, QL_s = transition_precond_small(prior, q, h, dtype, quad_nodes)
     I_d = jnp.eye(d, dtype=dtype)
     return jnp.kron(A_s, I_d), jnp.kron(QL_s, I_d)
@@ -473,6 +594,7 @@ def chebyshev_transition_fit(
     prior = normalize_prior(prior)
     if isinstance(prior, IWP):
         raise ValueError("IWP needs no tabulation (h-free constants)")
+    _reject_matrix_rate(prior, "chebyshev_transition_fit (adaptive kernels)")
     llo, lhi = float(np.log(h_lo)), float(np.log(h_hi))
     if not lhi > llo:
         raise ValueError("h_hi must exceed h_lo")

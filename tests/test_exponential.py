@@ -1,0 +1,264 @@
+"""Probabilistic exponential integrators: the dimension-coupled matrix-rate
+IOUP prior and the `ExpEK` solver (Bosch, Hennig, Tronarp, NeurIPS 2023;
+shipped by later upstream versions — the reference v0.1.5 has only the IWP
+prior, `/root/reference/src/priors.jl`, `src/algorithms.jl:24`).
+
+Tiers mirror tests/test_priors_general.py:
+1. coupled-transition math vs a scipy expm + Van Loan oracle on the full
+   D-dimensional system;
+2. degeneracy: rate = r*I_d reproduces the Kronecker expansion of the
+   scalar IOUP exactly;
+3. end-to-end: ExpEK is expm-exact on linear ODEs at step sizes where the
+   IWP solver's error is macroscopic, and beats EK0 step counts on a
+   semi-linear fast-oscillator problem at equal tolerance (the exponential-
+   integrator use case), with smoothing/dense output/sampling intact;
+4. API guards: the structured (Kron / kernel / adaptive-tabulation) paths
+   reject the coupled prior with a clear error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+from scipy.integrate import solve_ivp
+
+import odefilters as odf
+from odefilters.priors import (
+    IOUP,
+    chebyshev_transition_fit,
+    ibm_small,
+    precond_full,
+    transition_precond_coupled,
+    transition_precond_full,
+    transition_precond_small,
+    transition_precond_small_np,
+)
+
+
+def _van_loan_full(L: np.ndarray, q: int, h: float):
+    """Oracle (A(h), Q(h)) of the coupled prior on the full D-dim system."""
+    d = L.shape[0]
+    n = q + 1
+    D = n * d
+    F = np.zeros((D, D))
+    for j in range(q):
+        F[j * d : (j + 1) * d, (j + 1) * d : (j + 2) * d] = np.eye(d)
+    F[q * d :, q * d :] = L
+    GGt = np.zeros((D, D))
+    GGt[q * d :, q * d :] = np.eye(d)
+    M = np.zeros((2 * D, 2 * D))
+    M[:D, :D] = F
+    M[:D, D:] = GGt
+    M[D:, D:] = -F.T
+    Phi = sla.expm(M * h)
+    A = sla.expm(F * h)
+    Q = Phi[:D, D:] @ A.T
+    return A, Q
+
+
+@pytest.mark.parametrize("h", [0.05, 0.4, 1.2])
+def test_coupled_transition_vs_van_loan(h, rng):
+    d, q = 3, 2
+    L = rng.normal(size=(d, d)) - 2.0 * np.eye(d)  # stable-ish
+    A_p, QL_p = transition_precond_coupled(jnp.asarray(L), d, q, h)
+    p, pinv = precond_full(jnp.asarray(h), d, q)
+    A = np.asarray(pinv[:, None] * A_p * p[None, :])
+    QLu = np.asarray(pinv[:, None] * QL_p)
+    Q = QLu @ QLu.T
+    A_ref, Q_ref = _van_loan_full(L, q, h)
+    np.testing.assert_allclose(A, A_ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        Q, Q_ref, rtol=1e-8, atol=1e-11 * max(1.0, np.abs(Q_ref).max())
+    )
+
+
+def test_coupled_degenerates_to_scalar_kron():
+    """rate = r * I_d must equal kron(scalar-IOUP small blocks, I_d)."""
+    d, q, r = 2, 3, -1.7
+    I_d = np.eye(d)
+    for h in (0.02, 0.5, 2.0):
+        A_c, QL_c = transition_precond_full(IOUP(rate=r * I_d), d, q, h)
+        A_s, QL_s = transition_precond_small(IOUP(rate=r), q, h)
+        A_k = np.kron(np.asarray(A_s), I_d)
+        Q_k = np.kron(np.asarray(QL_s @ QL_s.T), I_d)
+        np.testing.assert_allclose(np.asarray(A_c), A_k, rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(QL_c @ QL_c.T), Q_k, rtol=1e-9, atol=1e-13
+        )
+
+
+def test_coupled_zero_rate_is_iwp():
+    d, q = 2, 2
+    A_c, QL_c = transition_precond_full(
+        IOUP(rate=np.zeros((d, d))), d, q, 0.7
+    )
+    A0, L0 = ibm_small(q)
+    np.testing.assert_allclose(
+        np.asarray(A_c), np.kron(np.asarray(A0), np.eye(d)), atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(QL_c @ QL_c.T),
+        np.kron(np.asarray(L0 @ L0.T), np.eye(d)),
+        atol=1e-12,
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end solves
+# ---------------------------------------------------------------------------
+
+_L_OSC = np.array([[0.0, 40.0], [-40.0, 0.0]])  # fast rotation, |lambda|=40
+_L_STIFF = np.array([[-40.0, 8.0], [0.0, -10.0]])  # stiff decay
+
+
+def test_expek_expm_exact_on_linear_ode():
+    """With rate = the system matrix, the prior extrapolation IS the flow:
+    at dt = 0.1 (lambda dt = -4, far beyond any explicit-method stability
+    region) the solve reproduces expm(L t) u0 to near-roundoff, where the
+    IWP solver at the same step size explodes. (A *stable* L is the honest
+    exactness showcase: with a fast rotation the innovations are roundoff,
+    the calibrated diffusion is ~0, and the gain cannot absorb the
+    off-manifold roundoff that the defective companion transition amplifies
+    ~||expm(L h)||-fold per step — measured 16x/step at |L| h = 8, a filter
+    property, not an implementation artifact.)"""
+    Lj = jnp.asarray(_L_STIFF)
+
+    def f(u, p, t):
+        return Lj @ u
+
+    prob = odf.ode_problem(
+        f, u0=jnp.array([1.0, 1.0]), tspan=(0.0, 0.5), p=jnp.zeros((1,))
+    )
+    ts = jnp.linspace(0.0, 0.5, 6)
+    sol = odf.solve_fixed(
+        prob, odf.ExpEK(rate=_L_STIFF, order=3, diffusionmodel="fixed"),
+        ts=ts,
+    )
+    ref = np.stack(
+        [sla.expm(_L_STIFF * float(t)) @ np.array([1.0, 1.0]) for t in ts]
+    )
+    err_exp = np.abs(np.asarray(sol.u) - ref).max()
+    assert err_exp < 1e-10, err_exp
+
+    sol_iwp = odf.solve_fixed(
+        prob, odf.EK0(order=3, diffusionmodel="fixed"), ts=ts
+    )
+    err_iwp = np.abs(np.asarray(sol_iwp.u) - ref).max()
+    assert err_iwp > 1e8 * err_exp
+
+
+def _semilinear_oracle(ts, u0):
+    L = _L_OSC
+
+    def f(t, y):
+        return L @ y + 0.25 * np.array([0.0, np.sin(y[0])])
+
+    r = solve_ivp(
+        f, (0.0, float(ts[-1])), np.asarray(u0, dtype=np.float64),
+        t_eval=np.asarray(ts, dtype=np.float64),
+        rtol=1e-12, atol=1e-12, method="LSODA",
+    )
+    return r.y.T
+
+
+@pytest.fixture(scope="module")
+def prob_semilinear():
+    Lj = jnp.asarray(_L_OSC)
+
+    def f(u, p, t):
+        return Lj @ u + 0.25 * jnp.stack([0.0 * u[0], jnp.sin(u[0])])
+
+    return odf.ode_problem(
+        f, u0=jnp.array([1.0, 0.0]), tspan=(0.0, 2.0), p=jnp.zeros((1,))
+    )
+
+
+@pytest.fixture(scope="module")
+def sol_expek(prob_semilinear):
+    return odf.solve(
+        prob_semilinear, odf.ExpEK(rate=_L_OSC, order=3),
+        abstol=1e-8, reltol=1e-6, max_steps=4096,
+    )
+
+
+def test_expek_adaptive_semilinear_vs_oracle(prob_semilinear, sol_expek):
+    sol = sol_expek
+    assert sol.retcode_name == "Success"
+    n = int(sol.n_steps)
+    ref = _semilinear_oracle(np.asarray(sol.ts[: n + 1]), prob_semilinear.u0)
+    np.testing.assert_allclose(
+        np.asarray(sol.u[: n + 1]), ref, rtol=2e-3, atol=2e-5
+    )
+    # the exponential integrator's step count is set by the slow
+    # nonlinearity; the IWP solver must resolve the 40 rad/s rotation
+    sol_iwp = odf.solve(
+        prob_semilinear, odf.EK0(order=3),
+        abstol=1e-8, reltol=1e-6, max_steps=4096,
+    )
+    assert int(sol.stats.naccept) < int(sol_iwp.stats.naccept) / 3
+
+
+def test_expek_smoothing_dense_sampling(prob_semilinear, sol_expek):
+    sol = sol_expek
+    # dense output between grid points hits the oracle
+    tq = np.linspace(0.07, 1.93, 11)
+    g = sol(jnp.asarray(tq))
+    np.testing.assert_allclose(
+        np.asarray(g.mean), _semilinear_oracle(tq, prob_semilinear.u0),
+        rtol=2e-3, atol=2e-5,
+    )
+    assert bool(jnp.all(jnp.isfinite(g.std))) and bool(jnp.all(g.std >= 0))
+    # joint posterior samples stay near the mean
+    s = odf.sample(jax.random.PRNGKey(0), sol, n=3)
+    assert bool(jnp.all(jnp.isfinite(s)))
+    n = int(sol.n_steps)
+    spread = np.abs(
+        np.asarray(s[: n + 1]) - np.asarray(sol.u[: n + 1])[..., None]
+    ).max()
+    assert spread < 0.5
+
+
+def test_expek_scalar_rate_is_plain_ioup(prob_semilinear):
+    """ExpEK with a scalar rate is just EK0 + scalar IOUP (every path)."""
+    alg_a = odf.ExpEK(rate=-2.0, order=2)
+    alg_b = odf.EK0(order=2, prior=IOUP(rate=-2.0))
+    assert alg_a == alg_b and hash(alg_a) == hash(alg_b)
+
+
+def test_matrix_rate_hash_and_equality():
+    L = np.array([[0.0, 1.0], [-1.0, -0.5]])
+    a = IOUP(rate=L)
+    b = IOUP(rate=L.copy())
+    assert a == b and hash(a) == hash(b)
+    assert a.rate_is_matrix and not IOUP(rate=-1.0).rate_is_matrix
+    np.testing.assert_array_equal(a.rate_np, L)
+    # jit-static reuse: same matrix -> same cache entry (no error), and the
+    # algorithm config containing it stays hashable
+    assert hash(odf.ExpEK(rate=L)) == hash(odf.ExpEK(rate=L.copy()))
+
+
+def test_matrix_rate_validation_and_guards(prob_semilinear):
+    with pytest.raises(ValueError):
+        IOUP(rate=np.ones((2, 3)))  # non-square
+    with pytest.raises(ValueError):
+        IOUP(rate=np.array([[np.inf, 0.0], [0.0, 0.0]]))
+    with pytest.raises(ValueError):
+        IOUP(rate=np.ones((0, 0)))
+
+    coupled = IOUP(rate=_L_OSC)
+    with pytest.raises(ValueError, match="dimension-factorized|dense"):
+        transition_precond_small(coupled, 2, 0.1)
+    with pytest.raises(ValueError, match="dimension-factorized|dense"):
+        transition_precond_small_np(coupled, 2, 0.1)
+    with pytest.raises(ValueError, match="dimension-factorized|dense"):
+        chebyshev_transition_fit(coupled, 2, 1e-3, 1.0)
+    # wrong dimension vs the problem
+    with pytest.raises(ValueError, match="shape"):
+        transition_precond_full(IOUP(rate=np.eye(3)), 2, 2, 0.1)
+    # the EK0 Kronecker fast path rejects the coupled prior cleanly
+    with pytest.raises(ValueError, match="dimension-factorized|dense"):
+        odf.solve_fixed_kron(
+            prob_semilinear, odf.ExpEK(rate=_L_OSC, order=2),
+            ts=jnp.linspace(0.0, 2.0, 9),
+        )
