@@ -18,7 +18,15 @@ Quick start::
     sol(2.5)         # dense output: Gaussian at t=2.5
 """
 
-from odefilters.algorithms import EK0, EK1, IEKS, AbstractEK, DiagonalEK1, ExpEK
+from odefilters.algorithms import (
+    EK0,
+    EK1,
+    IEKS,
+    AbstractEK,
+    DiagonalEK1,
+    ExpEK,
+    RosenbrockExpEK,
+)
 from odefilters.priors import IOUP, IWP, Matern
 from odefilters.linalg import Gaussian
 from odefilters.problem import ODEProblem, ode_problem, remake, rescale_time
@@ -69,6 +77,7 @@ __all__ = [
     "EK1",
     "DiagonalEK1",
     "ExpEK",
+    "RosenbrockExpEK",
     "IEKS",
     "AbstractEK",
     "Gaussian",

@@ -193,6 +193,32 @@ def ExpEK(rate, order: int = 3, diffusionmodel: str = "dynamic",
                diffusionmodel=diffusionmodel, smooth=smooth)
 
 
+def RosenbrockExpEK(order: int = 3, diffusionmodel: str = "dynamic",
+                    smooth: bool = True) -> EK1:
+    """Probabilistic Rosenbrock-type exponential integrator: EK1 with the
+    IOUP prior re-linearized at every step, ``rate = J_f(u)`` at the step's
+    left (last accepted) filter mean.
+
+    Where :func:`ExpEK` needs the user to name the linear part ``L`` of a
+    semi-linear problem, the Rosenbrock variant tracks ``expm(J_f(u) h)``
+    locally — the probabilistic analogue of a classical Rosenbrock /
+    exponential-Rosenbrock method. From Bosch, Hennig, Tronarp,
+    "Probabilistic Exponential Integrators" (NeurIPS 2023); later upstream
+    versions ship it as ``RosenbrockExpEK``; the reference v0.1.5 has
+    neither (`/root/reference/src/algorithms.jl:23-51` has only EK0/EK1 on
+    the IWP prior).
+
+    Smoothing, dense output and sampling re-linearize each saved interval
+    at the same left filter state the forward pass used, so the posterior
+    is consistent end-to-end. Dense solver path only (the coupled per-step
+    transition has no Kronecker structure); first-order problems only.
+    """
+    from odefilters.priors import IOUP
+
+    return EK1(prior=IOUP(rate="jacobian"), order=order,
+               diffusionmodel=diffusionmodel, smooth=smooth)
+
+
 @dataclasses.dataclass(frozen=True)
 class IEKS(EK1):
     """Iterated extended Kalman smoothing config.

@@ -228,12 +228,30 @@ class IOUP:
     the state dimensions, so they run on the dense solver path only (no
     Kronecker small factor exists; `transition_precond_small` raises).
     See :func:`odefilters.algorithms.ExpEK`.
+
+    ``rate="jacobian"`` is the *Rosenbrock* variant (same paper, upstream's
+    ``RosenbrockExpEK``): the rate matrix is re-linearized at every solver
+    step as the vector field's Jacobian at the step's left (last accepted)
+    state, so the prior locally tracks ``expm(J_f(u) h)`` without the user
+    naming a linear part. Smoothing, dense output and sampling re-linearize
+    each interval at the same left filter state, so they use exactly the
+    transitions the forward pass used. Dense-path only, like matrix rates.
+    See :func:`odefilters.algorithms.RosenbrockExpEK`.
     """
 
     rate: object = -1.0
 
     def __post_init__(self):
         r = self.rate
+        if isinstance(r, str):
+            if r.lower() != "jacobian":
+                raise ValueError(
+                    f"IOUP rate must be a number, a square matrix, or the "
+                    f"string 'jacobian' (per-step re-linearization), got "
+                    f"{r!r}"
+                )
+            object.__setattr__(self, "rate", "jacobian")
+            return
         if isinstance(r, (int, float)) and not isinstance(r, bool):
             if not math.isfinite(r):
                 raise ValueError(f"IOUP rate must be finite, got {r!r}")
@@ -259,8 +277,18 @@ class IOUP:
         return isinstance(self.rate, tuple)
 
     @property
+    def rate_is_jacobian(self) -> bool:
+        """True for the per-step re-linearized (Rosenbrock) rate."""
+        return self.rate == "jacobian"
+
+    @property
     def rate_np(self) -> np.ndarray:
         """The rate as a float64 numpy array (matrix rates only)."""
+        if self.rate_is_jacobian:
+            raise ValueError(
+                "IOUP(rate='jacobian') has no static rate matrix; it is "
+                "re-linearized per step from the vector field's Jacobian"
+            )
         return np.asarray(self.rate, dtype=np.float64)
 
 
@@ -288,16 +316,19 @@ Prior = IWP | IOUP | Matern
 
 
 def _reject_matrix_rate(prior, where: str) -> None:
-    """Matrix-rate IOUP has no per-dimension (q+1)-block structure: the
-    coupled drift makes A/Q dense over all D = d(q+1) states, so every
-    path that relies on the Kronecker small factor must reject it."""
-    if isinstance(prior, IOUP) and prior.rate_is_matrix:
+    """Matrix-rate (and jacobian-rate) IOUP has no per-dimension
+    (q+1)-block structure: the coupled drift makes A/Q dense over all
+    D = d(q+1) states, so every path that relies on the Kronecker small
+    factor must reject it."""
+    if isinstance(prior, IOUP) and (
+        prior.rate_is_matrix or prior.rate_is_jacobian
+    ):
         raise ValueError(
             f"{where} supports dimension-factorized priors only; the "
-            "matrix-rate IOUP (probabilistic exponential integrator) "
-            "couples dimensions — use the dense solver path "
+            "matrix-rate / rate='jacobian' IOUP (probabilistic exponential "
+            "integrator) couples dimensions — use the dense solver path "
             "(odefilters.solve / solve_fixed with EK0/EK1, e.g. via "
-            "algorithms.ExpEK)"
+            "algorithms.ExpEK / RosenbrockExpEK)"
         )
 
 
@@ -329,11 +360,11 @@ def _drift_np(prior: Prior, q: int) -> np.ndarray:
     for j in range(q):
         F[j, j + 1] = 1.0
     if isinstance(prior, IOUP):
-        if prior.rate_is_matrix:
+        if prior.rate_is_matrix or prior.rate_is_jacobian:
             raise ValueError(
-                "matrix-rate IOUP couples the ODE dimensions: there is no "
-                "(q+1)-dim companion drift; use the dense-path "
-                "transition_precond_coupled/_full machinery"
+                "matrix-rate / jacobian-rate IOUP couples the ODE "
+                "dimensions: there is no (q+1)-dim companion drift; use the "
+                "dense-path transition_precond_coupled/_full machinery"
             )
         F[q, q] = prior.rate
     elif isinstance(prior, Matern):
@@ -518,11 +549,32 @@ def transition_precond_coupled(
 
 def transition_precond_full(
     prior: Prior, d: int, q: int, h, dtype=jnp.float64,
-    quad_nodes: int | None = None,
+    quad_nodes: int | None = None, rate_matrix=None,
 ):
     """Full ``(D, D)`` preconditioned transition pair (Kronecker with I_d;
-    dimension-coupled expm for the matrix-rate IOUP)."""
+    dimension-coupled expm for the matrix-rate IOUP).
+
+    ``rate_matrix``: the per-step linearization for
+    ``IOUP(rate="jacobian")`` (RosenbrockExpEK) — a traced ``(d, d)``
+    array, typically ``J_f`` at the interval's left filter state. Required
+    for (and only consulted by) the jacobian-rate prior.
+    """
     prior = normalize_prior(prior)
+    if isinstance(prior, IOUP) and prior.rate_is_jacobian:
+        if rate_matrix is None:
+            raise ValueError(
+                "IOUP(rate='jacobian') (RosenbrockExpEK) re-linearizes the "
+                "prior at every step, but this path supplies no per-step "
+                "rate matrix — supported paths: the dense adaptive/"
+                "fixed-grid solvers, smoothing, dense output, and sampling"
+            )
+        Lr = jnp.asarray(rate_matrix, dtype)
+        if Lr.shape != (d, d):
+            raise ValueError(
+                f"jacobian rate matrix has shape {Lr.shape}; expected "
+                f"({d}, {d})"
+            )
+        return transition_precond_coupled(Lr, d, q, h, dtype, quad_nodes)
     if isinstance(prior, IOUP) and prior.rate_is_matrix:
         Lr = prior.rate_np
         if Lr.shape != (d, d):

@@ -23,7 +23,7 @@ from odefilters.solution import ProbODESolution, evaluate_states
 
 def _sample_states_impl(
     key, ts, x_filt: Gaussian, diffusions, difftimes, n_steps, d: int, q: int,
-    n: int, prior=None, jitter: float = 0.0,
+    n: int, prior=None, jitter: float = 0.0, prob=None,
 ):
     """Backward pass over the buffers; returns (N+1, D, n) samples.
 
@@ -31,7 +31,27 @@ def _sample_states_impl(
     the last state, then for i = N-1..0 smooth each sample against a
     zero-covariance Gaussian at the drawn value and re-draw from the
     conditional.
+
+    ``prob`` supplies the vector field for the jacobian-rate IOUP
+    (RosenbrockExpEK): each interval's transition is re-linearized at the
+    left row of ``x_filt`` (the forward pass's linearization point; on the
+    dense-grid variant, the interpolated mean).
     """
+    from odefilters.priors import IOUP
+
+    rate_fn = None
+    if isinstance(prior, IOUP) and prior.rate_is_jacobian:
+        if prob is None:
+            raise ValueError(
+                "sampling with IOUP(rate='jacobian') needs the problem "
+                "(vector field) to re-linearize the prior"
+            )
+        if prob.jac is not None:
+            rate_fn = lambda u, t: prob.jac(u, prob.p, t)  # noqa: E731
+        else:
+            rate_fn = lambda u, t: jax.jacfwd(  # noqa: E731
+                lambda v: prob.f(v, prob.p, t)
+            )(u)
     dtype = x_filt.mean.dtype
     D = x_filt.mean.shape[-1]
     N1 = ts.shape[0]
@@ -53,7 +73,12 @@ def _sample_states_impl(
         dt_safe = jnp.where(dt > 0, dt, 1.0)
         p, p_inv = precond_full(dt_safe, d, q)
         # per-interval preconditioned transition (IWP: h-free constants)
-        A_i, QL_i = transition_precond_full(prior, d, q, dt_safe, dtype)
+        rate_i = (
+            None if rate_fn is None else rate_fn(x_filt.mean[i, :d], ts[i])
+        )
+        A_i, QL_i = transition_precond_full(
+            prior, d, q, dt_safe, dtype, rate_matrix=rate_i
+        )
 
         # diffusion of the interval containing ts[i]
         # (reference: i_diffusion = sum(difftimes .<= ts[i]),
@@ -90,10 +115,10 @@ def _sample_states_impl(
 
 @partial(jax.jit, static_argnames=("n", "d", "q", "prior", "jitter"))
 def _sample_states_jit(key, ts, x_filt, diffusions, difftimes, n_steps, d, q,
-                       n, prior=None, jitter=0.0):
+                       n, prior=None, jitter=0.0, prob=None):
     return _sample_states_impl(
         key, ts, x_filt, diffusions, difftimes, n_steps, d, q, n, prior,
-        jitter,
+        jitter, prob,
     )
 
 
@@ -116,7 +141,7 @@ def sample_states(
     # the transitions/preconditioners need the per-block state dim
     return _sample_states_jit(
         key, sol.ts, sol.x_filt, sol.diffusions, sol.ts, sol.n_steps,
-        _state_dim(sol), sol.q, n, sol.alg.prior, float(jitter),
+        _state_dim(sol), sol.q, n, sol.alg.prior, float(jitter), sol.prob,
     )
 
 
@@ -141,7 +166,7 @@ def dense_sample_states(key, sol: ProbODESolution, n: int = 1, n_grid: int = 100
     samples = _sample_states_jit(
         key, times, states, sol.diffusions, sol.ts,
         jnp.asarray(n_grid - 1, jnp.int32), _state_dim(sol), sol.q, n,
-        sol.alg.prior,
+        sol.alg.prior, 0.0, sol.prob,
     )
     return samples, times
 

@@ -32,6 +32,7 @@ def smooth_all(
     q: int,
     prior=None,
     jitter: float = 0.0,
+    rate_fn=None,
 ) -> Gaussian:
     """Backward pass producing the smoothed trajectory.
 
@@ -48,6 +49,11 @@ def smooth_all(
     required when the filter states were computed at reduced precision
     (TPU stiff solves smoothed on host via
     :func:`~odefilters.solution.smooth_solution`).
+
+    ``rate_fn``: ``(u_left, t_left) -> (d, d)`` per-interval prior
+    linearization for the jacobian-rate IOUP (RosenbrockExpEK) — evaluated
+    at the interval's LEFT filter mean, matching the forward pass (see
+    :func:`odefilters.step.prior_rate_fn`).
     """
     N1 = ts.shape[0]
 
@@ -66,8 +72,11 @@ def smooth_all(
         p, p_inv = precond_full(dt_safe, d, q)
         # per-interval preconditioned transition (IWP: h-free constants,
         # hoisted out of the scan by XLA)
+        rate_i = (
+            None if rate_fn is None else rate_fn(x_filt.mean[i, :d], ts[i])
+        )
         A_i, QL_i = transition_precond_full(
-            prior, d, q, dt_safe, x_filt.mean.dtype
+            prior, d, q, dt_safe, x_filt.mean.dtype, rate_matrix=rate_i
         )
         sigma2 = jnp.take(diffusions, i + 1, axis=0)
         QLh = diff.apply_diffusion_chol(QL_i, sigma2, q)

@@ -140,12 +140,30 @@ def _state_dim(sol: ProbODESolution) -> int:
     return sol.x_filt.mean.shape[-1] // (sol.q + 1)
 
 
-def _interp_model(sol: ProbODESolution, h):
+def _interp_model(sol: ProbODESolution, h, rate_matrix=None):
     """Preconditioned transition pair for an interpolation step ``h``
-    (h-independent constants for the IWP prior)."""
+    (h-independent constants for the IWP prior; ``rate_matrix`` feeds the
+    jacobian-rate IOUP's per-interval linearization)."""
     return transition_precond_full(
-        sol.alg.prior, _state_dim(sol), sol.q, h, sol.u.dtype
+        sol.alg.prior, _state_dim(sol), sol.q, h, sol.u.dtype,
+        rate_matrix=rate_matrix,
     )
+
+
+def _prior_rate_fn(sol: ProbODESolution):
+    """``(u_left, t_left) -> (d, d)`` per-interval prior linearization for
+    a jacobian-rate IOUP solution (RosenbrockExpEK), else ``None``. Matches
+    the forward pass: the rate is ``J_f`` at the interval's left filter
+    mean (see ``attempt_step`` in `odefilters/step.py`)."""
+    from odefilters.priors import IOUP
+
+    prior = sol.alg.prior
+    if not (isinstance(prior, IOUP) and prior.rate_is_jacobian):
+        return None
+    prob = sol.prob
+    if prob.jac is not None:
+        return lambda u, t: prob.jac(u, prob.p, t)
+    return lambda u, t: jax.jacfwd(lambda v: prob.f(v, prob.p, t))(u)
 
 
 def _gaussian_at(g: Gaussian, i) -> Gaussian:
@@ -195,7 +213,11 @@ def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
     # multiplies it (0 * inf = NaN), poisoning the shared x_filt cotangent.
     one_h = jnp.ones((), ts.dtype)
     h1 = jnp.where(exact, one_h, jnp.maximum(tval - ts[i], jnp.finfo(ts.dtype).tiny))
-    A1, QL1 = _interp_model(sol, h1)
+    rate_fn = _prior_rate_fn(sol)
+    rate_i = (
+        None if rate_fn is None else rate_fn(sol.x_filt.mean[i, :d], ts[i])
+    )
+    A1, QL1 = _interp_model(sol, h1, rate_i)
     QLh1 = diff.apply_diffusion_chol(QL1, diffusion, q)
     p1, p1i = precond_full(h1, d, q)
     x_prev = _gaussian_at(sol.x_filt, i)
@@ -206,7 +228,10 @@ def _evaluate_one(sol: ProbODESolution, tval, smoothed: bool) -> Gaussian:
         # Smooth against x_smooth[i+1] over h2 = t_{i+1} - t
         h2_raw = ts[i + 1] - tval
         h2 = jnp.where(exact | (h2_raw <= 0), one_h, h2_raw)
-        A2, QL2 = _interp_model(sol, h2)
+        # same per-interval linearization as h1: the interval's prior is
+        # the Gauss-Markov process with the rate frozen at the left state
+        # (A(h1+h2) = A(h2) A(h1) only holds with a shared rate)
+        A2, QL2 = _interp_model(sol, h2, rate_i)
         QLh2 = diff.apply_diffusion_chol(QL2, diffusion, q)
         p2, p2i = precond_full(h2, d, q)
         x_next = _gaussian_at(sol.x_smooth, jnp.minimum(i + 1, n))
@@ -325,7 +350,7 @@ def smooth_solution(
         x_out = smooth_all(
             x_filt, _jnp.asarray(sol.ts), _jnp.asarray(sol.diffusions),
             _jnp.asarray(sol.n_steps), d, q, prior=sol.alg.prior,
-            jitter=jitter,
+            jitter=jitter, rate_fn=_prior_rate_fn(sol),
         )
     sol_d = sol.u.shape[-1]
     alg = sol.alg

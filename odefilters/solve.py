@@ -273,19 +273,22 @@ def _make_loop_fns(
             fired_ev = accept & crossed & c.ev_armed
 
             tiny = jnp.finfo(dtype).tiny
+            # jacobian-rate prior: the bracketing interval was linearized
+            # at its left state c.x (see attempt_step)
+            rate_cc = model.prior_rate(c.x.mean[: model.d], prob.p, c.t)
 
             def interp_u(tau):
                 # predict from x(t) over h1, smooth against x_filt(t_new)
                 # over h2 — the dense-output bridge (`solution.jl:165-210`)
                 h1 = jnp.maximum(tau - c.t, tiny)
-                A1, QL1 = model.transition(h1)
+                A1, QL1 = model.transition(h1, rate_matrix=rate_cc)
                 QLh1 = diff.apply_diffusion_chol(QL1, res.sigma2_local, q_)
                 p1, p1i = precond_full(h1, model.d, q_)
                 pred = scale_rows(
                     p1i, _predict(scale_rows(p1, c.x), A1, QLh1)
                 )
                 h2 = jnp.maximum(t_new - tau, tiny)
-                A2, QL2 = model.transition(h2)
+                A2, QL2 = model.transition(h2, rate_matrix=rate_cc)
                 QLh2 = diff.apply_diffusion_chol(QL2, res.sigma2_local, q_)
                 p2, p2i = precond_full(h2, model.d, q_)
                 sm, _ = _smooth_step(
@@ -480,7 +483,12 @@ def _postprocess(
         ll = jnp.asarray(jnp.nan, dtype=model.dtype)
 
     if alg.smooth:
-        x_out = smooth_all(x_filt, ts, diffs, n, d, q, prior=alg.prior)
+        from odefilters.step import prior_rate_fn
+
+        x_out = smooth_all(
+            x_filt, ts, diffs, n, d, q, prior=alg.prior,
+            rate_fn=prior_rate_fn(model, prob.p),
+        )
     else:
         x_out = x_filt
 

@@ -29,7 +29,13 @@ from jax.scipy.linalg import solve_triangular
 from odefilters import diffusions as diff
 from odefilters.algorithms import AbstractEK
 from odefilters.linalg import Gaussian, gaussian_logpdf_zero, qr_stack2, tril_factor
-from odefilters.priors import IWP, ibm, precond_small, transition_precond_full
+from odefilters.priors import (
+    IOUP,
+    IWP,
+    ibm,
+    precond_small,
+    transition_precond_full,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,18 +74,36 @@ class FilterModel:
     def is_iwp(self) -> bool:
         return isinstance(self.alg.prior, IWP)
 
-    def transition(self, dt):
+    @property
+    def prior_needs_jacobian(self) -> bool:
+        """True for ``IOUP(rate='jacobian')`` (RosenbrockExpEK): the prior
+        transition is re-linearized at every step."""
+        prior = self.alg.prior
+        return isinstance(prior, IOUP) and prior.rate_is_jacobian
+
+    def prior_rate(self, u, p_params, t):
+        """Per-step prior linearization ``J_f(u)`` for the jacobian-rate
+        IOUP; ``None`` for every other prior."""
+        if not self.prior_needs_jacobian:
+            return None
+        if self.jac is not None:
+            return self.jac(u, p_params, t)
+        return jax.jacfwd(lambda v: self.f(v, p_params, t))(u)
+
+    def transition(self, dt, rate_matrix=None):
         """Preconditioned transition pair ``(A_p, QL_p)`` for a step ``dt``.
 
         IWP: the stored h-independent constants (the classic preconditioned
         IBM trick, `priors.jl:7-59`). Other priors: computed per step in
         preconditioned coordinates (h-power-overflow-free; see
-        ``odefilters/priors.py``).
+        ``odefilters/priors.py``). ``rate_matrix`` feeds the jacobian-rate
+        IOUP's per-step linearization (:meth:`prior_rate`).
         """
         if self.is_iwp:
             return self.A, self.QL
         return transition_precond_full(
-            self.alg.prior, self.d, self.q, dt, self.dtype
+            self.alg.prior, self.d, self.q, dt, self.dtype,
+            rate_matrix=rate_matrix,
         )
 
 
@@ -87,10 +111,27 @@ def make_model(alg: AbstractEK, f, jac, d: int, dtype,
                second_order: bool = False, jac_diag=None) -> FilterModel:
     if second_order and alg.order < 2:
         raise ValueError("second-order problems need solver order >= 2")
+    prior = alg.prior
+    if second_order and isinstance(prior, IOUP) and prior.rate_is_jacobian:
+        raise NotImplementedError(
+            "IOUP(rate='jacobian') (RosenbrockExpEK) supports first-order "
+            "problems only; rewrite the second-order problem as a "
+            "first-order companion system"
+        )
     A, QL = ibm(d, alg.order, dtype=dtype)
     return FilterModel(alg=alg, d=d, q=alg.order, f=f, jac=jac, A=A, QL=QL,
                        dtype=dtype, second_order=second_order,
                        jac_diag=jac_diag)
+
+
+def prior_rate_fn(model: FilterModel, p_params):
+    """``(u_left, t_left) -> (d, d)`` per-interval prior linearization for
+    the jacobian-rate IOUP, or ``None`` for every other prior. Shared by
+    the smoothing / sampling / dense-output consumers so they re-linearize
+    intervals exactly like the forward pass."""
+    if not model.prior_needs_jacobian:
+        return None
+    return lambda u, t: model.prior_rate(u, p_params, t)
 
 
 @jax.tree_util.register_dataclass
@@ -157,7 +198,12 @@ def attempt_step(
             predicted mean.
     """
     alg, d, q = model.alg, model.d, model.q
-    A, QL = model.transition(dt)
+    # Jacobian-rate (Rosenbrock) prior: re-linearize at the step's LEFT
+    # state (the last accepted mean) — reconstructible from the saved
+    # trajectory, so smoothing/dense output/sampling recompute the exact
+    # same per-interval transitions
+    rate_m = model.prior_rate(x.mean[:d], p_params, t)
+    A, QL = model.transition(dt, rate_matrix=rate_m)
     t_new = t + dt
 
     # -- precondition (perform_step.jl:36-38) --
