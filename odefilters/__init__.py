@@ -62,7 +62,11 @@ from odefilters import callbacks
 from odefilters import jacobians
 from odefilters import workprecision
 from odefilters import ensemble
-from odefilters.callbacks import ContinuousCallback, DiscreteCallback
+from odefilters.callbacks import (
+    ContinuousCallback,
+    DiscreteCallback,
+    ManifoldUpdate,
+)
 from odefilters.ensemble import (
     EnsembleKernelSolution,
     ieks_ensemble_pallas,
@@ -113,6 +117,7 @@ __all__ = [
     "sample_ensemble_pallas",
     "ieks_ensemble_pallas",
     "DiscreteCallback",
+    "ManifoldUpdate",
     "ContinuousCallback",
     "models",
     "priors",
