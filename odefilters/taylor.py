@@ -101,24 +101,178 @@ def taylor_coefficients(
         return taylor_coefficients_jvp(f, u0, p, t0, q)
     if method == "jet":
         return taylor_coefficients_jet(f, u0, p, t0, q)
+    if method in ("simple", "classic"):
+        raise ValueError(
+            f"initialization method {method!r} produces an UNCERTAIN "
+            "(non-point) initial state, not Taylor coefficients; it is "
+            "supported on the dense solver path (odefilters.solve / "
+            "solve_fixed via taylor_method=), not on the structured "
+            "(Kronecker / Pallas-kernel) paths"
+        )
     raise ValueError(f"unknown taylor method: {method}")
 
 
 def initial_state(
     f: Callable, u0: jnp.ndarray, p, t0, q: int, method: str = "auto"
 ) -> Gaussian:
-    """Exact initial filter state: mean = stacked derivatives, zero cov.
+    """Initial filter state over ``X = [u; u'; ...; u^(q)]``.
 
-    The reference conditions a ``N(0, I_D)`` prior on every derivative block
-    0..q (`state_initialization.jl:2-14`); conditioning an identity-cov
-    Gaussian on *all* orthogonal blocks collapses it to a point mass, so we
-    set the result directly. The general mechanism lives in
-    :func:`odefilters.ops.filtering.condition_on`.
+    ``method`` selects the initialization scheme (later upstream versions
+    expose the same menu as ``initialization=``; v0.1.5 has only the
+    Taylor-mode path, `state_initialization.jl:2-14`):
+
+    - ``"auto"`` / ``"jvp"`` / ``"jet"``: EXACT Taylor derivatives (mean =
+      stacked derivatives, zero covariance). The reference conditions a
+      ``N(0, I_D)`` prior on every derivative block; conditioning an
+      identity-cov Gaussian on *all* orthogonal blocks collapses it to a
+      point mass, so we set the result directly.
+    - ``"simple"``: upstream's ``SimpleInit`` — only ``u0`` and
+      ``f(u0)`` are conditioned exactly; blocks 2..q keep the ``N(0, I)``
+      prior and the filter learns them over the first steps. For vector
+      fields higher-order AD cannot trace.
+    - ``"classic"``: upstream's ``ClassicSolverInit`` — a tiny RK4 probe
+      solve near ``t0`` filtered/smoothed through the IWP process to
+      *estimate* the higher derivatives with calibrated uncertainty
+      (:func:`initial_state_classic`). First-order AD only.
     """
+    if method == "simple":
+        return initial_state_simple(f, u0, p, t0, q)
+    if method == "classic":
+        return initial_state_classic(f, u0, p, t0, q)
     derivs = taylor_coefficients(f, u0, p, t0, q, method=method)
     mean = jnp.concatenate(derivs)
     D = mean.shape[0]
     return Gaussian(mean, jnp.zeros((D, D), dtype=mean.dtype))
+
+
+def initial_state_simple(
+    f: Callable, u0: jnp.ndarray, p, t0, q: int
+) -> Gaussian:
+    """``SimpleInit``: exact ``(u0, f(u0))``, standard-normal prior on the
+    higher derivative blocks (the reference's pre-conditioning ``x0 =
+    N(0, I_D)``, `caches.jl:73`, conditioned on blocks 0 and 1 only)."""
+    d = u0.shape[0]
+    D = d * (q + 1)
+    du0 = f(u0, p, jnp.asarray(t0, u0.dtype))
+    mean = jnp.concatenate(
+        [u0, du0, jnp.zeros((D - 2 * d,), u0.dtype)]
+        if q >= 1
+        else [u0]
+    )
+    diag = jnp.concatenate(
+        [jnp.zeros((min(2, q + 1) * d,), u0.dtype),
+         jnp.ones((D - min(2, q + 1) * d,), u0.dtype)]
+    )
+    return Gaussian(mean, jnp.diag(diag))
+
+
+def initial_state_classic(
+    f: Callable, u0: jnp.ndarray, p, t0, q: int, dt=None
+) -> Gaussian:
+    """``ClassicSolverInit``: estimate the higher derivatives from a tiny
+    classic (RK4) probe solve, filtered and smoothed through the IWP prior.
+
+    Mirrors upstream's ``ClassicSolverInit`` (not in v0.1.5): starting from
+    the exactly-known ``(u0, f(u0))``, take ``q`` RK4 steps of a small
+    ``dt`` near ``t0``, condition the IWP process on the probe values *and*
+    their slopes ``f(u_j)``, and RTS-smooth back to ``t0``. Only first-order
+    AD (none at all, in fact) is required of ``f`` — the fallback when
+    nested jvp is too expensive (q > 5, O(2^q)) and ``jet`` does not
+    support some primitive in ``f``. The returned state carries honest
+    uncertainty on blocks 2..q (the probe is data, not exact derivatives).
+    """
+    from odefilters.ops.filtering import condition_on, predict, smooth_step
+    from odefilters.priors import ibm, precond_full
+
+    d = u0.shape[0]
+    n = q + 1
+    D = d * n
+    dtype = u0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    du0 = f(u0, p, t0)
+
+    if dt is None:
+        # Hairer-style scale heuristic (cf. solve.initial_dt): a step small
+        # enough that RK4's O(dt^5) error is negligible against the
+        # curvature signal the filter extracts
+        sc = 1e-8 + 1e-6 * jnp.abs(u0)
+        d0 = jnp.sqrt(jnp.mean((u0 / sc) ** 2))
+        d1 = jnp.sqrt(jnp.mean((du0 / sc) ** 2))
+        dt = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    dt = jnp.asarray(dt, dtype)
+
+    def rk4(u, t):
+        k1 = f(u, p, t)
+        k2 = f(u + 0.5 * dt * k1, p, t + 0.5 * dt)
+        k3 = f(u + 0.5 * dt * k2, p, t + 0.5 * dt)
+        k4 = f(u + dt * k3, p, t + dt)
+        return u + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    E0 = jnp.concatenate([jnp.eye(d, dtype=dtype),
+                          jnp.zeros((d, D - d), dtype)], axis=1)
+    E1 = jnp.concatenate([jnp.zeros((d, d), dtype),
+                          jnp.eye(d, dtype=dtype),
+                          jnp.zeros((d, D - 2 * d), dtype)], axis=1)
+
+    x = Gaussian(jnp.zeros((D,), dtype), jnp.eye(D, dtype=dtype))
+    x = condition_on(x, E0, u0)
+    if q >= 1:
+        x = condition_on(x, E1, du0)
+    if q <= 1:
+        return x
+
+    A, QL = ibm(d, q, dtype=dtype)
+    pf, pfi = precond_full(dt, d, q)
+
+    def _innov_sigma2(xg, H, data):
+        """MLE diffusion increment ``z^T S^+ z / d_obs`` of one conditioning
+        (the fixedMAP quasi-MLE quadratic form, `diffusions.jl:46-68`)."""
+        from jax.scipy.linalg import solve_triangular
+
+        from odefilters.linalg import cholesky_psd
+
+        z = data - H @ xg.mean
+        Z = H @ xg.chol
+        S_chol = cholesky_psd(Z @ Z.T)
+        # guarded: along exactly-conditioned (singular) directions the
+        # innovation is 0 too — treat 0/0 as 0
+        w = solve_triangular(S_chol, z, lower=True)
+        w = jnp.where(jnp.isfinite(w), w, 0.0)
+        return jnp.sum(w**2) / z.shape[0]
+
+    # forward filter over q probe points (static Python loop; q <= 11),
+    # accumulating the quasi-MLE diffusion from the predict-step innovations
+    u_j, t_j = u0, t0
+    filtered = [x]
+    sigma2_sum = jnp.zeros((), dtype)
+    for _ in range(q):
+        u_j = rk4(u_j, t_j)
+        t_j = t_j + dt
+        xp = Gaussian(pf * x.mean, pf[:, None] * x.chol)
+        xp = predict(xp, A, QL)
+        x = Gaussian(pfi * xp.mean, pfi[:, None] * xp.chol)
+        du_j = f(u_j, p, t_j)
+        sigma2_sum = sigma2_sum + _innov_sigma2(x, E0, u_j)
+        x = condition_on(x, E0, u_j)
+        sigma2_sum = sigma2_sum + _innov_sigma2(x, E1, du_j)
+        x = condition_on(x, E1, du_j)
+        filtered.append(x)
+
+    # RTS-smooth back to t0 (same per-interval transition)
+    x_s = filtered[-1]
+    for i in range(q - 1, -1, -1):
+        xi_p = Gaussian(pf * filtered[i].mean, pf[:, None] * filtered[i].chol)
+        xs_p = Gaussian(pf * x_s.mean, pf[:, None] * x_s.chol)
+        sm, _ = smooth_step(xi_p, xs_p, A, QL)
+        x_s = Gaussian(pfi * sm.mean, pfi[:, None] * sm.chol)
+
+    # Calibrate: the probe filter ran at unit diffusion; rescale the
+    # smoothed covariance by the quasi-MLE estimate so the returned stds
+    # honestly cover the IWP model error on blocks 2..q (never deflate —
+    # a too-certain init is the failure mode, not a too-loose one).
+    sigma2_hat = sigma2_sum / (2 * q)
+    scale = jnp.sqrt(jnp.maximum(sigma2_hat, 1.0))
+    return Gaussian(x_s.mean, scale * x_s.chol)
 
 
 def taylor_coefficients_2nd(
