@@ -210,6 +210,188 @@ def seir(
     return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p))
 
 
+def lorenz63(
+    u0=(1.0, 0.0, 0.0), p=(10.0, 28.0, 8.0 / 3.0), tspan=(0.0, 5.0)
+) -> ODEProblem:
+    """Lorenz '63 chaotic attractor (upstream's benchmark gallery;
+    v0.1.5 itself ships no problem library — `test/correctness.jl:10-13`
+    pulls from DiffEqProblemLibrary)."""
+
+    def f(u, p, t):
+        s, r, b = p
+        x, y, z = u[0], u[1], u[2]
+        return jnp.stack([s * (y - x), x * (r - z) - y, x * y - b * z])
+
+    def jac(u, p, t):
+        s, r, b = p
+        x, y, z = u[0], u[1], u[2]
+        o = jnp.ones_like(x)
+        zr = jnp.zeros_like(x)
+        return jnp.stack([
+            jnp.stack([-s * o, s * o, zr]),
+            jnp.stack([r - z, -o, -x]),
+            jnp.stack([y, x, -b * o]),
+        ])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
+
+
+def lorenz96(N: int = 40, forcing: float = 8.0, tspan=(0.0, 2.0)) -> ODEProblem:
+    """Lorenz '96 cyclic advection chain, ``x_i' = (x_{i+1} - x_{i-2})
+    x_{i-1} - x_i + F`` — the standard scalable chaotic benchmark (the
+    rolls vectorize; no Python loop over dimensions)."""
+
+    def f(u, p, t):
+        up1 = jnp.roll(u, -1, axis=0)
+        um1 = jnp.roll(u, 1, axis=0)
+        um2 = jnp.roll(u, 2, axis=0)
+        return (up1 - um2) * um1 - u + p
+
+    u0 = jnp.full((N,), forcing).at[0].add(0.01)
+    return ode_problem(f, u0, tspan, p=jnp.asarray(forcing))
+
+
+def rober(
+    u0=(1.0, 0.0, 0.0), p=(0.04, 3e7, 1e4), tspan=(0.0, 100.0)
+) -> ODEProblem:
+    """Robertson chemical kinetics — the classic stiff 3-species problem
+    (rate constants span 9 orders of magnitude)."""
+
+    def f(u, p, t):
+        k1, k2, k3 = p
+        y1, y2, y3 = u[0], u[1], u[2]
+        r1 = k1 * y1
+        r2 = k2 * y2 * y2
+        r3 = k3 * y2 * y3
+        return jnp.stack([-r1 + r3, r1 - r2 - r3, r2])
+
+    def jac(u, p, t):
+        k1, k2, k3 = p
+        y1, y2, y3 = u[0], u[1], u[2]
+        o = jnp.ones_like(y1)
+        zr = jnp.zeros_like(y1)
+        return jnp.stack([
+            jnp.stack([-k1 * o, k3 * y3, k3 * y2]),
+            jnp.stack([k1 * o, -2 * k2 * y2 - k3 * y3, -k3 * y2]),
+            jnp.stack([zr, 2 * k2 * y2, zr]),
+        ])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
+
+
+def rigid_body(
+    u0=(1.0, 0.0, 0.9), p=(-2.0, 1.25, -0.5), tspan=(0.0, 10.0)
+) -> ODEProblem:
+    """Euler rigid-body rotation equations (`prob_ode_rigidbody` in the
+    reference's test deps; conserves ``|u|^2`` — the ManifoldUpdate demo
+    invariant)."""
+
+    def f(u, p, t):
+        i1, i2, i3 = p
+        return jnp.stack([i1 * u[1] * u[2], i2 * u[0] * u[2], i3 * u[0] * u[1]])
+
+    def jac(u, p, t):
+        i1, i2, i3 = p
+        zr = jnp.zeros_like(u[0])
+        return jnp.stack([
+            jnp.stack([zr, i1 * u[2], i1 * u[1]]),
+            jnp.stack([i2 * u[2], zr, i2 * u[0]]),
+            jnp.stack([i3 * u[1], i3 * u[0], zr]),
+        ])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
+
+
+def orego(
+    u0=(1.0, 2.0, 3.0), p=(77.27, 8.375e-6, 0.161), tspan=(0.0, 30.0)
+) -> ODEProblem:
+    """Oregonator (Belousov-Zhabotinsky) stiff limit-cycle oscillator."""
+
+    def f(u, p, t):
+        s, w, qp = p
+        y1, y2, y3 = u[0], u[1], u[2]
+        return jnp.stack([
+            s * (y2 + y1 * (1 - w * y1 - y2)),
+            (y3 - (1 + y1) * y2) / s,
+            qp * (y1 - y3),
+        ])
+
+    def jac(u, p, t):
+        s, w, qp = p
+        y1, y2, y3 = u[0], u[1], u[2]
+        o = jnp.ones_like(y1)
+        zr = jnp.zeros_like(y1)
+        return jnp.stack([
+            jnp.stack([s * (1 - 2 * w * y1 - y2), s * (1 - y1), zr]),
+            jnp.stack([-y2 / s, -(1 + y1) / s, o / s]),
+            jnp.stack([qp * o, zr, -qp * o]),
+        ])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
+
+
+def hodgkin_huxley(
+    u0=(-70.0, 0.05, 0.6, 0.32), i_app: float = 10.0, tspan=(0.0, 50.0)
+) -> ODEProblem:
+    """Hodgkin-Huxley squid-axon neuron (4-dim: V, m, h, n) — upstream's
+    flagship non-stiff benchmark model. Standard parameters; ``i_app`` is
+    the applied current in uA/cm^2."""
+
+    def f(u, p, t):
+        V, m, h, n = u[0], u[1], u[2], u[3]
+        iapp = p[0]
+        g_na, g_k, g_l_ = 120.0, 36.0, 0.3
+        e_na, e_k, e_l = 50.0, -77.0, -54.4
+        # rate functions (with the standard removable-singularity forms
+        # written exp-safe for vectorized evaluation)
+        a_m = 0.1 * (V + 40.0) / (1.0 - jnp.exp(-(V + 40.0) / 10.0))
+        b_m = 4.0 * jnp.exp(-(V + 65.0) / 18.0)
+        a_h = 0.07 * jnp.exp(-(V + 65.0) / 20.0)
+        b_h = 1.0 / (1.0 + jnp.exp(-(V + 35.0) / 10.0))
+        a_n = 0.01 * (V + 55.0) / (1.0 - jnp.exp(-(V + 55.0) / 10.0))
+        b_n = 0.125 * jnp.exp(-(V + 65.0) / 80.0)
+        i_na = g_na * m**3 * h * (V - e_na)
+        i_k = g_k * n**4 * (V - e_k)
+        i_l = g_l_ * (V - e_l)
+        dV = iapp - i_na - i_k - i_l
+        dm = a_m * (1.0 - m) - b_m * m
+        dh = a_h * (1.0 - h) - b_h * h
+        dn = a_n * (1.0 - n) - b_n * n
+        return jnp.stack([dV, dm, dh, dn])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray([i_app]))
+
+
+_PLEIADES_X = (3.0, 3.0, -1.0, -3.0, 2.0, -2.0, 2.0)
+_PLEIADES_Y = (3.0, -3.0, 2.0, 0.0, 0.0, -4.0, 4.0)
+_PLEIADES_VX = (0.0, 0.0, 0.0, 0.0, 0.0, 1.75, -1.5)
+_PLEIADES_VY = (0.0, 0.0, 0.0, -1.25, 1.0, 0.0, 0.0)
+
+
+def pleiades(tspan=(0.0, 3.0)):
+    """Pleiades 7-body celestial mechanics (Hairer's DETEST problem,
+    upstream's second-order benchmark) as a *second-order* problem
+    ``u'' = f(u)`` with ``u = [x_1..x_7, y_1..y_7]``, masses ``m_j = j``."""
+    from odefilters.problem import ode_problem_2nd
+
+    m = jnp.arange(1.0, 8.0)
+
+    def f(du, u, p, t):
+        x, y = u[:7], u[7:]
+        dx = x[None, :] - x[:, None]          # dx[i, j] = x_j - x_i
+        dy = y[None, :] - y[:, None]
+        r2 = dx * dx + dy * dy + jnp.eye(7)   # eye guards the i == j 0/0
+        w = p / (r2 * jnp.sqrt(r2))           # m_j / r_ij^3
+        w = w * (1.0 - jnp.eye(7))
+        ax = jnp.sum(w * dx, axis=1)
+        ay = jnp.sum(w * dy, axis=1)
+        return jnp.concatenate([ax, ay])
+
+    u0 = jnp.asarray(_PLEIADES_X + _PLEIADES_Y)
+    du0 = jnp.asarray(_PLEIADES_VX + _PLEIADES_VY)
+    return ode_problem_2nd(f, u0, du0, tspan, p=m)
+
+
 def pendulum_2nd(u0=(1.5,), du0=(0.0,), g_l: float = 9.81, tspan=(0.0, 3.0)):
     """Nonlinear pendulum as a *second-order* problem u'' = -(g/l) sin(u)
     (the reference marks SecondOrderODEProblem broken,
