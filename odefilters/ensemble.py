@@ -15,10 +15,13 @@ flags); this module maps the user-facing problem/algorithm vocabulary of
 algorithm    adaptive=True               adaptive=False (fixed grid)
 ===========  ==========================  =========================================
 EK0          per-lane-dt adaptive        fused filter; + fused RTS smoother kernel
-             kernel                      when ``alg.smooth``
+             kernel; + attempt-stream    when ``alg.smooth``
+             RTS smoother kernel when
+             ``alg.smooth``
 DiagonalEK1  per-dim adaptive kernel     (no fixed-grid ensemble kernel — use
-                                         ``adaptive=True`` or the Kron path)
+             (filter only)               ``adaptive=True`` or the Kron path)
 EK1          full D x D adaptive kernel  full D x D filter (+ smoother kernel)
+             (filter only)
 ===========  ==========================  =========================================
 
 All paths accept ``mesh=`` (1-D device mesh; the ensemble axis shards via
@@ -100,7 +103,7 @@ def solve_ensemble_pallas(
     adaptive: bool = True,
     abstol: float = 1e-6,
     reltol: float = 1e-3,
-    max_iters: int = 100_000,
+    max_iters: Optional[int] = None,
     mesh=None,
 ) -> EnsembleKernelSolution:
     """Solve ``B`` independent IVPs ``(u0s[i], ps[i])`` on fused kernels.
@@ -134,12 +137,26 @@ def solve_ensemble_pallas(
 
     if adaptive:
         if alg.smooth:
-            raise NotImplementedError(
-                "the adaptive ensemble kernels are filter-only; pass "
-                "alg with smooth=False (or adaptive=False for the fused "
-                "filter+smoother pair)"
+            if getattr(alg, "is_diagonal_ek1", False) or alg.is_ek1:
+                raise NotImplementedError(
+                    "the adaptive+smooth fused pair runs on the EK0 "
+                    "attempt-stream kernels; for EK1/DiagonalEK1 pass "
+                    "smooth=False (filter) or adaptive=False (fixed-grid "
+                    "smoother pair)"
+                )
+            # the smoother pair's HBM attempt stream is max_iters-sized
+            # (~(q+2) x max(d+q+1, 6) x 4 KiB per attempt per 1024-member
+            # block), hence the much smaller default than the filter path
+            out = pk.solve_ensemble_ek0_adaptive_smooth_pallas(
+                prob.f, u0s, ps, prob.tspan, n_save, q=q,
+                max_iters=1024 if max_iters is None else max_iters,
+                prior=prior, second_order=so, **kw,
             )
-        kw.update(max_iters=max_iters, prior=prior, second_order=so)
+            return EnsembleKernelSolution(*out)
+        kw.update(
+            max_iters=100_000 if max_iters is None else max_iters,
+            prior=prior, second_order=so,
+        )
         if getattr(alg, "is_diagonal_ek1", False):
             # prob.jac_diag follows the first-order (u, p, t) signature;
             # second-order needs the pair-returning form — auto-JVP there

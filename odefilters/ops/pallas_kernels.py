@@ -6861,3 +6861,738 @@ def solve_adaptive_pallas_single(
         second_order=second_order,
     )
     return us[..., 0], stds[..., 0], lls[0], nacc[0], nrej[0], fail[0]
+
+
+# ==========================================================================
+# Adaptive-step fused EK0 filter + RTS smoother (per-lane dt).
+#
+# The reference's DEFAULT solve is adaptive + smoothing
+# (`algorithms.jl:24` smooth=true; `integrator_utils.jl:20-26` runs
+# smooth_all! in the postamble); until round 3 the fused ensemble kernels
+# covered adaptive-filter and fixed-grid-smooth but not the flagship
+# combination. The design:
+#
+#   forward  — the per-lane adaptive EK0 kernel, additionally streaming
+#              ONE packed row per ATTEMPT to HBM (double-buffered DMA):
+#              the committed unpreconditioned (m, C) plus per-lane
+#              scalars [accept, log dt_eff, s2, log dt_cur, is_save,
+#              seg+1]. Rejected-attempt rows are dead weight in HBM but
+#              keep every write a static-shape append at the shared
+#              attempt counter — per-lane compaction is impossible in
+#              lane-vectorized rows (accept differs per lane).
+#   backward — walks the attempt stream in reverse; at each row, lanes
+#              with accept=1 apply one square-root RTS step (fresh
+#              per-lane preconditioning at the *next* accepted step's
+#              log-dt, carried per lane; the streamed plain coefficient
+#              covariance is Cholesky-factored in the well-conditioned
+#              preconditioned frame) and lanes with is_save=1 write the
+#              (just-smoothed) state into the save-grid output row via a
+#              masked read-modify-write at the streamed seg index. The
+#              reverse sequence of accepted rows IS each lane's chain of
+#              accepted states, so masking makes the per-lane ragged
+#              grids exact with zero compaction.
+#
+# HBM cost: max_iters x (nq+1) x max(d+nq, 6) x 4 KiB per 1024-member
+# block (e.g. ~120 KiB/attempt at d=2, q=3 -> ~123 MiB at the default
+# max_iters=1024), so the smooth entry bounds max_iters far below the
+# filter-only kernel's 100k default.
+# ==========================================================================
+
+
+def _list_cholesky(Cm, nq, zero_row=None):
+    """Guarded lower Cholesky of a plain list-of-lanes coefficient
+    covariance (used on the PRECONDITIONED factor-free stream of the
+    adaptive kernels, where the coefficient matrix is well-conditioned;
+    plain-covariance smoothing itself stays forbidden — the RTS recursion
+    downstream is square-root form).
+
+    ``zero_row``: index of a structurally-zero row/column, treated as
+    EXACT zero (static 0.0 entries). The EK0/R=0 update collapses the
+    measured coefficient block to zero variance, so the streamed
+    posterior covariance is exactly rank-deficient there up to roundoff;
+    a guarded pivot would turn that roundoff into a ~1e-15 pivot and
+    divide the off-diagonal junk by it, destroying the factor (measured:
+    the backward smoother explodes ~1e10x per step without this)."""
+    L = [[0.0] * nq for _ in range(nq)]
+    for i in range(nq):
+        if i == zero_row:
+            continue
+        s = Cm[i][i]
+        for k in range(i):
+            s = s - _smul(L[i][k], L[i][k])
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        inv = 1.0 / L[i][i]
+        for l in range(i + 1, nq):
+            if l == zero_row:
+                continue
+            v = Cm[l][i]
+            for k in range(i):
+                v = v - _smul(L[l][k], L[i][k])
+            L[l][i] = _smul(v, inv)
+    return L
+
+
+def _ek0_adaptive_stream_kernel(
+    m0_ref, p_ref, dt0_ref, ll_ref, nacc_ref, nrej_ref, fail_ref, it_ref,
+    st_ref, row, sem, *,
+    f: Callable, At: np.ndarray, Qt: np.ndarray,
+    S: int, dt_save: float, t0: float, d: int, nq: int, Wp: int,
+    abstol: float, reltol: float, max_iters: int, dtmin: float,
+    beta1: float, beta2: float, cheb=None, so: bool = False,
+):
+    """`_ek0_adaptive_kernel` with a per-attempt HBM state stream (and no
+    filtered us/std outputs — the solution falls out of the backward
+    smoother pass). Row layout (nq+1, Wp): rows i < nq hold
+    [m[i] (d) | C[i] (nq)]; row nq holds the per-lane scalars
+    [accept, log dt_eff, s2, log dt_cur, is_save, seg+1]."""
+    q_half = nq - 1 + 0.5
+
+    def _is0f(x):
+        return isinstance(x, float) and x == 0.0
+
+    h0 = dt0_ref[0]
+    zero = jnp.zeros_like(h0)
+    one = zero + 1.0
+
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    C = [[zero for _ in range(nq)] for _ in range(nq)]
+    p_block = p_ref[:]
+    u_prev = [m0_ref[0, j] for j in range(d)]
+
+    def pack_and_send(k_idx, m, C, extras):
+        slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+        @pl.when(k_idx >= 2)
+        def _():
+            pltpu.make_async_copy(
+                row.at[slot], st_ref.at[k_idx], sem.at[slot]
+            ).wait()
+
+        for i in range(nq):
+            for j in range(d):
+                row[slot, i, j] = m[i][j]
+            for l in range(nq):
+                row[slot, i, d + l] = C[i][l]
+        for c, v in enumerate(extras):
+            row[slot, nq, c] = v
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).start()
+
+    def cond(carry):
+        seg, iters = carry[0], carry[1]
+        return (seg < S) & (iters < max_iters)
+
+    def body(carry):
+        (seg, iters, t, dt, qold, ll, nacc, nrej, failed,
+         m, C, u_prev) = carry
+        dtype = zero.dtype
+        t_save = jnp.asarray(t0, dtype) + jnp.asarray(dt_save, dtype) * (
+            seg.astype(dtype) + 1.0
+        )
+        not_failed = failed < 0.5
+        active = (t < t_save) & not_failed
+        remaining = t_save - t
+        hit_save = dt >= remaining
+        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), one)
+
+        lh = jnp.log(dt_eff)
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        mh = [[m[i][j] * ps_[i] for j in range(d)] for i in range(nq)]
+        Ch = [[C[i][l] * (ps_[i] * ps_[l]) for l in range(nq)]
+              for i in range(nq)]
+        pinv0 = jnp.exp(q_half * lh)
+        pinv1 = jnp.exp((q_half - 1.0) * lh)
+        if cheb is None:
+            Atl = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
+            Qtl = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
+        else:
+            Atl, _, Qtl = _cheb_transition_lists(cheb, lh, nq)
+        bx = 2 if so else 1
+        pb = jnp.exp((q_half - bx) * lh)
+        hq = pb * pb * Qtl[bx][bx]
+
+        mp = [
+            [
+                _sreduce([_smul(Atl[i][l], mh[l][j]) for l in range(nq)])
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        t_new = jnp.where(hit_save, t_save, t + dt_eff)
+        u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
+        if so:
+            du_pred = jnp.stack([pinv1 * mp[1][j] for j in range(d)])
+            du = f(du_pred, u_pred, p_block, t_new)
+        else:
+            du = f(u_pred, p_block, t_new)
+        z = [pb * mp[bx][j] - du[j] for j in range(d)]
+        zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
+        s2 = zz / (d * hq)
+        tmp = [
+            [
+                _sreduce([_smul(Atl[i][a], Ch[a][b]) for a in range(nq)])
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        Cp = [
+            [
+                _sreduce([_smul(tmp[i][b], Atl[l][b]) for b in range(nq)])
+                + Qtl[i][l] * s2
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        s = pb * pb * Cp[bx][bx]
+        inv_s = 1.0 / s
+        kg = [pb * Cp[i][bx] * inv_s for i in range(nq)]
+        m_new = [[mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)]
+        C_new = [
+            [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)] for i in range(nq)
+        ]
+        ll_inc = -0.5 * (
+            zz * inv_s + d * (jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI)
+        )
+        u_filt = [pinv0 * m_new[0][j] for j in range(d)]
+
+        err_unscaled = jnp.sqrt(zz / d)
+        ee = zero
+        for j in range(d):
+            sc = abstol + reltol * jnp.maximum(
+                jnp.abs(u_prev[j]), jnp.abs(u_filt[j])
+            )
+            r = dt_eff * err_unscaled / sc
+            ee = ee + r * r
+        EEst = jnp.sqrt(ee / d)
+        EEst = jnp.where(jnp.isfinite(EEst), EEst, 1e10)
+        accept = active & (EEst <= 1.0)
+
+        eg = jnp.maximum(EEst, 1e-35)
+        leg = jnp.log(eg)
+        q11 = jnp.exp(beta1 * leg)
+        qq = q11 * jnp.exp(-beta2 * jnp.log(jnp.maximum(qold, 1e-35)))
+        qq = jnp.maximum(1.0 / _QMAX, jnp.minimum(1.0 / _QMIN, qq / _GAMMA))
+        dt_acc = dt_eff / qq
+        last_seg = seg >= S - 1
+        dt_acc = jnp.where(hit_save & ~last_seg, jnp.maximum(dt_acc, dt), dt_acc)
+        qold_acc = jnp.maximum(EEst, _QOLDINIT)
+        dt_rej = dt_eff / jnp.minimum(1.0 / _QMIN, q11 / _GAMMA)
+        dt_new = jnp.where(accept, dt_acc, dt_rej)
+        newly_failed = active & ~hit_save & (
+            (dt_new < dtmin) | (accept & (t_new <= t))
+        )
+        failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
+        not_failed = failed < 0.5
+
+        m_new = [[m_new[i][j] / ps_[i] for j in range(d)] for i in range(nq)]
+        C_new = [
+            [C_new[i][l] / (ps_[i] * ps_[l]) for l in range(nq)]
+            for i in range(nq)
+        ]
+        m = [
+            [jnp.where(accept, m_new[i][j], m[i][j]) for j in range(d)]
+            for i in range(nq)
+        ]
+        C = [
+            [jnp.where(accept, C_new[i][l], C[i][l]) for l in range(nq)]
+            for i in range(nq)
+        ]
+        t = jnp.where(accept, t_new, t)
+        dt = jnp.where(active & not_failed, dt_new, dt)
+        qold = jnp.where(accept, qold_acc, qold)
+        ll = jnp.where(accept, ll + ll_inc, ll)
+        u_prev = [jnp.where(accept, u_filt[j], u_prev[j]) for j in range(d)]
+        nacc = nacc + jnp.where(accept, one, zero)
+        nrej = nrej + jnp.where(active & ~accept, one, zero)
+        t = jnp.where(not_failed, t, zero + jnp.asarray(1e30, zero.dtype))
+
+        # -- stream the committed state + per-lane step scalars --
+        extras = [
+            jnp.where(accept, one, zero),
+            lh,
+            s2,
+            jnp.log(dt),
+            jnp.where(accept & hit_save, one, zero),
+            zero + (seg.astype(dtype) + 1.0),
+        ]
+        pack_and_send(iters, m, C, extras)
+
+        seg_done = jnp.min(jnp.where(t >= t_save, one, zero)) > 0.5
+        seg = jnp.where(seg_done, seg + 1, seg)
+        return (seg, iters + 1, t, dt, qold, ll, nacc, nrej, failed,
+                m, C, u_prev)
+
+    init = (
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        zero + jnp.asarray(t0, zero.dtype), h0,
+        zero + _QOLDINIT, zero, zero, zero,
+        jnp.zeros_like(h0), m, C, u_prev,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    K = out[1]
+    ll_ref[...] = out[5]
+    nacc_ref[...] = out[6]
+    nrej_ref[...] = out[7]
+    fail_ref[...] = jnp.where(
+        (out[8] > 0.5) | (out[0] < S),
+        jnp.ones_like(out[5]), jnp.zeros_like(out[5]),
+    )
+    it_ref[...] = zero + K.astype(zero.dtype)
+    # drain the last (up to two) in-flight stream copies
+
+    @pl.when(K >= 1)
+    def _():
+        k1 = K - jnp.int32(1)
+        pltpu.make_async_copy(
+            row.at[jax.lax.rem(k1, jnp.int32(2))], st_ref.at[k1],
+            sem.at[jax.lax.rem(k1, jnp.int32(2))],
+        ).wait()
+
+    @pl.when(K >= 2)
+    def _():
+        k2 = K - jnp.int32(2)
+        pltpu.make_async_copy(
+            row.at[jax.lax.rem(k2, jnp.int32(2))], st_ref.at[k2],
+            sem.at[jax.lax.rem(k2, jnp.int32(2))],
+        ).wait()
+
+
+def _ek0_adaptive_smoother_kernel(
+    m0_ref, it_ref, st_ref, us_ref, std_ref,
+    row, sem, *,
+    At: np.ndarray, QLt: np.ndarray, S: int, d: int, nq: int, Wp: int,
+    cheb=None, so: bool = False,
+):
+    """Backward square-root RTS pass over the adaptive attempt stream.
+
+    Walks rows K-1..0; per row, lanes with accept=1 smooth one chain step
+    (per-lane preconditioning at the carried next-step log-dt; streamed
+    plain coefficient cov Cholesky-factored in the preconditioned frame)
+    and lanes with is_save=1 write the just-smoothed state into the
+    save-grid output row ``seg+1`` (masked read-modify-write; every
+    (save row, lane) pair is written exactly once — each lane lands on
+    each save time exactly once, tstops semantics)."""
+    q_half = nq - 1 + 0.5
+
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
+        C = [[row[slot, i, d + l] for l in range(nq)] for i in range(nq)]
+        ex = [row[slot, nq, c] for c in range(6)]
+        return m, C, ex
+
+    K = jnp.max(it_ref[0]).astype(jnp.int32)
+
+    # save row 0: the exact (zero-covariance) initial state — smoothing a
+    # point mass returns it unchanged (G = 0), as in the host driver
+    zero = jnp.zeros_like(m0_ref[0, 0])
+    for j in range(d):
+        us_ref[jnp.int32(0), j] = m0_ref[0, j]
+    std_ref[jnp.int32(0)] = zero
+
+    bx = 2 if so else 1  # R=0-collapsed coefficient block of the stream
+
+    def precond_factor(C_f, lh):
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        Ch = [[C_f[i][l] * (ps_[i] * ps_[l]) for l in range(nq)]
+              for i in range(nq)]
+        return ps_, _list_cholesky(Ch, nq, zero_row=bx)
+
+    def as_lanes(M):
+        return [[(zero + x) if _is0(x) else x for x in r] for r in M]
+
+    def write_saves(ex, ms, Ls):
+        is_save, seg1f = ex[4], ex[5]
+
+        @pl.when(jnp.max(is_save) > 0.5)
+        def _():
+            seg1 = jnp.max(seg1f).astype(jnp.int32)
+            wm = is_save > 0.5
+            for j in range(d):
+                us_ref[seg1, j] = jnp.where(wm, ms[0][j], us_ref[seg1, j])
+            sv = jnp.sqrt(
+                functools.reduce(lambda a, b: a + b,
+                                 [x * x for x in Ls[0]])
+            )
+            std_ref[seg1] = jnp.where(wm, sv, std_ref[seg1])
+
+    # --- init from the final attempt row: every lane is parked at t1, so
+    # its committed state IS the final filter state; smoothed = filtered
+    # there. Factor the plain cov at the lane's own current log-dt (a
+    # per-lane scale that keeps the Cholesky in the well-conditioned
+    # preconditioned frame). ---
+    kK = K - jnp.int32(1)
+    start_load(kK)
+    m_T, C_T, ex_T = wait_and_read(kK)
+
+    @pl.when(K >= 2)
+    def _():
+        start_load(kK - jnp.int32(1))
+
+    lh0 = ex_T[3]
+    ps0, Lh0 = precond_factor(C_T, lh0)
+    Ls0 = as_lanes([
+        [_smul(jnp.exp((q_half - i) * lh0), Lh0[i][l]) for l in range(nq)]
+        for i in range(nq)
+    ])
+    ms0 = m_T
+    pend_lh = ex_T[1]
+    pend_s2 = ex_T[2]
+    first = (zero + 1.0) - ex_T[0]
+    write_saves(ex_T, ms0, Ls0)
+
+    if cheb is None:
+        At_st = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
+        QL_st = [[float(QLt[i, l]) for l in range(nq)] for i in range(nq)]
+
+    def body(step, carry):
+        ms, Ls, pend_lh, pend_s2, first = carry
+        k = K - jnp.int32(2) - step
+        m_f, C_f, ex = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.int32(1))
+
+        lh = pend_lh
+        if cheb is None:
+            Atl, QLl = At_st, QL_st
+        else:
+            Atl, QLl, _ = _cheb_transition_lists(cheb, lh, nq)
+        ps_, Lh_f = precond_factor(C_f, lh)
+        pinv_ = [jnp.exp((q_half - i) * lh) for i in range(nq)]
+        mh_f = [[m_f[i][j] * ps_[i] for j in range(d)] for i in range(nq)]
+        msh = [[ms[i][j] * ps_[i] for j in range(d)] for i in range(nq)]
+        Lsh = [[_smul(ps_[i], Ls[i][l]) for l in range(nq)]
+               for i in range(nq)]
+        sq_s2 = jnp.sqrt(pend_s2)
+
+        AtL = [
+            [
+                _sreduce([_smul(Atl[i][a], Lh_f[a][b]) for a in range(nq)])
+                for b in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        qT = [
+            [_smul(sq_s2, QLl[i][a]) for i in range(nq)]
+            for a in range(nq)
+        ]
+        Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
+        M = [
+            [
+                _sreduce([_smul(Lh_f[i][b], AtL[l][b]) for b in range(nq)])
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        G = [_list_cho_solve(Lp, [(zero + x) if _is0(x) else x
+                                  for x in M[i]], nq)
+             for i in range(nq)]
+        mp = [
+            [
+                _sreduce([_smul(Atl[i][l], mh_f[l][j]) for l in range(nq)])
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        dm = [[msh[i][j] - mp[i][j] for j in range(d)] for i in range(nq)]
+        ms_new = [
+            [
+                mh_f[i][j]
+                + _sreduce([_smul(G[i][l], dm[l][j]) for l in range(nq)])
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        GA = [
+            [
+                _sreduce([_smul(G[i][a], Atl[a][l]) for a in range(nq)])
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        IGA = [
+            [(1.0 - GA[i][l]) if i == l else
+             (0.0 - GA[i][l] if not _is0(GA[i][l]) else 0.0)
+             for l in range(nq)]
+            for i in range(nq)
+        ]
+        b1 = [
+            [
+                _sreduce([_smul(IGA[i][a], Lh_f[a][l]) for a in range(nq)])
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        GQ = [
+            [
+                _smul(sq_s2,
+                      _sreduce([_smul(G[i][a], QLl[a][l])
+                                for a in range(nq)]))
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        b3 = [
+            [
+                _sreduce([_smul(G[i][a], Lsh[a][l]) for a in range(nq)])
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        Ls_new = _list_mgs_tril(
+            _t_rows(b1, nq) + _t_rows(GQ, nq) + _t_rows(b3, nq), 3 * nq, nq
+        )
+        # unprecondition (row scaling) and masked commits
+        do = (ex[0] * ((zero + 1.0) - first)) > 0.5
+        ms = [
+            [jnp.where(do, pinv_[i] * ms_new[i][j], ms[i][j])
+             for j in range(d)]
+            for i in range(nq)
+        ]
+        Ls = [
+            [jnp.where(do, pinv_[i] * Ls_new[i][l], Ls[i][l])
+             for l in range(nq)]
+            for i in range(nq)
+        ]
+        # first-encounter lanes: carry (= final state) is already the
+        # smoothed state at this row; just arm the pending step scalars
+        took = ex[0] > 0.5
+        pend_lh = jnp.where(took, ex[1], pend_lh)
+        pend_s2 = jnp.where(took, ex[2], pend_s2)
+        first = jnp.where(took, zero, first)
+        write_saves(ex, ms, Ls)
+        return ms, Ls, pend_lh, pend_s2, first
+
+    jax.lax.fori_loop(
+        jnp.int32(0), K - jnp.int32(1), body,
+        (ms0, Ls0, pend_lh, pend_s2, first),
+    )
+
+
+@_no_x64
+def ek0_adaptive_fused_smooth(
+    f: Callable,
+    m0: jax.Array,      # (q+1, d, B) unpreconditioned Taylor init means
+    ps: jax.Array,      # (n_params, B)
+    dt0s: jax.Array,    # (B,) per-member initial dt (Hairer heuristic)
+    t0: float,
+    t1: float,
+    n_save: int,
+    q: int,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 1024,
+    dtmin: Optional[float] = None,
+    prior=None,
+    mesh=None,
+    second_order: bool = False,
+):
+    """Adaptive per-lane EK0(dynamic) filter + square-root RTS smoother,
+    fully fused (the reference's default solve configuration,
+    `algorithms.jl:24` smooth=true + `integrator_utils.jl:20-26`, at
+    ensemble-kernel throughput). Forward kernel streams one packed row
+    per attempt to HBM; backward kernel walks it in reverse with per-lane
+    masking — see the section comment above `_ek0_adaptive_stream_kernel`.
+
+    ``max_iters`` bounds TOTAL attempts per member AND sizes the HBM
+    attempt stream (~(nq+1) x max(d+nq,6) x 4 KiB per attempt per
+    1024-member block), hence the much smaller default than the
+    filter-only kernel. Returns ``(us, stds, lls, nacc, nrej, failed)``;
+    ``us``/``stds`` are the SMOOTHED posterior means/stds on the save
+    grid, ``lls`` the filter data log-likelihoods.
+    """
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_, dt0_: ek0_adaptive_fused_smooth(
+                f, m0_, ps_, dt0_, t0, t1, n_save, q, abstol=abstol,
+                reltol=reltol, max_iters=max_iters, dtmin=dtmin,
+                prior=prior, second_order=second_order,
+            ),
+            (m0, ps, dt0s), in_axes=(2, 1, 0),
+            out_axes=(2, 1, 0, 0, 0, 0),
+        )
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    S = int(n_save)
+    dt_save = (float(t1) - float(t0)) / S
+    if dtmin is None:
+        span = float(t1) - float(t0)
+        eps = float(jnp.finfo(m0.dtype).eps)
+        dtmin = max(1e-14 * span, 4.0 * eps * span)
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    Qt_np = QLt_np @ QLt_np.T
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    cheb = None
+    if prior is not None:
+        from odefilters.priors import (
+            IWP, chebyshev_transition_fit, normalize_prior,
+        )
+
+        if not isinstance(normalize_prior(prior), IWP):
+            cheb = chebyshev_transition_fit(
+                prior, q, float(dtmin), float(t1) - float(t0)
+            )
+
+    m0_b = m0.reshape(nq, d, nb, _SUB, _LANE).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    dt0_b = dt0s.reshape(nb, 1, _SUB, _LANE)
+
+    Wp = max(d + nq, 6)
+    fkernel = functools.partial(
+        _ek0_adaptive_stream_kernel,
+        f=f, At=At_np.astype(fdtype), Qt=Qt_np.astype(fdtype),
+        S=S, dt_save=dt_save, t0=float(t0), d=d, nq=nq, Wp=Wp,
+        abstol=float(abstol), reltol=float(reltol),
+        max_iters=int(max_iters), dtmin=float(dtmin),
+        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
+        so=bool(second_order),
+    )
+    scratch = [
+        pltpu.VMEM((2, nq + 1, Wp, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def fentry(m0_blk, p_blk, dt0_blk, ll_blk, na_blk, nr_blk, fl_blk,
+               it_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        fkernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            dt0_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)], na_blk.at[jnp.int32(0)],
+            nr_blk.at[jnp.int32(0)], fl_blk.at[jnp.int32(0)],
+            it_blk.at[jnp.int32(0)], st_hbm.at[b], row, sem,
+        )
+
+    lane = lambda: pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    lane_shape = jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype)
+    lls, nacc, nrej, fail, iters, st = pl.pallas_call(
+        fentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[lane(), lane(), lane(), lane(), lane(),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[
+            lane_shape, lane_shape, lane_shape, lane_shape, lane_shape,
+            jax.ShapeDtypeStruct(
+                (nb, int(max_iters), nq + 1, Wp, _SUB, _LANE), dtype
+            ),
+        ],
+        scratch_shapes=scratch,
+    )(m0_b, ps_b, dt0_b)
+
+    skernel = functools.partial(
+        _ek0_adaptive_smoother_kernel,
+        At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+        S=S, d=d, nq=nq, Wp=Wp, cheb=cheb, so=bool(second_order),
+    )
+
+    def sentry(m0_blk, it_blk, st_hbm, us_blk, std_blk, row, sem):
+        b = pl.program_id(0)
+        skernel(
+            m0_blk.at[jnp.int32(0)], it_blk.at[jnp.int32(0)], st_hbm.at[b],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)], row, sem,
+        )
+
+    us_s, std_s = pl.pallas_call(
+        sentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S + 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, S + 1, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_b, iters, st)
+
+    us = us_s.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    stds = std_s.transpose(1, 0, 2, 3).reshape(S + 1, B)
+    return (us, stds, lls.reshape(B), nacc.reshape(B), nrej.reshape(B),
+            fail.reshape(B))
+
+
+def solve_ensemble_ek0_adaptive_smooth_pallas(
+    prob_f: Callable,
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_save: int,
+    q: int = 3,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 1024,
+    prior=None,
+    mesh=None,
+    second_order: bool = False,
+):
+    """Taylor-init + fused adaptive EK0 filter + RTS smoother ensemble —
+    the fused-kernel form of the reference's DEFAULT solve (adaptive +
+    smooth). Same argument conventions as
+    :func:`solve_ensemble_ek0_adaptive_pallas`; returns SMOOTHED
+    ``(us, stds, lls, nacc, nrej, failed)`` on the save grid."""
+    from odefilters.problem import ode_problem, ode_problem_2nd
+    from odefilters.solve import initial_dt
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
+
+    t0, t1 = tspan
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
+
+    def init_one(u0_full, p):
+        if second_order:
+            m = jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+            pr = ode_problem_2nd(prob_f, u0_full[:d], u0_full[d:], tspan, p=p)
+        else:
+            m = jnp.stack(taylor_coefficients(prob_f, u0_full, p, t0, q))
+            pr = ode_problem(prob_f, u0_full, tspan, p=p)
+        return m, initial_dt(pr, q, abstol, reltol)
+
+    m0, dt0s = jax.vmap(init_one)(u0s, ps)
+    m0 = m0.transpose(1, 2, 0)
+    return ek0_adaptive_fused_smooth(
+        prob_f, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
+        abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
+        mesh=mesh, second_order=second_order,
+    )

@@ -669,6 +669,133 @@ def test_pallas_ek0_adaptive_matches_driver_interpret():
         )
 
 
+def test_pallas_ek0_adaptive_smooth_matches_driver_interpret():
+    """Fused adaptive EK0 filter + attempt-stream RTS smoother pair (the
+    reference's DEFAULT solve configuration — adaptive + smooth,
+    `algorithms.jl:24`, `integrator_utils.jl:20-26`): smoothed save-grid
+    means/stds vs the XLA adaptive driver with smooth=True and tstops on
+    the same grid; identical accepted-step sequences; 1-device-mesh
+    sharding bit-exact (DMA-streaming kernel — interpret-mode multi-device
+    DMA caveat, see `_shard_over_ens`); front-door routing."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import AxisType, Mesh
+
+    from odefilters.ensemble import solve_ensemble_pallas
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, S = pk.BLOCK, 8
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+
+    kw = dict(q=3, abstol=1e-8, reltol=1e-6, max_iters=256)
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, lls, nacc, nrej, fail = (
+            pk.solve_ensemble_ek0_adaptive_smooth_pallas(
+                prob.f, u0s, ps, prob.tspan, S, **kw
+            )
+        )
+    assert int(jnp.sum(fail)) == 0
+
+    grid = np.linspace(0.0, 2.0, S + 1)
+    for idx in [0, 300]:
+        pr = odf.remake(prob, u0=u0s[idx], p=ps[idx])
+        sol = odf.solve(
+            pr, odf.EK0(order=3, smooth=True),
+            abstol=1e-8, reltol=1e-6, tstops=jnp.asarray(grid[1:-1]),
+        )
+        assert int(nacc[idx]) == int(sol.n_steps)
+        g = sol(jnp.asarray(grid))
+        np.testing.assert_allclose(
+            np.asarray(us[:, :, idx]), np.asarray(g.mean),
+            rtol=1e-9, atol=1e-11,
+        )
+        xstd = np.sqrt(
+            np.einsum("sij,sij->si", np.asarray(g.chol), np.asarray(g.chol))
+        )
+        # EK0 covariance is isotropic across dims: one std per save row.
+        # rtol: the stds sit at the solver-accuracy floor (~1e-7), where
+        # the kernel's incremental-rescale frame and XLA's absolute
+        # preconditioning frame accumulate ~1e-11-absolute differences in
+        # the per-step s2 calibration (same mechanism as the ll rtol).
+        np.testing.assert_allclose(
+            np.asarray(stds[1:, idx]), xstd[1:, 0], rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(lls[idx]), float(sol.log_likelihood), rtol=1e-3
+        )
+
+    # sharded (1-device mesh, streaming kernel) == unsharded, bit-exact
+    mesh1 = Mesh(
+        np.asarray(jax.devices()[:1]), ("ens",), axis_types=(AxisType.Auto,)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out_sh = pk.solve_ensemble_ek0_adaptive_smooth_pallas(
+            prob.f, u0s, ps, prob.tspan, S, mesh=mesh1, **kw
+        )
+    for a_sh, a in zip(out_sh, (us, stds, lls, nacc, nrej, fail)):
+        np.testing.assert_array_equal(np.asarray(a_sh), np.asarray(a))
+
+    # front door: EK0 + smooth + adaptive routes to the fused pair
+    with pltpu.force_tpu_interpret_mode():
+        eks = solve_ensemble_pallas(
+            prob, odf.EK0(order=3, smooth=True), u0s, ps, n_save=S,
+            abstol=1e-8, reltol=1e-6, max_iters=256,
+        )
+    np.testing.assert_array_equal(np.asarray(eks.us), np.asarray(us))
+    np.testing.assert_array_equal(np.asarray(eks.lls), np.asarray(lls))
+
+
+def test_pallas_ek0_adaptive_smooth_second_order_interpret():
+    """Second-order problems on the fused adaptive filter+smoother pair:
+    smoothed position means/stds vs the XLA driver (u0s = [u0 | du0],
+    measurement block 2 — the collapsed-row index the backward pass's
+    structural-zero Cholesky must track)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.problem import ode_problem_2nd
+
+    prob = odf.models.pendulum_2nd(tspan=(0.0, 1.0))
+    B, S = pk.BLOCK, 4
+    d = prob.d
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2 * d))).astype(
+        jnp.float64
+    )
+    ps = jnp.broadcast_to(jnp.atleast_1d(prob.p), (B, 1)).astype(jnp.float64)
+
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, lls, nacc, nrej, fail = (
+            pk.solve_ensemble_ek0_adaptive_smooth_pallas(
+                prob.f, u0s, ps, prob.tspan, S, q=3, abstol=1e-6,
+                reltol=1e-4, max_iters=256, second_order=True,
+            )
+        )
+    assert int(jnp.sum(fail)) == 0
+
+    grid = np.linspace(0.0, 1.0, S + 1)
+    idx = 300
+    pr = ode_problem_2nd(
+        prob.f, u0s[idx][:d], u0s[idx][d:], prob.tspan, p=ps[idx][0]
+    )
+    sol = odf.solve(
+        pr, odf.EK0(order=3, smooth=True),
+        abstol=1e-6, reltol=1e-4, tstops=jnp.asarray(grid[1:-1]),
+    )
+    assert int(nacc[idx]) == int(sol.n_steps)
+    g = sol(jnp.asarray(grid))
+    np.testing.assert_allclose(
+        np.asarray(us[:, :, idx]), np.asarray(g.mean)[:, :d],
+        rtol=1e-9, atol=1e-12,
+    )
+    xstd = np.sqrt(
+        np.einsum("sij,sij->si", np.asarray(g.chol), np.asarray(g.chol))
+    )
+    np.testing.assert_allclose(np.asarray(stds[1:, idx]), xstd[1:, 0], rtol=1e-6)
+
+
 def test_pallas_kron_grid_matches_kronsolve_interpret():
     """The large-d Kron-grid kernel (Brusselator stencil traced into the
     kernel, jnp.roll on grid values) reproduces the XLA Kronecker path."""
