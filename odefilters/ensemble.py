@@ -18,8 +18,9 @@ EK0          per-lane-dt adaptive        fused filter; + fused RTS smoother kern
              kernel; + attempt-stream    when ``alg.smooth``
              RTS smoother kernel when
              ``alg.smooth``
-DiagonalEK1  per-dim adaptive kernel     (no fixed-grid ensemble kernel — use
-             (filter only)               ``adaptive=True`` or the Kron path)
+DiagonalEK1  per-dim adaptive kernel;    (no fixed-grid ensemble kernel — use
+             + attempt-stream RTS        ``adaptive=True`` or the Kron path)
+             smoother when ``alg.smooth``
 EK1          full D x D adaptive kernel  full D x D filter (+ smoother kernel)
              (filter only)
 ===========  ==========================  =========================================
@@ -137,21 +138,32 @@ def solve_ensemble_pallas(
 
     if adaptive:
         if alg.smooth:
-            if getattr(alg, "is_diagonal_ek1", False) or alg.is_ek1:
+            if alg.is_ek1 and not getattr(alg, "is_diagonal_ek1", False):
                 raise NotImplementedError(
-                    "the adaptive+smooth fused pair runs on the EK0 "
-                    "attempt-stream kernels; for EK1/DiagonalEK1 pass "
-                    "smooth=False (filter) or adaptive=False (fixed-grid "
-                    "smoother pair)"
+                    "the adaptive+smooth fused pairs run on the EK0 / "
+                    "DiagonalEK1 attempt-stream kernels; for dense EK1 "
+                    "pass smooth=False (filter) or adaptive=False "
+                    "(fixed-grid smoother pair)"
                 )
-            # the smoother pair's HBM attempt stream is max_iters-sized
-            # (~(q+2) x max(d+q+1, 6) x 4 KiB per attempt per 1024-member
+            # the smoother pairs' HBM attempt stream is max_iters-sized
+            # (~(q+2) x row-width x 4 KiB per attempt per 1024-member
             # block), hence the much smaller default than the filter path
-            out = pk.solve_ensemble_ek0_adaptive_smooth_pallas(
-                prob.f, u0s, ps, prob.tspan, n_save, q=q,
-                max_iters=1024 if max_iters is None else max_iters,
-                prior=prior, second_order=so, **kw,
-            )
+            mi = 1024 if max_iters is None else max_iters
+            if getattr(alg, "is_diagonal_ek1", False):
+                jd = None
+                if not so:
+                    jd = prob.jac_diag
+                    if jd is None and prob.jac is not None:
+                        jd = _diag_from_full(prob.jac, d)
+                out = pk.solve_ensemble_ek1d_adaptive_smooth_pallas(
+                    prob.f, jd, u0s, ps, prob.tspan, n_save, q=q,
+                    max_iters=mi, prior=prior, second_order=so, **kw,
+                )
+            else:
+                out = pk.solve_ensemble_ek0_adaptive_smooth_pallas(
+                    prob.f, u0s, ps, prob.tspan, n_save, q=q,
+                    max_iters=mi, prior=prior, second_order=so, **kw,
+                )
             return EnsembleKernelSolution(*out)
         kw.update(
             max_iters=100_000 if max_iters is None else max_iters,

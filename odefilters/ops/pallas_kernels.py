@@ -7596,3 +7596,796 @@ def solve_ensemble_ek0_adaptive_smooth_pallas(
         abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
         mesh=mesh, second_order=second_order,
     )
+
+
+# ==========================================================================
+# Adaptive-step fused DiagonalEK1 filter + RTS smoother (per-lane dt).
+#
+# The EK0 pair's attempt-stream design (see `_ek0_adaptive_stream_kernel`)
+# carried to DiagonalEK1: d independent per-dimension (q+1, q+1) filters
+# per member (`_ek1d_adaptive_kernel` semantics), each streaming its plain
+# posterior covariance. The structural-zero Cholesky needs one extra move
+# here: the R=0 update collapses the MEASUREMENT direction, which for
+# DiagonalEK1 is not a coordinate axis — `h_j = pinv1 e1 - J_jj pinv0 e0`.
+# But its null vector is known in closed form: unpreconditioned it is
+# exactly `(-J_jj, 1, 0, ..)` (the preconditioner powers cancel), so the
+# forward streams the COMMITTED Jacobian diagonal alongside the state and
+# the backward Householder-reflects that direction onto the measured
+# coefficient axis, Choleskys with the structural zero there, and
+# reflects the factor back — exact up to roundoff, no jitter.
+# ==========================================================================
+
+
+def _householder_block(vs, bx):
+    """nh x nh reflection block R (R = R^T = R^-1) mapping the direction
+    ``vs`` (nh lane-vector components, vs[bx] > 0 structurally) onto
+    ``-e_bx``: u = v/|v| + e_bx is never degenerate because v̂[bx] > 0."""
+    nh = len(vs)
+    nrm = jnp.sqrt(
+        functools.reduce(lambda a, b: a + b, [v * v for v in vs])
+    )
+    vh = [v / nrm for v in vs]
+    u = [vh[i] + (1.0 if i == bx else 0.0) for i in range(nh)]
+    coef = 2.0 / (2.0 * (1.0 + vh[bx]))
+    return [
+        [
+            (1.0 if i == l else 0.0) - coef * u[i] * u[l]
+            for l in range(nh)
+        ]
+        for i in range(nh)
+    ]
+
+
+def _rot_factor(Ch, vs, bx, nq):
+    """Factor a plain preconditioned covariance whose exact null direction
+    is ``vs`` (supported on indices 0..len(vs)-1): reflect that direction
+    onto axis ``bx``, structural-zero Cholesky there, reflect the factor
+    rows back. Returns a (non-triangular) square root L with L L^T = Ch —
+    the downstream sqrt-RTS only needs *a* square root, not a triangle."""
+    nh = len(vs)
+    Rb = _householder_block(vs, bx)
+    # rows 0..nh-1 of R @ Ch
+    RC = [
+        [
+            _sreduce([_smul(Rb[i][k], Ch[k][l]) for k in range(nh)])
+            for l in range(nq)
+        ]
+        for i in range(nh)
+    ] + [Ch[i] for i in range(nh, nq)]
+    # cols 0..nh-1 of (R @ Ch) @ R
+    CRR = [
+        [
+            _sreduce([_smul(RC[i][k], Rb[l][k]) for k in range(nh)])
+            if l < nh else RC[i][l]
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    Lr = _list_cholesky(CRR, nq, zero_row=bx)
+    # L = R @ Lr (rows 0..nh-1 mixed)
+    return [
+        [
+            _sreduce([_smul(Rb[i][k], Lr[k][l]) for k in range(nh)])
+            for l in range(nq)
+        ]
+        for i in range(nh)
+    ] + [Lr[i] for i in range(nh, nq)]
+
+
+def _ek1d_adaptive_stream_kernel(
+    m0_ref, p_ref, dt0_ref, ll_ref, nacc_ref, nrej_ref, fail_ref, it_ref,
+    st_ref, row, sem, *,
+    f: Callable, jac_diag: Callable, At: np.ndarray, Qt: np.ndarray,
+    S: int, dt_save: float, t0: float, d: int, nq: int, Wp: int,
+    abstol: float, reltol: float, max_iters: int, dtmin: float,
+    beta1: float, beta2: float, cheb=None, so: bool = False,
+):
+    """`_ek1d_adaptive_kernel` with a per-attempt HBM state stream. Row
+    layout (nq+1, Wp): rows i < nq hold [m[i] (d) | C_0[i] (nq) | ... |
+    C_{d-1}[i] (nq)]; row nq holds [accept, log dt_eff, s2, log dt_cur,
+    is_save, seg+1 | committed jac diagonal (d, or 2d second-order)]."""
+    q_half = nq - 1 + 0.5
+
+    def _is0f(x):
+        return isinstance(x, float) and x == 0.0
+
+    h0 = dt0_ref[0]
+    zero = jnp.zeros_like(h0)
+    one = zero + 1.0
+
+    m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
+    C = [[[zero for _ in range(nq)] for _ in range(nq)] for _ in range(d)]
+    p_block = p_ref[:]
+    u_prev = [m0_ref[0, j] for j in range(d)]
+    njd = 2 * d if so else d
+    jdc = [zero for _ in range(njd)]   # committed jac diagonal(s)
+
+    def pack_and_send(k_idx, m, C, jdc, extras):
+        slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+        @pl.when(k_idx >= 2)
+        def _():
+            pltpu.make_async_copy(
+                row.at[slot], st_ref.at[k_idx], sem.at[slot]
+            ).wait()
+
+        for i in range(nq):
+            for j in range(d):
+                row[slot, i, j] = m[i][j]
+            for j in range(d):
+                for l in range(nq):
+                    row[slot, i, d + j * nq + l] = C[j][i][l]
+        for c, v in enumerate(extras):
+            row[slot, nq, c] = v
+        for c, v in enumerate(jdc):
+            row[slot, nq, 6 + c] = v
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).start()
+
+    def cond(carry):
+        seg, iters = carry[0], carry[1]
+        return (seg < S) & (iters < max_iters)
+
+    def body(carry):
+        (seg, iters, t, dt, qold, ll, nacc, nrej, failed,
+         m, C, u_prev, jdc) = carry
+        dtype = zero.dtype
+        t_save = jnp.asarray(t0, dtype) + jnp.asarray(dt_save, dtype) * (
+            seg.astype(dtype) + 1.0
+        )
+        not_failed = failed < 0.5
+        active = (t < t_save) & not_failed
+        remaining = t_save - t
+        hit_save = dt >= remaining
+        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), one)
+
+        lh = jnp.log(dt_eff)
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        mh = [[m[i][j] * ps_[i] for j in range(d)] for i in range(nq)]
+        Chs = [
+            [[C[j][i][l] * (ps_[i] * ps_[l]) for l in range(nq)]
+             for i in range(nq)]
+            for j in range(d)
+        ]
+        pinv0 = jnp.exp(q_half * lh)
+        pinv1 = jnp.exp((q_half - 1.0) * lh)
+        if cheb is None:
+            Atl = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
+            Qtl = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
+        else:
+            Atl, _, Qtl = _cheb_transition_lists(cheb, lh, nq)
+
+        mp = [
+            [
+                _sreduce([_smul(Atl[i][l], mh[l][j]) for l in range(nq)])
+                for j in range(d)
+            ]
+            for i in range(nq)
+        ]
+        t_new = jnp.where(hit_save, t_save, t + dt_eff)
+        u_pred = jnp.stack([pinv0 * mp[0][j] for j in range(d)])
+        if so:
+            pinv2 = jnp.exp((q_half - 2.0) * lh)
+            du_pred = jnp.stack([pinv1 * mp[1][j] for j in range(d)])
+            ddu = f(du_pred, u_pred, p_block, t_new)
+            jd_u, jd_du = jac_diag(du_pred, u_pred, p_block, t_new)
+            z = [pinv2 * mp[2][j] - ddu[j] for j in range(d)]
+            hc = [[-jd_u[j] * pinv0, -jd_du[j] * pinv1, pinv2]
+                  for j in range(d)]
+            jd_flat = [jd_u[j] for j in range(d)] + [jd_du[j] for j in range(d)]
+            nh = 3
+        else:
+            du = f(u_pred, p_block, t_new)
+            jd = jac_diag(u_pred, p_block, t_new)
+            z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+            hc = [[-jd[j] * pinv0, pinv1] for j in range(d)]
+            jd_flat = [jd[j] for j in range(d)]
+            nh = 2
+
+        def h_quad(M, j):
+            c = hc[j]
+            return functools.reduce(
+                lambda a, b: a + b,
+                [c[i] * c[l] * M[i][l]
+                 for i in range(nh) for l in range(nh)],
+            )
+
+        hq = [h_quad(Qtl, j) for j in range(d)]
+        s2 = functools.reduce(
+            lambda a, b: a + b, [z[j] * z[j] / hq[j] for j in range(d)]
+        ) / d
+
+        m_new = [[None] * d for _ in range(nq)]
+        C_new = []
+        s_list, err_acc = [], zero
+        for j in range(d):
+            Ch = Chs[j]
+            tmp = [
+                [
+                    _sreduce([_smul(Atl[i][a], Ch[a][b]) for a in range(nq)])
+                    for b in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            Cp = [
+                [
+                    _sreduce([_smul(tmp[i][b], Atl[l][b]) for b in range(nq)])
+                    + Qtl[i][l] * s2
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            s = h_quad(Cp, j)
+            s_list.append(s)
+            inv_s = 1.0 / s
+            kg = [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [hc[j][l] * Cp[i][l] for l in range(nh)],
+                ) * inv_s
+                for i in range(nq)
+            ]
+            for i in range(nq):
+                m_new[i][j] = mp[i][j] - kg[i] * z[j]
+            C_new.append(
+                [[Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
+                 for i in range(nq)]
+            )
+
+        maha = functools.reduce(
+            lambda a, b: a + b, [z[j] * z[j] / s_list[j] for j in range(d)]
+        )
+        logdet = functools.reduce(
+            lambda a, b: a + b,
+            [jnp.log(jnp.maximum(s_list[j], 1e-30)) for j in range(d)],
+        )
+        ll_inc = -0.5 * (maha + logdet + d * _LOG_2PI)
+        u_filt = [pinv0 * m_new[0][j] for j in range(d)]
+
+        for j in range(d):
+            sc = abstol + reltol * jnp.maximum(
+                jnp.abs(u_prev[j]), jnp.abs(u_filt[j])
+            )
+            r = dt_eff * jnp.sqrt(jnp.maximum(s2 * hq[j], 0.0)) / sc
+            err_acc = err_acc + r * r
+        EEst = jnp.sqrt(err_acc / d)
+        EEst = jnp.where(jnp.isfinite(EEst), EEst, 1e10)
+        accept = active & (EEst <= 1.0)
+
+        eg = jnp.maximum(EEst, 1e-35)
+        leg = jnp.log(eg)
+        q11 = jnp.exp(beta1 * leg)
+        qq = q11 * jnp.exp(-beta2 * jnp.log(jnp.maximum(qold, 1e-35)))
+        qq = jnp.maximum(1.0 / _QMAX, jnp.minimum(1.0 / _QMIN, qq / _GAMMA))
+        dt_acc = dt_eff / qq
+        last_seg = seg >= S - 1
+        dt_acc = jnp.where(hit_save & ~last_seg, jnp.maximum(dt_acc, dt), dt_acc)
+        qold_acc = jnp.maximum(EEst, _QOLDINIT)
+        dt_rej = dt_eff / jnp.minimum(1.0 / _QMIN, q11 / _GAMMA)
+        dt_new = jnp.where(accept, dt_acc, dt_rej)
+        newly_failed = active & ~hit_save & (
+            (dt_new < dtmin) | (accept & (t_new <= t))
+        )
+        failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
+        not_failed = failed < 0.5
+
+        m_new = [[m_new[i][j] / ps_[i] for j in range(d)] for i in range(nq)]
+        C_new = [
+            [[C_new[j][i][l] / (ps_[i] * ps_[l]) for l in range(nq)]
+             for i in range(nq)]
+            for j in range(d)
+        ]
+        m = [
+            [jnp.where(accept, m_new[i][j], m[i][j]) for j in range(d)]
+            for i in range(nq)
+        ]
+        C = [
+            [[jnp.where(accept, C_new[j][i][l], C[j][i][l])
+              for l in range(nq)] for i in range(nq)]
+            for j in range(d)
+        ]
+        jdc = [jnp.where(accept, jd_flat[c], jdc[c]) for c in range(njd)]
+        t = jnp.where(accept, t_new, t)
+        dt = jnp.where(active & not_failed, dt_new, dt)
+        qold = jnp.where(accept, qold_acc, qold)
+        ll = jnp.where(accept, ll + ll_inc, ll)
+        u_prev = [jnp.where(accept, u_filt[j], u_prev[j]) for j in range(d)]
+        nacc = nacc + jnp.where(accept, one, zero)
+        nrej = nrej + jnp.where(active & ~accept, one, zero)
+        t = jnp.where(not_failed, t, zero + jnp.asarray(1e30, zero.dtype))
+
+        extras = [
+            jnp.where(accept, one, zero),
+            lh,
+            s2,
+            jnp.log(dt),
+            jnp.where(accept & hit_save, one, zero),
+            zero + (seg.astype(dtype) + 1.0),
+        ]
+        pack_and_send(iters, m, C, jdc, extras)
+
+        seg_done = jnp.min(jnp.where(t >= t_save, one, zero)) > 0.5
+        seg = jnp.where(seg_done, seg + 1, seg)
+        return (seg, iters + 1, t, dt, qold, ll, nacc, nrej, failed,
+                m, C, u_prev, jdc)
+
+    init = (
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        zero + jnp.asarray(t0, zero.dtype), h0,
+        zero + _QOLDINIT, zero, zero, zero,
+        jnp.zeros_like(h0), m, C, u_prev, jdc,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    K = out[1]
+    ll_ref[...] = out[5]
+    nacc_ref[...] = out[6]
+    nrej_ref[...] = out[7]
+    fail_ref[...] = jnp.where(
+        (out[8] > 0.5) | (out[0] < S),
+        jnp.ones_like(out[5]), jnp.zeros_like(out[5]),
+    )
+    it_ref[...] = zero + K.astype(zero.dtype)
+
+    @pl.when(K >= 1)
+    def _():
+        k1 = K - jnp.int32(1)
+        pltpu.make_async_copy(
+            row.at[jax.lax.rem(k1, jnp.int32(2))], st_ref.at[k1],
+            sem.at[jax.lax.rem(k1, jnp.int32(2))],
+        ).wait()
+
+    @pl.when(K >= 2)
+    def _():
+        k2 = K - jnp.int32(2)
+        pltpu.make_async_copy(
+            row.at[jax.lax.rem(k2, jnp.int32(2))], st_ref.at[k2],
+            sem.at[jax.lax.rem(k2, jnp.int32(2))],
+        ).wait()
+
+
+def _ek1d_adaptive_smoother_kernel(
+    m0_ref, it_ref, st_ref, us_ref, std_ref,
+    row, sem, *,
+    At: np.ndarray, QLt: np.ndarray, S: int, d: int, nq: int, Wp: int,
+    cheb=None, so: bool = False,
+):
+    """Backward square-root RTS pass over the DiagonalEK1 attempt stream:
+    d independent per-dimension recursions sharing the walk, the per-lane
+    pend (next-step log-dt / s2) bookkeeping and the masked save-grid
+    writes of `_ek0_adaptive_smoother_kernel`; per-dim filter factors via
+    the Householder + structural-zero Cholesky (`_rot_factor`)."""
+    q_half = nq - 1 + 0.5
+    nh = 3 if so else 2
+    bx = nh - 1
+
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
+        Cs = [
+            [[row[slot, i, d + j * nq + l] for l in range(nq)]
+             for i in range(nq)]
+            for j in range(d)
+        ]
+        ex = [row[slot, nq, c] for c in range(6)]
+        njd = 2 * d if so else d
+        jd = [row[slot, nq, 6 + c] for c in range(njd)]
+        return m, Cs, ex, jd
+
+    K = jnp.max(it_ref[0]).astype(jnp.int32)
+
+    zero = jnp.zeros_like(m0_ref[0, 0])
+    for j in range(d):
+        us_ref[jnp.int32(0), j] = m0_ref[0, j]
+        std_ref[jnp.int32(0), j] = zero
+
+    def null_dir(jd, j, pinv_):
+        """Backward-frame null direction of dim j's posterior: the
+        unpreconditioned null vector is exactly (-J_jj, 1) — first-order —
+        or (-Ju_jj, -Jdu_jj, 1) (the update-frame preconditioner powers
+        cancel), re-preconditioned here with the smoothing frame's pinv."""
+        if so:
+            return [-jd[j] * pinv_[0], -jd[d + j] * pinv_[1], pinv_[2]]
+        return [-jd[j] * pinv_[0], pinv_[1]]
+
+    def factor_dim(C_j, jd, j, lh):
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        pinv_ = [jnp.exp((q_half - i) * lh) for i in range(nq)]
+        Ch = [[C_j[i][l] * (ps_[i] * ps_[l]) for l in range(nq)]
+              for i in range(nq)]
+        return ps_, pinv_, _rot_factor(Ch, null_dir(jd, j, pinv_), bx, nq)
+
+    def as_lanes(M):
+        return [[(zero + x) if _is0(x) else x for x in r] for r in M]
+
+    def write_saves(ex, ms, Lss):
+        is_save, seg1f = ex[4], ex[5]
+
+        @pl.when(jnp.max(is_save) > 0.5)
+        def _():
+            seg1 = jnp.max(seg1f).astype(jnp.int32)
+            wm = is_save > 0.5
+            for j in range(d):
+                us_ref[seg1, j] = jnp.where(wm, ms[0][j], us_ref[seg1, j])
+                sv = jnp.sqrt(
+                    functools.reduce(lambda a, b: a + b,
+                                     [x * x for x in Lss[j][0]])
+                )
+                std_ref[seg1, j] = jnp.where(wm, sv, std_ref[seg1, j])
+
+    kK = K - jnp.int32(1)
+    start_load(kK)
+    m_T, Cs_T, ex_T, jd_T = wait_and_read(kK)
+
+    @pl.when(K >= 2)
+    def _():
+        start_load(kK - jnp.int32(1))
+
+    lh0 = ex_T[3]
+    Lss0 = []
+    for j in range(d):
+        _, pinv0_, Lh0 = factor_dim(Cs_T[j], jd_T, j, lh0)
+        Lss0.append(as_lanes([
+            [_smul(pinv0_[i], Lh0[i][l]) for l in range(nq)]
+            for i in range(nq)
+        ]))
+    ms0 = m_T
+    pend_lh = ex_T[1]
+    pend_s2 = ex_T[2]
+    first = (zero + 1.0) - ex_T[0]
+    write_saves(ex_T, ms0, Lss0)
+
+    if cheb is None:
+        At_st = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
+        QL_st = [[float(QLt[i, l]) for l in range(nq)] for i in range(nq)]
+
+    def body(step, carry):
+        ms, Lss, pend_lh, pend_s2, first = carry
+        k = K - jnp.int32(2) - step
+        m_f, Cs_f, ex, jd = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.int32(1))
+
+        lh = pend_lh
+        if cheb is None:
+            Atl, QLl = At_st, QL_st
+        else:
+            Atl, QLl, _ = _cheb_transition_lists(cheb, lh, nq)
+        sq_s2 = jnp.sqrt(pend_s2)
+        do = (ex[0] * ((zero + 1.0) - first)) > 0.5
+
+        ms_cols = [[None] * d for _ in range(nq)]
+        Lss_new = []
+        ps_ = pinv_ = None
+        for j in range(d):
+            ps_, pinv_, Lh_f = factor_dim(Cs_f[j], jd, j, lh)
+            mh_f = [m_f[i][j] * ps_[i] for i in range(nq)]
+            msh = [ms[i][j] * ps_[i] for i in range(nq)]
+            Lsh = [[_smul(ps_[i], Lss[j][i][l]) for l in range(nq)]
+                   for i in range(nq)]
+
+            AtL = [
+                [
+                    _sreduce([_smul(Atl[i][a], Lh_f[a][b])
+                              for a in range(nq)])
+                    for b in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            qT = [
+                [_smul(sq_s2, QLl[i][a]) for i in range(nq)]
+                for a in range(nq)
+            ]
+            Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
+            M = [
+                [
+                    _sreduce([_smul(Lh_f[i][b], AtL[l][b])
+                              for b in range(nq)])
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            G = [_list_cho_solve(Lp, [(zero + x) if _is0(x) else x
+                                      for x in M[i]], nq)
+                 for i in range(nq)]
+            mp = [
+                _sreduce([_smul(Atl[i][l], mh_f[l]) for l in range(nq)])
+                for i in range(nq)
+            ]
+            dm = [msh[i] - mp[i] for i in range(nq)]
+            ms_new = [
+                mh_f[i]
+                + _sreduce([_smul(G[i][l], dm[l]) for l in range(nq)])
+                for i in range(nq)
+            ]
+            GA = [
+                [
+                    _sreduce([_smul(G[i][a], Atl[a][l]) for a in range(nq)])
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            IGA = [
+                [(1.0 - GA[i][l]) if i == l else
+                 (0.0 - GA[i][l] if not _is0(GA[i][l]) else 0.0)
+                 for l in range(nq)]
+                for i in range(nq)
+            ]
+            b1 = [
+                [
+                    _sreduce([_smul(IGA[i][a], Lh_f[a][l])
+                              for a in range(nq)])
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            GQ = [
+                [
+                    _smul(sq_s2,
+                          _sreduce([_smul(G[i][a], QLl[a][l])
+                                    for a in range(nq)]))
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            b3 = [
+                [
+                    _sreduce([_smul(G[i][a], Lsh[a][l]) for a in range(nq)])
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            Ls_new = _list_mgs_tril(
+                _t_rows(b1, nq) + _t_rows(GQ, nq) + _t_rows(b3, nq),
+                3 * nq, nq
+            )
+            for i in range(nq):
+                ms_cols[i][j] = jnp.where(
+                    do, pinv_[i] * ms_new[i], ms[i][j]
+                )
+            Lss_new.append([
+                [jnp.where(do, pinv_[i] * Ls_new[i][l], Lss[j][i][l])
+                 for l in range(nq)]
+                for i in range(nq)
+            ])
+
+        took = ex[0] > 0.5
+        pend_lh = jnp.where(took, ex[1], pend_lh)
+        pend_s2 = jnp.where(took, ex[2], pend_s2)
+        first = jnp.where(took, zero, first)
+        write_saves(ex, ms_cols, Lss_new)
+        return ms_cols, Lss_new, pend_lh, pend_s2, first
+
+    jax.lax.fori_loop(
+        jnp.int32(0), K - jnp.int32(1), body,
+        (ms0, Lss0, pend_lh, pend_s2, first),
+    )
+
+
+@_no_x64
+def ek1d_adaptive_fused_smooth(
+    f: Callable,
+    jac_diag: Optional[Callable],
+    m0: jax.Array,      # (q+1, d, B)
+    ps: jax.Array,      # (n_params, B)
+    dt0s: jax.Array,    # (B,)
+    t0: float,
+    t1: float,
+    n_save: int,
+    q: int,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 1024,
+    dtmin: Optional[float] = None,
+    prior=None,
+    mesh=None,
+    second_order: bool = False,
+):
+    """Adaptive per-lane DiagonalEK1(dynamic) filter + square-root RTS
+    smoother, fully fused: the stiff-capable counterpart of
+    :func:`ek0_adaptive_fused_smooth` (per-dim linearized filters, exact
+    `ops/kron.py _kron_attempt_step_diag` semantics). Returns
+    ``(us, stds, lls, nacc, nrej, failed)`` with PER-DIMENSION smoothed
+    stds (S+1, d, B). ``max_iters`` sizes the HBM attempt stream
+    (d+1 times the EK0 pair's row width at equal d)."""
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
+    if jac_diag is None:
+        jac_diag = (
+            _auto_jac_diag_2nd(f) if second_order else _auto_jac_diag(f)
+        )
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_, dt0_: ek1d_adaptive_fused_smooth(
+                f, jac_diag, m0_, ps_, dt0_, t0, t1, n_save, q,
+                abstol=abstol, reltol=reltol, max_iters=max_iters,
+                dtmin=dtmin, prior=prior, second_order=second_order,
+            ),
+            (m0, ps, dt0s), in_axes=(2, 1, 0),
+            out_axes=(2, 2, 0, 0, 0, 0),
+        )
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    S = int(n_save)
+    dt_save = (float(t1) - float(t0)) / S
+    if dtmin is None:
+        span = float(t1) - float(t0)
+        eps = float(jnp.finfo(m0.dtype).eps)
+        dtmin = max(1e-14 * span, 4.0 * eps * span)
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    Qt_np = QLt_np @ QLt_np.T
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    cheb = None
+    if prior is not None:
+        from odefilters.priors import (
+            IWP, chebyshev_transition_fit, normalize_prior,
+        )
+
+        if not isinstance(normalize_prior(prior), IWP):
+            cheb = chebyshev_transition_fit(
+                prior, q, float(dtmin), float(t1) - float(t0)
+            )
+
+    m0_b = m0.reshape(nq, d, nb, _SUB, _LANE).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    dt0_b = dt0s.reshape(nb, 1, _SUB, _LANE)
+
+    njd = 2 * d if second_order else d
+    Wp = max(d + d * nq, 6 + njd)
+    fkernel = functools.partial(
+        _ek1d_adaptive_stream_kernel,
+        f=f, jac_diag=jac_diag,
+        At=At_np.astype(fdtype), Qt=Qt_np.astype(fdtype),
+        S=S, dt_save=dt_save, t0=float(t0), d=d, nq=nq, Wp=Wp,
+        abstol=float(abstol), reltol=float(reltol),
+        max_iters=int(max_iters), dtmin=float(dtmin),
+        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
+        so=bool(second_order),
+    )
+    scratch = [
+        pltpu.VMEM((2, nq + 1, Wp, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def fentry(m0_blk, p_blk, dt0_blk, ll_blk, na_blk, nr_blk, fl_blk,
+               it_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        fkernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            dt0_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)], na_blk.at[jnp.int32(0)],
+            nr_blk.at[jnp.int32(0)], fl_blk.at[jnp.int32(0)],
+            it_blk.at[jnp.int32(0)], st_hbm.at[b], row, sem,
+        )
+
+    lane = lambda: pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    lane_shape = jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype)
+    lls, nacc, nrej, fail, iters, st = pl.pallas_call(
+        fentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[lane(), lane(), lane(), lane(), lane(),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[
+            lane_shape, lane_shape, lane_shape, lane_shape, lane_shape,
+            jax.ShapeDtypeStruct(
+                (nb, int(max_iters), nq + 1, Wp, _SUB, _LANE), dtype
+            ),
+        ],
+        scratch_shapes=scratch,
+    )(m0_b, ps_b, dt0_b)
+
+    skernel = functools.partial(
+        _ek1d_adaptive_smoother_kernel,
+        At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+        S=S, d=d, nq=nq, Wp=Wp, cheb=cheb, so=bool(second_order),
+    )
+
+    def sentry(m0_blk, it_blk, st_hbm, us_blk, std_blk, row, sem):
+        b = pl.program_id(0)
+        skernel(
+            m0_blk.at[jnp.int32(0)], it_blk.at[jnp.int32(0)], st_hbm.at[b],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)], row, sem,
+        )
+
+    us_s, std_s = pl.pallas_call(
+        sentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_b, iters, st)
+
+    us = us_s.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    stds = std_s.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    return (us, stds, lls.reshape(B), nacc.reshape(B), nrej.reshape(B),
+            fail.reshape(B))
+
+
+def solve_ensemble_ek1d_adaptive_smooth_pallas(
+    prob_f: Callable,
+    jac_diag: Optional[Callable],
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_save: int,
+    q: int = 3,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 1024,
+    prior=None,
+    mesh=None,
+    second_order: bool = False,
+):
+    """Taylor-init + fused adaptive DiagonalEK1 filter + RTS smoother
+    ensemble (the stiff-capable adaptive+smooth fused path). Same
+    argument conventions as :func:`solve_ensemble_ek1d_adaptive_pallas`;
+    returns SMOOTHED ``(us, stds, lls, nacc, nrej, failed)`` with
+    per-dimension stds."""
+    from odefilters.problem import ode_problem, ode_problem_2nd
+    from odefilters.solve import initial_dt
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
+
+    t0, t1 = tspan
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
+
+    def init_one(u0_full, p):
+        if second_order:
+            m = jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+            pr = ode_problem_2nd(prob_f, u0_full[:d], u0_full[d:], tspan, p=p)
+        else:
+            m = jnp.stack(taylor_coefficients(prob_f, u0_full, p, t0, q))
+            pr = ode_problem(prob_f, u0_full, tspan, p=p)
+        return m, initial_dt(pr, q, abstol, reltol)
+
+    m0, dt0s = jax.vmap(init_one)(u0s, ps)
+    m0 = m0.transpose(1, 2, 0)
+    return ek1d_adaptive_fused_smooth(
+        prob_f, jac_diag, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
+        abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
+        mesh=mesh, second_order=second_order,
+    )

@@ -796,6 +796,104 @@ def test_pallas_ek0_adaptive_smooth_second_order_interpret():
     np.testing.assert_allclose(np.asarray(stds[1:, idx]), xstd[1:, 0], rtol=1e-6)
 
 
+def test_pallas_ek1d_adaptive_smooth_matches_driver_interpret():
+    """DiagonalEK1 on the fused adaptive filter + attempt-stream RTS
+    smoother pair. The collapsed direction here is the per-dim measurement
+    vector (not an axis): the forward streams the committed Jacobian
+    diagonal and the backward Householder-reflects the closed-form null
+    direction (-J_jj, 1) onto the measured axis before the structural-zero
+    Cholesky. First-order vs the XLA DiagonalEK1 driver with smooth=True,
+    per-dimension stds; second-order (null direction
+    (-Ju_jj, -Jdu_jj, 1)); front-door routing."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ensemble import solve_ensemble_pallas
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.problem import ode_problem_2nd
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, S = pk.BLOCK, 8
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, lls, nacc, nrej, fail = (
+            pk.solve_ensemble_ek1d_adaptive_smooth_pallas(
+                prob.f, None, u0s, ps, prob.tspan, S,
+                q=3, abstol=1e-8, reltol=1e-6, max_iters=256,
+            )
+        )
+    assert int(jnp.sum(fail)) == 0
+
+    grid = np.linspace(0.0, 2.0, S + 1)
+    idx = 300
+    pr = odf.remake(prob, u0=u0s[idx], p=ps[idx])
+    sol = odf.solve(
+        pr, odf.DiagonalEK1(order=3, smooth=True),
+        abstol=1e-8, reltol=1e-6, tstops=jnp.asarray(grid[1:-1]),
+    )
+    assert int(nacc[idx]) == int(sol.n_steps)
+    g = sol(jnp.asarray(grid))
+    np.testing.assert_allclose(
+        np.asarray(us[:, :, idx]), np.asarray(g.mean), rtol=1e-9, atol=1e-11
+    )
+    xstd = np.sqrt(
+        np.einsum("sij,sij->si", np.asarray(g.chol), np.asarray(g.chol))
+    )
+    np.testing.assert_allclose(
+        np.asarray(stds[1:, :, idx]), xstd[1:], rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(lls[idx]), float(sol.log_likelihood), rtol=1e-3
+    )
+
+    # front door: DiagonalEK1 + smooth + adaptive routes to the pair
+    with pltpu.force_tpu_interpret_mode():
+        eks = solve_ensemble_pallas(
+            prob, odf.DiagonalEK1(order=3, smooth=True), u0s, ps, n_save=S,
+            abstol=1e-8, reltol=1e-6, max_iters=256,
+        )
+    np.testing.assert_array_equal(np.asarray(eks.us), np.asarray(us))
+
+    # second-order
+    prob2 = odf.models.pendulum_2nd(tspan=(0.0, 1.0))
+    d = prob2.d
+    u0s2 = (prob2.u0 + 0.05 * jax.random.normal(key, (B, 2 * d))).astype(
+        jnp.float64
+    )
+    ps2 = jnp.broadcast_to(jnp.atleast_1d(prob2.p), (B, 1)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        us2, stds2, _, nacc2, _, fail2 = (
+            pk.solve_ensemble_ek1d_adaptive_smooth_pallas(
+                prob2.f, None, u0s2, ps2, prob2.tspan, 4,
+                q=3, abstol=1e-6, reltol=1e-4, max_iters=256,
+                second_order=True,
+            )
+        )
+    assert int(jnp.sum(fail2)) == 0
+    grid2 = np.linspace(0.0, 1.0, 5)
+    pr2 = ode_problem_2nd(
+        prob2.f, u0s2[idx][:d], u0s2[idx][d:], prob2.tspan, p=ps2[idx][0]
+    )
+    sol2 = odf.solve(
+        pr2, odf.DiagonalEK1(order=3, smooth=True),
+        abstol=1e-6, reltol=1e-4, tstops=jnp.asarray(grid2[1:-1]),
+    )
+    assert int(nacc2[idx]) == int(sol2.n_steps)
+    g2 = sol2(jnp.asarray(grid2))
+    np.testing.assert_allclose(
+        np.asarray(us2[:, :, idx]), np.asarray(g2.mean)[:, :d],
+        rtol=1e-9, atol=1e-12,
+    )
+    xstd2 = np.sqrt(
+        np.einsum("sij,sij->si", np.asarray(g2.chol), np.asarray(g2.chol))
+    )
+    np.testing.assert_allclose(
+        np.asarray(stds2[1:, :, idx]), xstd2[1:, :d], rtol=1e-4
+    )
+
+
 def test_pallas_kron_grid_matches_kronsolve_interpret():
     """The large-d Kron-grid kernel (Brusselator stencil traced into the
     kernel, jnp.roll on grid values) reproduces the XLA Kronecker path."""
@@ -1080,8 +1178,11 @@ def test_solve_ensemble_pallas_dispatch_interpret():
         odf.solve_ensemble_pallas(
             prob, odf.EK0(order=3, diffusionmodel="fixed"), u0s, ps
         )
-    with pytest.raises(NotImplementedError, match="filter-only"):
-        odf.solve_ensemble_pallas(prob, odf.EK0(order=3, smooth=True), u0s, ps)
+    # adaptive + smooth: EK0/DiagonalEK1 route to the fused attempt-stream
+    # pairs (tested in test_pallas_ek0/ek1d_adaptive_smooth_*); dense EK1
+    # has no fused smoother — raises with guidance
+    with pytest.raises(NotImplementedError, match="attempt-stream"):
+        odf.solve_ensemble_pallas(prob, odf.EK1(order=3, smooth=True), u0s, ps)
     with pytest.raises(NotImplementedError, match="Kronecker"):
         odf.solve_ensemble_pallas(
             prob, odf.DiagonalEK1(order=3, smooth=True), u0s, ps,
