@@ -560,6 +560,40 @@ def tpu_main(quick=False):
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
+    # adaptive filter + RTS smoother fused pair (the reference's DEFAULT
+    # solve config): forward streams one row per attempt to HBM, the
+    # backward kernel smooths each lane's ragged accepted-step chain.
+    # max_iters sizes the attempt stream (shared block counter: barrier
+    # waits at save points inflate it past per-member attempt counts).
+    run_adsm = jax.jit(
+        lambda u, p: pk.solve_ensemble_ek0_adaptive_smooth_pallas(
+            prob.f, u, p, prob.tspan, 20, q=3,
+            abstol=1e-6, reltol=1e-4, max_iters=4096,
+        )
+    )
+    t = _time(lambda u, p: run_adsm(u, p)[0], u0s, ps, iters=5)
+    _, _, _, nacc_sm, _, fail_sm = run_adsm(u0s, ps)
+    results["ensemble_8192_pallas_adaptive_smooth"] = {
+        "B": B, "save_points": 20, "runtime_s": t,
+        "solves_per_sec": B / t,
+        "mean_accepted_steps": float(nacc_sm.mean()),
+        "failed_members": int(fail_sm.sum()),
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
+    run_adsm1d = jax.jit(
+        lambda u, p: pk.solve_ensemble_ek1d_adaptive_smooth_pallas(
+            prob.f, None, u, p, prob.tspan, 20, q=3,
+            abstol=1e-6, reltol=1e-4, max_iters=4096,
+        )[0]
+    )
+    t = _time(run_adsm1d, u0s, ps, iters=5)
+    results["ensemble_8192_pallas_adaptive_smooth_ek1d"] = {
+        "B": B, "save_points": 20, "runtime_s": t,
+        "solves_per_sec": B / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
     # gradient of the per-member log-likelihood through the fused filter
     # (custom VJP; backward pass is a second Pallas kernel)
     def loss(m0_, ps_):
