@@ -271,6 +271,11 @@ def filter_with_data(
     # operator is the position block [I 0 ... 0] (observe u; pass a custom
     # (d_obs, 2d)-acting C via obs_matrix columns over [u | du] is NOT
     # supported — C acts on the first d state columns only).
+    if getattr(prob, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "mass-matrix problems are supported on the dense solver paths "
+            "(odefilters.solve / solve_fixed) only"
+        )
     if alg.is_static_diffusion:
         from odefilters.priors import IWP
 

@@ -122,6 +122,11 @@ def solve_ensemble_pallas(
     sequence divergence for EK1 (MGS vs the driver's QR — documented in
     docs/kernels.md).
     """
+    if getattr(prob, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "mass-matrix problems are supported on the dense solver paths "
+            "(odefilters.solve / solve_fixed) only"
+        )
     from odefilters.ops import pallas_kernels as pk
 
     if alg.diffusionmodel != "dynamic":

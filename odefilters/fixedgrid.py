@@ -73,7 +73,7 @@ def filter_fixed_grid(
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_model(alg, prob.f, prob.jac, d, dtype,
                        second_order=prob.second_order,
-                       jac_diag=prob.jac_diag)
+                       jac_diag=prob.jac_diag, mass=prob.mass_matrix)
     if prior_scale is not None:
         if not model.is_iwp:
             # the scale is baked into the constant IWP factor only;
@@ -94,9 +94,14 @@ def filter_fixed_grid(
             prob.f, u0_full[:d], u0_full[d:], prob.p, prob.tspan[0], alg.order
         )
     else:
+        from odefilters.problem import init_rhs
+
+        tm = taylor_method
+        if prob.mass_matrix is not None and tm == "auto":
+            tm = "jvp"  # jet has no rules for the QR solve in the DAE RHS
         x0 = initial_state(
-            prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
-            method=taylor_method,
+            init_rhs(prob), prob.u0.astype(dtype), prob.p, prob.tspan[0],
+            alg.order, method=tm,
         )
     sigma2_0 = diff.initial_diffusion(alg.diffusionmodel, d, dtype)
 

@@ -41,7 +41,7 @@ def _advance_one_accept(prob, alg, carry, abstol, reltol, max_steps, maxiters, d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_model(alg, prob.f, prob.jac, prob.d, dtype,
                        second_order=prob.second_order,
-                       jac_diag=prob.jac_diag)
+                       jac_diag=prob.jac_diag, mass=prob.mass_matrix)
     cond, body = _make_loop_fns(
         model, prob, abstol, reltol, max_steps, maxiters, dtmin
     )
@@ -66,7 +66,7 @@ class Integrator:
         self._model = make_model(
             alg, prob.f, prob.jac, prob.d, dtype,
             second_order=prob.second_order,
-            jac_diag=prob.jac_diag,
+            jac_diag=prob.jac_diag, mass=prob.mass_matrix,
         )
         if prob.second_order:
             from odefilters.taylor import initial_state_2nd
@@ -77,8 +77,12 @@ class Integrator:
                 prob.tspan[0], alg.order,
             )
         else:
+            from odefilters.problem import init_rhs
+
             x0 = initial_state(
-                prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order
+                init_rhs(prob), prob.u0.astype(dtype), prob.p,
+                prob.tspan[0], alg.order,
+                method="jvp" if prob.mass_matrix is not None else "auto",
             )
         self._carry = _init_carry(self._model, prob, x0, dt0, int(max_steps))
 

@@ -365,6 +365,11 @@ def solve_fixed_kron(
     taylor_method: str = "auto",
 ) -> KronProbODESolution:
     """Fixed-grid EK0 solve on the Kronecker fast path."""
+    if getattr(prob, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "mass-matrix problems are supported on the dense solver paths "
+            "(odefilters.solve / solve_fixed) only"
+        )
     t0, t1 = prob.tspan
     if ts is None:
         if dt is None:
@@ -386,6 +391,11 @@ def solve_fixed_kron(
 def _solve_adaptive_kron_jit(
     prob, alg, abstol, reltol, dt0, max_steps, maxiters, dtmin, taylor_method
 ):
+    if getattr(prob, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "mass-matrix problems are supported on the dense solver paths "
+            "(odefilters.solve / solve_fixed) only"
+        )
     from odefilters.linalg import highest_precision
 
     with highest_precision():
@@ -562,6 +572,11 @@ def solve_adaptive_kron(
     carries per-dimension (d, q+1, q+1) factors — O(N d q^2) buffers, so
     prefer scalar models at extreme PDE scale).
     """
+    if getattr(prob, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "mass-matrix problems are supported on the dense solver paths "
+            "(odefilters.solve / solve_fixed) only"
+        )
     if alg.is_ek1 and not alg.is_diagonal_ek1:
         raise ValueError(
             "the Kronecker fast path requires EK0 or DiagonalEK1 structure"

@@ -458,6 +458,11 @@ def solve_fixed_parallel(
     and wherever global-program compile time is the binding cost. Requires
     ``sqrt_form=True`` and no ``time_shard_axis``.
     """
+    if getattr(prob, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "mass-matrix problems are supported on the dense solver paths "
+            "(odefilters.solve / solve_fixed) only"
+        )
     t0, t1 = prob.tspan
     if ts is None:
         if dt is None:

@@ -54,6 +54,12 @@ class ODEProblem:
     second_order: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
+    # Mass matrix M of ``M u' = f(u, p, t)`` — dense (d, d) or a (d,)
+    # diagonal; None means M = I. A SINGULAR M states an index-1 DAE
+    # (use EK1: the EK0 measurement covariance is singular then). The
+    # later-upstream ProbNumDiffEq feature (not in v0.1.5): the filter
+    # measures ``z = M E1 x - f(E0 x)`` with ``H = (M E1 - J E0) P^-1``.
+    mass_matrix: Optional[jax.Array] = None
 
     # NOTE: no validation in __post_init__ — JAX reconstructs this pytree
     # with transformed (e.g. batched) leaves during vmap/jit, where shape
@@ -77,20 +83,81 @@ def remake(prob: ODEProblem, **changes) -> ODEProblem:
 
 
 def ode_problem(f, u0, tspan, p=None, jac=None, jac_diag=None,
-                analytic=None) -> ODEProblem:
+                analytic=None, mass_matrix=None) -> ODEProblem:
     """Convenience constructor with array coercion.
 
     ``jac_diag(u, p, t) -> (d,)``: optional exact Jacobian *diagonal* used
     by :class:`odefilters.algorithms.DiagonalEK1` — O(d) for pointwise
-    reaction terms, where materializing ``jac`` would be O(d^2)."""
+    reaction terms, where materializing ``jac`` would be O(d^2).
+
+    ``mass_matrix``: M of ``M u' = f(u, p, t)`` — dense (d, d) or a (d,)
+    diagonal. A singular M defines an index-1 DAE (ROBER-style); solve it
+    with :class:`~odefilters.algorithms.EK1` (EK0's measurement covariance
+    ``E1 Σ E1ᵀ`` projected through a singular M is singular). Supported on
+    the dense adaptive and fixed-grid paths."""
     u0 = jnp.asarray(u0)
     if u0.ndim != 1:
         raise ValueError(
             "Problems which are not vector-valued (e.g. u0 is a scalar "
             "or a matrix) are currently not supported"
         )
+    if mass_matrix is not None:
+        mass_matrix = jnp.asarray(mass_matrix)
+        d = u0.shape[0]
+        if mass_matrix.shape not in ((d, d), (d,)):
+            raise ValueError(
+                f"mass_matrix must be ({d}, {d}) or a ({d},) diagonal, "
+                f"got {mass_matrix.shape}"
+            )
     return ODEProblem(f=f, u0=u0, tspan=tuple(tspan), p=p, jac=jac,
-                      jac_diag=jac_diag, analytic=analytic)
+                      jac_diag=jac_diag, analytic=analytic,
+                      mass_matrix=mass_matrix)
+
+
+def mass_state_space_f(f, mass_matrix, jac=None):
+    """State-space RHS ``u' = h(u, p, t)`` of the index-1 DAE
+    ``M u' = f(u, p, t)``.
+
+    On the constraint manifold the DAE's solutions satisfy the ODE
+    ``(M + P_n J) u' = P_r f - P_n f_t`` where ``P_r = M M^+`` projects
+    onto range(M), ``P_n = I - P_r`` (the algebraic rows ``P_n f(u) = 0``
+    are differentiated once — the index-1 reduction), ``J = df/du`` and
+    ``f_t = df/dt``. For nonsingular M this reduces to ``M^{-1} f``.
+
+    Used ONLY off the hot path — Taylor-mode initialization and the
+    initial-dt heuristic need a genuine ``u'`` (the filter itself measures
+    the residual ``M E1 x - f`` and never inverts M). The linear solve is
+    QR-based (no LU: unsupported in f64 on the TPU backend, CLAUDE.md).
+    Reference analogue: upstream ProbNumDiffEq's DAE initialization; the
+    pinned v0.1.5 has none.
+    """
+    M = jnp.asarray(mass_matrix)
+    if M.ndim == 1:
+        M = jnp.diag(M)
+    Mpinv = jnp.linalg.pinv(M)
+    P_ran = M @ Mpinv
+    P_null = jnp.eye(M.shape[0], dtype=M.dtype) - P_ran
+
+    def h(u, p, t):
+        fu = f(u, p, t)
+        t_arr = jnp.asarray(t, dtype=u.dtype)
+        f_t = jax.jvp(lambda s: f(u, p, s), (t_arr,), (jnp.ones_like(t_arr),))[1]
+        J = (jac(u, p, t) if jac is not None
+             else jax.jacfwd(lambda v: f(v, p, t))(u))
+        S = M.astype(u.dtype) + P_null.astype(u.dtype) @ J
+        b = P_ran.astype(u.dtype) @ fu - P_null.astype(u.dtype) @ f_t
+        Q, R = jnp.linalg.qr(S)
+        return jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+
+    return h
+
+
+def init_rhs(prob: ODEProblem):
+    """The RHS to use for state initialization / dt heuristics: ``f``
+    itself, or the mass-matrix state-space form when ``M != I``."""
+    if prob.mass_matrix is None:
+        return prob.f
+    return mass_state_space_f(prob.f, prob.mass_matrix, jac=prob.jac)
 
 
 def ode_problem_2nd(f, u0, du0, tspan, p=None, jac_u=None, jac_du=None) -> ODEProblem:

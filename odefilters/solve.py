@@ -51,7 +51,11 @@ QOLDINIT = 1e-4
 
 def initial_dt(prob: ODEProblem, order: int, abstol, reltol):
     u0, p = prob.u0, prob.p
-    if prob.second_order:
+    if prob.mass_matrix is not None:
+        from odefilters.problem import init_rhs
+
+        f = init_rhs(prob)  # state-space u' for the Hairer heuristic
+    elif prob.second_order:
         # first-order companion system y = [u; du] for the dt heuristic
         dd = prob.d
         f2 = prob.f
@@ -555,7 +559,7 @@ def _solve_adaptive_impl_inner(
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_model(alg, prob.f, prob.jac, d, dtype,
                        second_order=prob.second_order,
-                       jac_diag=prob.jac_diag)
+                       jac_diag=prob.jac_diag, mass=prob.mass_matrix)
     if prob.second_order:
         from odefilters.taylor import initial_state_2nd
 
@@ -564,9 +568,14 @@ def _solve_adaptive_impl_inner(
             prob.f, u0_full[:d], u0_full[d:], prob.p, prob.tspan[0], alg.order
         )
     else:
+        from odefilters.problem import init_rhs
+
+        tm = taylor_method
+        if prob.mass_matrix is not None and tm == "auto":
+            tm = "jvp"  # jet has no rules for the QR solve in the DAE RHS
         x0 = initial_state(
-            prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], alg.order,
-            method=taylor_method,
+            init_rhs(prob), prob.u0.astype(dtype), prob.p, prob.tspan[0],
+            alg.order, method=tm,
         )
     carry, retcode = _adaptive_loop(
         model, prob, x0, dt0, abstol, reltol, max_steps, maxiters, dtmin,
@@ -620,6 +629,20 @@ def solve(
     reverse-mode).
     """
     t0, t1 = prob.tspan
+    if (
+        prob.mass_matrix is not None
+        and not alg.is_ek1
+        and not isinstance(prob.mass_matrix, jax.core.Tracer)
+    ):
+        import numpy as np
+
+        Mc = np.asarray(prob.mass_matrix)
+        Md = np.diag(Mc) if Mc.ndim == 1 else Mc
+        if np.linalg.matrix_rank(Md) < Md.shape[0]:
+            raise ValueError(
+                "singular mass matrices (DAEs) require EK1: the EK0 "
+                "measurement covariance M E1 Σ E1ᵀ Mᵀ is singular"
+            )
     if not adaptive:
         if dt is None:
             # Mirrors the reference's fixed-step-without-dt rejection

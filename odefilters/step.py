@@ -59,6 +59,9 @@ class FilterModel:
     # (u, p, t) -> (d,) exact Jacobian diagonal (DiagonalEK1 only); when
     # None the diagonal is taken from ``jac`` / the jacfwd Jacobian
     jac_diag: Optional[Callable] = None
+    # mass matrix of ``M u' = f`` — (d, d) dense or (d,) diagonal; None = I.
+    # Enters the measurement only: z = M E1 x - f, H = (M E1 - J E0) P^-1.
+    mass: Optional[jax.Array] = None
 
     @property
     def D(self) -> int:
@@ -108,9 +111,14 @@ class FilterModel:
 
 
 def make_model(alg: AbstractEK, f, jac, d: int, dtype,
-               second_order: bool = False, jac_diag=None) -> FilterModel:
+               second_order: bool = False, jac_diag=None,
+               mass=None) -> FilterModel:
     if second_order and alg.order < 2:
         raise ValueError("second-order problems need solver order >= 2")
+    if second_order and mass is not None:
+        raise NotImplementedError(
+            "mass matrices are supported for first-order problems only"
+        )
     prior = alg.prior
     if second_order and isinstance(prior, IOUP) and prior.rate_is_jacobian:
         raise NotImplementedError(
@@ -121,7 +129,7 @@ def make_model(alg: AbstractEK, f, jac, d: int, dtype,
     A, QL = ibm(d, alg.order, dtype=dtype)
     return FilterModel(alg=alg, d=d, q=alg.order, f=f, jac=jac, A=A, QL=QL,
                        dtype=dtype, second_order=second_order,
-                       jac_diag=jac_diag)
+                       jac_diag=jac_diag, mass=mass)
 
 
 def prior_rate_fn(model: FilterModel, p_params):
@@ -155,6 +163,16 @@ def _jmul(J, X):
     if J.ndim == 1:
         return J[:, None] * X
     return J @ X
+
+
+def _mmul(mass, X):
+    """``M @ X`` for the mass matrix: None = identity, (d,) = diagonal
+    row scaling, (d, d) = dense."""
+    if mass is None:
+        return X
+    if mass.ndim == 1:
+        return mass * X if X.ndim == 1 else mass[:, None] * X
+    return mass @ X
 
 
 def _h_mul(M, J, pinv0, pinv1, d: int, is_ek1: bool):
@@ -259,7 +277,9 @@ def attempt_step(
 
     else:
         du = model.f(u_pred, p_params, t_new)
-        z = pinv_s[1] * m_pred[d : 2 * d] - du
+        # z = M E1 x - f (M = I without a mass matrix; a singular M states
+        # an index-1 DAE whose algebraic rows are enforced by the update)
+        z = _mmul(model.mass, pinv_s[1] * m_pred[d : 2 * d]) - du
 
         J = None
         if alg.is_ek1:
@@ -273,8 +293,19 @@ def attempt_step(
             if alg.is_diagonal_ek1 and J.ndim == 2:
                 J = jnp.diagonal(J)  # J -> diag(J), the ICML-2022 trick
 
-        def Hmul(M):
-            return _h_mul(M, J, pinv_s[0], pinv_s[1], d, alg.is_ek1)
+        if model.mass is None:
+
+            def Hmul(M):
+                return _h_mul(M, J, pinv_s[0], pinv_s[1], d, alg.is_ek1)
+
+        else:
+
+            def Hmul(M):
+                # H = (mass E1 - J E0) P^-1
+                out = _mmul(model.mass, pinv_s[1] * M[..., d : 2 * d, :])
+                if alg.is_ek1:
+                    out = out - _jmul(J, pinv_s[0] * M[..., :d, :])
+                return out
 
     HQL = Hmul(QL)  # (d, D): factor of H Q H^T (used by calibration + errors)
 
