@@ -279,6 +279,37 @@ def rober(
     return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac)
 
 
+def rober_dae(
+    u0=(1.0, 0.0, 0.0), p=(0.04, 3e7, 1e4), tspan=(0.0, 100.0)
+) -> ODEProblem:
+    """Robertson kinetics as the classic index-1 DAE: the third species
+    is eliminated by the conservation law ``y1 + y2 + y3 = 1`` posed as an
+    algebraic row with mass matrix ``diag(1, 1, 0)``. Solve with EK1
+    (docs/solvers.md "Mass matrices and index-1 DAEs")."""
+
+    def f(u, p, t):
+        k1, k2, k3 = p
+        y1, y2, y3 = u[0], u[1], u[2]
+        return jnp.stack([
+            -k1 * y1 + k3 * y2 * y3,
+            k1 * y1 - k2 * y2 * y2 - k3 * y2 * y3,
+            y1 + y2 + y3 - 1.0,
+        ])
+
+    def jac(u, p, t):
+        k1, k2, k3 = p
+        y1, y2, y3 = u[0], u[1], u[2]
+        o = jnp.ones_like(y1)
+        return jnp.stack([
+            jnp.stack([-k1 * o, k3 * y3, k3 * y2]),
+            jnp.stack([k1 * o, -2 * k2 * y2 - k3 * y3, -k3 * y2]),
+            jnp.stack([o, o, o]),
+        ])
+
+    return ode_problem(f, jnp.asarray(u0), tspan, p=jnp.asarray(p), jac=jac,
+                       mass_matrix=jnp.array([1.0, 1.0, 0.0]))
+
+
 def rigid_body(
     u0=(1.0, 0.0, 0.9), p=(-2.0, 1.25, -0.5), tspan=(0.0, 10.0)
 ) -> ODEProblem:

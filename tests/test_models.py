@@ -4,6 +4,7 @@ DiffEqProblemLibrary — `/root/reference/test/correctness.jl:10-13`). Each
 model solves end-to-end against a pure-numpy scipy oracle (LSODA/Radau at
 rtol=1e-12, the BigFloat-Tsit5 stand-in)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -190,3 +191,21 @@ def test_new_models_well_formed():
         if prob.jac is not None and not prob.second_order:
             J = prob.jac(prob.u0, prob.p, prob.tspan[0])
             assert J.shape == (prob.d, prob.d)
+
+
+def test_rober_dae_matches_ode_form():
+    """The index-1 DAE formulation (mass_matrix=diag(1,1,0)) agrees with
+    the ODE-form rober solve — same chemistry, constraint-eliminated."""
+    probd = odf.models.rober_dae(tspan=(0.0, 50.0))
+    probo = odf.models.rober(tspan=(0.0, 50.0))
+    # analytic jac of the DAE residual matches jacfwd
+    J = probd.jac(probd.u0, probd.p, 0.0)
+    Jf = jax.jacfwd(lambda u: probd.f(u, probd.p, 0.0))(probd.u0)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(Jf), rtol=1e-12)
+    sd = odf.solve(probd, odf.EK1(order=3), abstol=1e-9, reltol=1e-8)
+    so = odf.solve(probo, odf.EK1(order=3), abstol=1e-9, reltol=1e-8)
+    assert sd.retcode_name == "Success"
+    ud = np.asarray(sd.u[int(sd.n_steps)])
+    uo = np.asarray(so.u[int(so.n_steps)])
+    assert np.abs(ud - uo).max() < 1e-7
+    assert abs(ud.sum() - 1.0) < 1e-12
