@@ -188,3 +188,25 @@ def test_mass_matrix_rejections():
     with pytest.raises(NotImplementedError, match="first-order"):
         make_model(EK1(order=3), _lv, None, 2, jnp.float64,
                    second_order=True, mass=jnp.eye(2))
+
+
+def test_mass_matrix_fixed_grid_grad():
+    """Reverse-mode gradients flow through the mass-matrix measurement
+    (fixed-grid path; parameter sensitivity vs finite differences)."""
+    from odefilters.fixedgrid import solve_fixed
+
+    M = jnp.array([2.0, 0.5])
+
+    def lv_m(u, p, t):
+        return M * _lv(u, p, t)
+
+    def loss(a):
+        prob = odf.ode_problem(lv_m, [1.0, 1.0], (0.0, 1.0),
+                               p=(a, 1.0, 3.0, 1.0), mass_matrix=M)
+        sol = solve_fixed(prob, EK1(order=3), dt=0.02)
+        return sol.u[int(round(1.0 / 0.02))].sum()
+
+    g = jax.grad(loss)(1.5)
+    eps = 1e-6
+    fd = (loss(1.5 + eps) - loss(1.5 - eps)) / (2 * eps)
+    assert abs(float(g) - float(fd)) < 1e-5 * max(1.0, abs(float(fd)))
