@@ -265,6 +265,11 @@ def sample_ensemble_pallas(
     """
     from odefilters.ops import pallas_kernels as pk
 
+    if getattr(prob, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "mass-matrix problems are supported on the dense solver paths "
+            "(odefilters.solve / solve_fixed + odefilters.sample) only"
+        )
     if alg.diffusionmodel != "dynamic":
         raise NotImplementedError(
             "the fused sampler implements the dynamic diffusion model; use "
@@ -317,6 +322,11 @@ def ieks_ensemble_pallas(
     """
     from odefilters.ops import pallas_kernels as pk
 
+    if getattr(prob, "mass_matrix", None) is not None:
+        raise NotImplementedError(
+            "mass-matrix problems are supported on the dense solver paths "
+            "(odefilters.solve / ieks.solve_ieks_fixed) only"
+        )
     if alg.diffusionmodel != "dynamic":
         raise NotImplementedError(
             "the fused kernels implement the dynamic diffusion model"

@@ -68,6 +68,12 @@ def filter_fixed_grid(
     import dataclasses
 
     from odefilters import diffusions as diff
+    from odefilters.problem import require_ek1_for_singular_mass
+
+    # Same rejection the adaptive `solve` front door gives — direct
+    # fixed-grid calls with EK0 + a singular M must fail loudly too
+    # (an EK0 innovation covariance through a singular M is singular).
+    require_ek1_for_singular_mass(prob, alg.is_ek1)
 
     d = prob.d
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)

@@ -60,6 +60,16 @@ class ODEProblem:
     # later-upstream ProbNumDiffEq feature (not in v0.1.5): the filter
     # measures ``z = M E1 x - f(E0 x)`` with ``H = (M E1 - J E0) P^-1``.
     mass_matrix: Optional[jax.Array] = None
+    # Concrete rank-deficiency of mass_matrix, computed once at
+    # :func:`ode_problem` construction (where M is a real array) so the
+    # EK0-rejects-DAEs check still fires under jit/vmap, where
+    # ``mass_matrix`` itself is a Tracer. None = unknown (problem built
+    # directly as a dataclass, or M handed in as a Tracer): the drivers
+    # then fall back to a best-effort concrete check and otherwise solve —
+    # an EK0+singular-M solve NaNs from the singular innovation covariance.
+    mass_singular: Optional[bool] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
 
     # NOTE: no validation in __post_init__ — JAX reconstructs this pytree
     # with transformed (e.g. batched) leaves during vmap/jit, where shape
@@ -101,6 +111,7 @@ def ode_problem(f, u0, tspan, p=None, jac=None, jac_diag=None,
             "Problems which are not vector-valued (e.g. u0 is a scalar "
             "or a matrix) are currently not supported"
         )
+    mass_singular = None
     if mass_matrix is not None:
         mass_matrix = jnp.asarray(mass_matrix)
         d = u0.shape[0]
@@ -109,9 +120,48 @@ def ode_problem(f, u0, tspan, p=None, jac=None, jac_diag=None,
                 f"mass_matrix must be ({d}, {d}) or a ({d},) diagonal, "
                 f"got {mass_matrix.shape}"
             )
+        mass_singular = mass_matrix_singular(mass_matrix)
     return ODEProblem(f=f, u0=u0, tspan=tuple(tspan), p=p, jac=jac,
                       jac_diag=jac_diag, analytic=analytic,
-                      mass_matrix=mass_matrix)
+                      mass_matrix=mass_matrix, mass_singular=mass_singular)
+
+
+def mass_matrix_singular(mass_matrix) -> Optional[bool]:
+    """Concrete rank-deficiency of a mass matrix; None if unknowable.
+
+    Evaluated eagerly (numpy) at problem-construction time so the
+    EK0-rejects-singular-M check survives jit/vmap tracing of the solve.
+    Returns None when ``mass_matrix`` is a Tracer (constructor itself
+    called under jit with a traced M)."""
+    if mass_matrix is None or isinstance(mass_matrix, jax.core.Tracer):
+        return None
+    import numpy as np
+
+    Mc = np.asarray(mass_matrix)
+    Md = np.diag(Mc) if Mc.ndim == 1 else Mc
+    return bool(np.linalg.matrix_rank(Md) < Md.shape[0])
+
+
+def require_ek1_for_singular_mass(prob: "ODEProblem", is_ek1: bool) -> None:
+    """Raise if ``prob`` is an index-1 DAE (singular M) and the algorithm
+    is not EK1-linearized — the EK0 measurement covariance
+    ``M E1 Σ E1ᵀ Mᵀ`` is singular then and the solve NaNs immediately.
+
+    Uses the construction-time :func:`mass_matrix_singular` verdict when
+    available (works under jit); falls back to a concrete check. When M is
+    a Tracer AND the problem skipped :func:`ode_problem` (so
+    ``mass_singular`` is None), the check cannot run — such a solve NaNs
+    silently instead of raising (documented jit caveat)."""
+    if prob.mass_matrix is None or is_ek1:
+        return
+    singular = prob.mass_singular
+    if singular is None:
+        singular = mass_matrix_singular(prob.mass_matrix)
+    if singular:
+        raise ValueError(
+            "singular mass matrices (DAEs) require EK1: the EK0 "
+            "measurement covariance M E1 Σ E1ᵀ Mᵀ is singular"
+        )
 
 
 def mass_state_space_f(f, mass_matrix, jac=None):
@@ -126,15 +176,24 @@ def mass_state_space_f(f, mass_matrix, jac=None):
 
     Used ONLY off the hot path — Taylor-mode initialization and the
     initial-dt heuristic need a genuine ``u'`` (the filter itself measures
-    the residual ``M E1 x - f`` and never inverts M). The linear solve is
-    QR-based (no LU: unsupported in f64 on the TPU backend, CLAUDE.md).
+    the residual ``M E1 x - f`` and never inverts M). The per-evaluation
+    linear solve is QR-based (no LU: unsupported in f64 on the TPU
+    backend, CLAUDE.md). The range/null projectors: elementwise for a
+    diagonal M (no factorization at all), one SVD (``jnp.linalg.pinv``)
+    at setup for dense M — a per-problem constant, so the
+    TPU-transcendental caveats apply only if this traces on chip with a
+    dense singular M; diagonal-M DAEs (the common case) never touch SVD.
     Reference analogue: upstream ProbNumDiffEq's DAE initialization; the
     pinned v0.1.5 has none.
     """
     M = jnp.asarray(mass_matrix)
     if M.ndim == 1:
+        # Elementwise pseudoinverse of a diagonal: exact, SVD-free.
+        mpinv_diag = jnp.where(M != 0, 1.0 / jnp.where(M != 0, M, 1.0), 0.0)
+        Mpinv = jnp.diag(mpinv_diag)
         M = jnp.diag(M)
-    Mpinv = jnp.linalg.pinv(M)
+    else:
+        Mpinv = jnp.linalg.pinv(M)
     P_ran = M @ Mpinv
     P_null = jnp.eye(M.shape[0], dtype=M.dtype) - P_ran
 

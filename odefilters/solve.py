@@ -629,20 +629,9 @@ def solve(
     reverse-mode).
     """
     t0, t1 = prob.tspan
-    if (
-        prob.mass_matrix is not None
-        and not alg.is_ek1
-        and not isinstance(prob.mass_matrix, jax.core.Tracer)
-    ):
-        import numpy as np
+    from odefilters.problem import require_ek1_for_singular_mass
 
-        Mc = np.asarray(prob.mass_matrix)
-        Md = np.diag(Mc) if Mc.ndim == 1 else Mc
-        if np.linalg.matrix_rank(Md) < Md.shape[0]:
-            raise ValueError(
-                "singular mass matrices (DAEs) require EK1: the EK0 "
-                "measurement covariance M E1 Σ E1ᵀ Mᵀ is singular"
-            )
+    require_ek1_for_singular_mass(prob, alg.is_ek1)
     if not adaptive:
         if dt is None:
             # Mirrors the reference's fixed-step-without-dt rejection

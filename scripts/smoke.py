@@ -1,4 +1,11 @@
 """Quick end-to-end smoke: solve FHN with EK0/EK1, compare to scipy oracle."""
+import os
+import sys
+
+# Runnable from a clean shell as `python scripts/smoke.py` (no editable
+# install / PYTHONPATH needed): put the repo root on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
