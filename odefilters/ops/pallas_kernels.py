@@ -5728,7 +5728,12 @@ def _ek1_adaptive_kernel(
         lh = jnp.log(dt_eff)
         ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
         mh = [m[r] * ps_[r // d] for r in range(D)]
-        Lh = [[L[r][c] * (ps_[r // d] * ps_[c // d]) for c in range(D)]
+        # the carry L is a FACTOR (Sigma = L L^T): preconditioning is the
+        # left map P L — ROW scaling only. (A covariance takes the
+        # symmetric P C P; scaling factor COLUMNS too is a right-multiply
+        # by a diagonal that changes L L^T whenever h changes between
+        # attempts — measured: stds collapse ~1e-5x over ~100 steps.)
+        Lh = [[L[r][c] * ps_[r // d] for c in range(D)]
               for r in range(D)]
         pinv0 = jnp.exp(q_half * lh)
         pinv1 = jnp.exp((q_half - 1.0) * lh)
@@ -5912,10 +5917,10 @@ def _ek1_adaptive_kernel(
         failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
         not_failed = failed < 0.5
 
-        # un-precondition, then masked commits
+        # un-precondition (rows only — L is a factor), then masked commits
         m_new = [m_new[r] / ps_[r // d] for r in range(D)]
         L_new = [
-            [L_new[r][c] / (ps_[r // d] * ps_[c // d]) for c in range(D)]
+            [L_new[r][c] / ps_[r // d] for c in range(D)]
             for r in range(D)
         ]
         m = [jnp.where(accept, m_new[r], m[r]) for r in range(D)]

@@ -1089,10 +1089,13 @@ def test_pallas_ek1_autojac_matches_analytic():
 
 def test_pallas_ek1_adaptive_matches_driver_interpret():
     """Per-lane adaptive EK1 kernel vs the XLA adaptive driver with tstops
-    on the same save grid. Unlike EK0 (bit-identical statistic), the EK1
-    innovation algebra differs at the 1e-12 level (MGS+Cholesky-of-Gram vs
-    QR), so accept/reject sequences can diverge slightly — trajectories
-    agree to ~1e-7 and step counts within a few percent."""
+    on the same save grid: identical accepted-step sequences, per-dim
+    stds within the MGS-vs-QR house tolerance. (Round-4 regression
+    anchor: the kernel used to unprecondition the committed FACTOR with
+    the covariance's symmetric row+column scaling — a right-diagonal
+    multiply that silently shrank the posterior stds ~1e-5x over ~100
+    steps and nudged the accept sequence a few percent off the driver's.
+    Row-only factor scaling fixed both.)"""
     from jax.experimental.pallas import tpu as pltpu
 
     from odefilters.ops import pallas_kernels as pk
@@ -1117,17 +1120,22 @@ def test_pallas_ek1_adaptive_matches_driver_interpret():
             pr, odf.EK1(order=3, smooth=False),
             abstol=1e-8, reltol=1e-6, tstops=jnp.asarray(grid[1:-1]),
         )
-        n = int(sol.n_steps)
-        assert abs(int(nacc[idx]) - n) <= max(3, n // 20)
-        ts = np.asarray(sol.ts[: n + 1])
-        for si, tg in enumerate(grid):
-            j = int(np.argmin(np.abs(ts - tg)))
-            np.testing.assert_allclose(
-                np.asarray(us[si, :, idx]), np.asarray(sol.u[j]),
-                rtol=1e-6, atol=1e-8,
-            )
+        assert int(nacc[idx]) == int(sol.n_steps)
+        g = sol(jnp.asarray(grid))
         np.testing.assert_allclose(
-            float(lls[idx]), float(sol.log_likelihood), rtol=1e-2
+            np.asarray(us[:, :, idx]), np.asarray(g.mean),
+            rtol=1e-7, atol=1e-9,
+        )
+        xstd = np.sqrt(
+            np.einsum("sij,sij->si", np.asarray(g.chol), np.asarray(g.chol))
+        )
+        # stds sit at the solver-accuracy floor; MGS-vs-QR roundoff shows
+        # up as ~1e-3 relative there (same mechanism as the EK0 pair test)
+        np.testing.assert_allclose(
+            np.asarray(stds[1:, :, idx]), xstd[1:], rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            float(lls[idx]), float(sol.log_likelihood), rtol=1e-3
         )
 
 
