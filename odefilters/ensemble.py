@@ -21,8 +21,10 @@ EK0          per-lane-dt adaptive        fused filter; + fused RTS smoother kern
 DiagonalEK1  per-dim adaptive kernel;    (no fixed-grid ensemble kernel — use
              + attempt-stream RTS        ``adaptive=True`` or the Kron path)
              smoother when ``alg.smooth``
-EK1          full D x D adaptive kernel  full D x D filter (+ smoother kernel)
-             (filter only)
+EK1          full D x D adaptive         full D x D filter (+ smoother kernel)
+             kernel; + attempt-stream
+             RTS smoother kernel when
+             ``alg.smooth``
 ===========  ==========================  =========================================
 
 All paths accept ``mesh=`` (1-D device mesh; the ensemble axis shards via
@@ -143,17 +145,19 @@ def solve_ensemble_pallas(
 
     if adaptive:
         if alg.smooth:
-            if alg.is_ek1 and not getattr(alg, "is_diagonal_ek1", False):
-                raise NotImplementedError(
-                    "the adaptive+smooth fused pairs run on the EK0 / "
-                    "DiagonalEK1 attempt-stream kernels; for dense EK1 "
-                    "pass smooth=False (filter) or adaptive=False "
-                    "(fixed-grid smoother pair)"
-                )
             # the smoother pairs' HBM attempt stream is max_iters-sized
             # (~(q+2) x row-width x 4 KiB per attempt per 1024-member
-            # block), hence the much smaller default than the filter path
+            # block; (D+1) x (D+1) rows for dense EK1), hence the much
+            # smaller defaults than the filter path
             mi = 1024 if max_iters is None else max_iters
+            if alg.is_ek1 and not getattr(alg, "is_diagonal_ek1", False):
+                out = pk.solve_ensemble_ek1_adaptive_smooth_pallas(
+                    prob.f, _pair_jac(prob.jac) if so else prob.jac,
+                    u0s, ps, prob.tspan, n_save, q=q,
+                    max_iters=512 if max_iters is None else max_iters,
+                    prior=prior, second_order=so, **kw,
+                )
+                return EnsembleKernelSolution(*out)
             if getattr(alg, "is_diagonal_ek1", False):
                 jd = None
                 if not so:

@@ -8394,3 +8394,746 @@ def solve_ensemble_ek1d_adaptive_smooth_pallas(
         abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
         mesh=mesh, second_order=second_order,
     )
+
+
+# ==========================================================================
+# Adaptive-step fused dense-EK1 filter + RTS smoother (per-lane dt).
+#
+# The EK0 pair's attempt-stream design (`_ek0_adaptive_stream_kernel`)
+# carried to the full D x D EK1 — the reference's literal DEFAULT
+# configuration (`algorithms.jl:46-51` EK1 smooth=true,
+# `integrator_utils.jl:20-26` smooth_all! in the postamble) at
+# ensemble-kernel speed. One structural difference from the EK0/Diagonal
+# pairs: those stream the committed PLAIN covariance (small per-dim
+# blocks) and re-factor it in the backward pass with a structural-zero /
+# Householder-rotated Cholesky, because the R=0 update's collapsed
+# direction is known there. Dense EK1 collapses a rank-d measurement
+# subspace with no closed form — so the forward streams the committed
+# SQUARE-ROOT FACTOR itself (rank-deficiency is harmless in a factor; the
+# backward RTS only multiplies by it, exactly like the fixed-grid
+# `_ekd_smoother_kernel`). The interval's predicted factor is recomputed
+# in the backward pass from the streamed filter factor at the carried
+# next-step (log dt, sigma^2) — the identical preconditioned MGS the
+# forward ran, so no Lp needs streaming (rejected attempts would make a
+# streamed Lp mostly dead weight anyway).
+#
+# HBM cost: max_iters x (D+1) x max(D+1, 6) x 4 KiB per 1024-member
+# block (d=2, q=3: ~330 KiB/attempt -> ~168 MiB at max_iters=512), so the
+# smooth entry defaults max_iters well below the filter-only kernel.
+# ==========================================================================
+
+
+def _ek1_adaptive_stream_kernel(
+    m0_ref, p_ref, dt0_ref, ll_ref, nacc_ref, nrej_ref, fail_ref, it_ref,
+    st_ref, row, sem, *,
+    f: Callable, jac: Callable, At: np.ndarray, QLt: np.ndarray,
+    S: int, dt_save: float, t0: float, d: int, nq: int, Wp: int,
+    abstol: float, reltol: float, max_iters: int, dtmin: float,
+    beta1: float, beta2: float, cheb=None, so: bool = False,
+):
+    """`_ek1_adaptive_kernel` with a per-attempt HBM state stream (no
+    filtered us/std outputs — the solution falls out of the backward
+    smoother). Row layout (D+1, Wp): rows r < D hold
+    [L[r] (D) | m[r] (1)]; row D holds the per-lane scalars
+    [accept, log dt_eff, s2, log dt_cur, is_save, seg+1]."""
+    D = d * nq
+    Af = np.kron(At, np.eye(d))
+    QLf = np.kron(QLt, np.eye(d))
+    q_half = nq - 1 + 0.5
+
+    h0 = dt0_ref[0]
+    zero = jnp.zeros_like(h0)
+    one = zero + 1.0
+
+    # carry is the UNPRECONDITIONED canonical state; L is a FACTOR
+    # (row-only preconditioning — see `_ek1_adaptive_kernel`)
+    m = [m0_ref[r // d, r % d] for r in range(D)]
+    L = [[zero for _ in range(D)] for _ in range(D)]
+    p_block = p_ref[:]
+    u_prev = [m0_ref[0, j] for j in range(d)]
+
+    def _is0f(x):
+        return isinstance(x, float) and x == 0.0
+
+    def pack_and_send(k_idx, m, L, extras):
+        slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+        @pl.when(k_idx >= 2)
+        def _():
+            pltpu.make_async_copy(
+                row.at[slot], st_ref.at[k_idx], sem.at[slot]
+            ).wait()
+
+        for r in range(D):
+            for c in range(D):
+                row[slot, r, c] = L[r][c]
+            row[slot, r, D] = m[r]
+        for c, v in enumerate(extras):
+            row[slot, D, c] = v
+        pltpu.make_async_copy(
+            row.at[slot], st_ref.at[k_idx], sem.at[slot]
+        ).start()
+
+    def cond(carry):
+        seg, iters = carry[0], carry[1]
+        return (seg < S) & (iters < max_iters)
+
+    def body(carry):
+        (seg, iters, t, dt, qold, ll, nacc, nrej, failed,
+         m, L, u_prev) = carry
+        dtype = zero.dtype
+        t_save = jnp.asarray(t0, dtype) + jnp.asarray(dt_save, dtype) * (
+            seg.astype(dtype) + 1.0
+        )
+        not_failed = failed < 0.5
+        active = (t < t_save) & not_failed
+        remaining = t_save - t
+        hit_save = dt >= remaining
+        dt_eff = jnp.where(active, jnp.where(hit_save, remaining, dt), one)
+
+        lh = jnp.log(dt_eff)
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        mh = [m[r] * ps_[r // d] for r in range(D)]
+        Lh = [[L[r][c] * ps_[r // d] for c in range(D)] for r in range(D)]
+        pinv0 = jnp.exp(q_half * lh)
+        pinv1 = jnp.exp((q_half - 1.0) * lh)
+        if cheb is None:
+            Afl = [[float(Af[r, c]) for c in range(D)] for r in range(D)]
+            QLfl = [[float(QLf[r, c]) for c in range(D)] for r in range(D)]
+        else:
+            Atl, QLtl, _ = _cheb_transition_lists(cheb, lh, nq)
+            Afl = [[Atl[r // d][c // d] if (r % d) == (c % d) else 0.0
+                    for c in range(D)] for r in range(D)]
+            QLfl = [[QLtl[r // d][c // d] if (r % d) == (c % d) else 0.0
+                     for c in range(D)] for r in range(D)]
+
+        mp = [
+            _sreduce([_smul(Afl[r][c], mh[c]) for c in range(D)])
+            for r in range(D)
+        ]
+        t_new = jnp.where(hit_save, t_save, t + dt_eff)
+        u_pred = jnp.stack([pinv0 * mp[j] for j in range(d)])
+        if so:
+            pinv2 = jnp.exp((q_half - 2.0) * lh)
+            du_pred = jnp.stack([pinv1 * mp[d + a] for a in range(d)])
+            ddu = f(du_pred, u_pred, p_block, t_new)
+            Ju, Jdu = jac(du_pred, u_pred, p_block, t_new)
+            z = [pinv2 * mp[2 * d + a] - ddu[a] for a in range(d)]
+
+            def Hmul_cols(M, K):
+                out = []
+                for a in range(d):
+                    row_ = []
+                    for kk in range(K):
+                        v = pinv2 * M[2 * d + a][kk]
+                        for b in range(d):
+                            v = v - Jdu[a, b] * (pinv1 * M[d + b][kk])
+                            v = v - Ju[a, b] * (pinv0 * M[b][kk])
+                        row_.append(v)
+                    out.append(row_)
+                return out
+        else:
+            du = f(u_pred, p_block, t_new)
+            J = jac(u_pred, p_block, t_new)
+            z = [pinv1 * mp[d + a] - du[a] for a in range(d)]
+
+            def Hmul_cols(M, K):
+                out = []
+                for a in range(d):
+                    row_ = []
+                    for kk in range(K):
+                        v = pinv1 * M[d + a][kk]
+                        for b in range(d):
+                            v = v - J[a, b] * (pinv0 * M[b][kk])
+                        row_.append(v)
+                    out.append(row_)
+                return out
+
+        QL_lists = [[zero if _is0f(QLfl[r][c]) else QLfl[r][c] + zero
+                     for c in range(D)] for r in range(D)]
+        HQ = Hmul_cols(QL_lists, D)
+        Sq = [
+            [
+                _sreduce([HQ[a][c] * HQ[b][c] for c in range(D)])
+                for b in range(d)
+            ]
+            for a in range(d)
+        ]
+        Lq = _list_chol(Sq, d)
+        w = _list_cho_solve(Lq, z, d)
+        s2 = _sreduce([z[a] * w[a] for a in range(d)]) / d
+        sq_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
+
+        AL = [
+            [
+                _sreduce([_smul(Afl[r][c], Lh[c][k]) for c in range(D)])
+                for k in range(D)
+            ]
+            for r in range(D)
+        ]
+        qT = [
+            [0.0 if _is0f(QLfl[r][c]) else sq_s2 * QLfl[r][c]
+             for r in range(D)]
+            for c in range(D)
+        ]
+        Lp = _list_mgs_tril(_t_rows(AL, D) + qT, 2 * D, D)
+
+        Z = Hmul_cols(Lp, D)
+        Sm = [
+            [
+                _sreduce([Z[a][c] * Z[b][c] for c in range(D)])
+                for b in range(d)
+            ]
+            for a in range(d)
+        ]
+        Ls = _list_chol(Sm, d)
+        LpZt = [
+            [
+                _sreduce([Lp[r][c] * Z[a][c] for c in range(D)])
+                for a in range(d)
+            ]
+            for r in range(D)
+        ]
+        Kg = [_list_cho_solve(Ls, LpZt[r], d) for r in range(D)]
+        m_new = [
+            mp[r] - _sreduce([Kg[r][a] * z[a] for a in range(d)])
+            for r in range(D)
+        ]
+        L_new = [
+            [
+                Lp[r][c] - _sreduce([Kg[r][a] * Z[a][c] for a in range(d)])
+                for c in range(D)
+            ]
+            for r in range(D)
+        ]
+        wz = _list_cho_solve(Ls, z, d)
+        maha = _sreduce([z[a] * wz[a] for a in range(d)])
+        logdet = 2.0 * _sreduce(
+            [jnp.log(jnp.maximum(Ls[a][a], 1e-30)) for a in range(d)]
+        )
+        ll_inc = -0.5 * (maha + logdet + d * _LOG_2PI)
+
+        u_filt = [pinv0 * m_new[j] for j in range(d)]
+
+        ee = zero
+        for j in range(d):
+            sc = abstol + reltol * jnp.maximum(
+                jnp.abs(u_prev[j]), jnp.abs(u_filt[j])
+            )
+            r_ = dt_eff * jnp.sqrt(jnp.maximum(s2 * Sq[j][j], 0.0)) / sc
+            ee = ee + r_ * r_
+        EEst = jnp.sqrt(ee / d)
+        EEst = jnp.where(jnp.isfinite(EEst), EEst, 1e10)
+        accept = active & (EEst <= 1.0)
+
+        eg = jnp.maximum(EEst, 1e-35)
+        leg = jnp.log(eg)
+        q11 = jnp.exp(beta1 * leg)
+        qq = q11 * jnp.exp(-beta2 * jnp.log(jnp.maximum(qold, 1e-35)))
+        qq = jnp.maximum(1.0 / _QMAX, jnp.minimum(1.0 / _QMIN, qq / _GAMMA))
+        dt_acc = dt_eff / qq
+        last_seg = seg >= S - 1
+        dt_acc = jnp.where(hit_save & ~last_seg, jnp.maximum(dt_acc, dt), dt_acc)
+        qold_acc = jnp.maximum(EEst, _QOLDINIT)
+        dt_rej = dt_eff / jnp.minimum(1.0 / _QMIN, q11 / _GAMMA)
+        dt_new = jnp.where(accept, dt_acc, dt_rej)
+        newly_failed = active & ~hit_save & (
+            (dt_new < dtmin) | (accept & (t_new <= t))
+        )
+        failed = jnp.maximum(failed, jnp.where(newly_failed, one, zero))
+        not_failed = failed < 0.5
+
+        # un-precondition (rows only — L is a factor), masked commits
+        m_new = [m_new[r] / ps_[r // d] for r in range(D)]
+        L_new = [
+            [L_new[r][c] / ps_[r // d] for c in range(D)]
+            for r in range(D)
+        ]
+        m = [jnp.where(accept, m_new[r], m[r]) for r in range(D)]
+        L = [
+            [jnp.where(accept, L_new[r][c], L[r][c]) for c in range(D)]
+            for r in range(D)
+        ]
+        t = jnp.where(accept, t_new, t)
+        dt = jnp.where(active & not_failed, dt_new, dt)
+        qold = jnp.where(accept, qold_acc, qold)
+        ll = jnp.where(accept, ll + ll_inc, ll)
+        u_prev = [jnp.where(accept, u_filt[j], u_prev[j]) for j in range(d)]
+        nacc = nacc + jnp.where(accept, one, zero)
+        nrej = nrej + jnp.where(active & ~accept, one, zero)
+        t = jnp.where(not_failed, t, zero + jnp.asarray(1e30, zero.dtype))
+
+        extras = [
+            jnp.where(accept, one, zero),
+            lh,
+            s2,
+            jnp.log(dt),
+            jnp.where(accept & hit_save, one, zero),
+            zero + (seg.astype(dtype) + 1.0),
+        ]
+        pack_and_send(iters, m, L, extras)
+
+        seg_done = jnp.min(jnp.where(t >= t_save, one, zero)) > 0.5
+        seg = jnp.where(seg_done, seg + 1, seg)
+        return (seg, iters + 1, t, dt, qold, ll, nacc, nrej, failed,
+                m, L, u_prev)
+
+    init = (
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        zero + jnp.asarray(t0, zero.dtype), h0,
+        zero + _QOLDINIT, zero, zero, zero,
+        jnp.zeros_like(h0), m, L, u_prev,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    K = out[1]
+    ll_ref[...] = out[5]
+    nacc_ref[...] = out[6]
+    nrej_ref[...] = out[7]
+    fail_ref[...] = jnp.where(
+        (out[8] > 0.5) | (out[0] < S),
+        jnp.ones_like(out[5]), jnp.zeros_like(out[5]),
+    )
+    it_ref[...] = zero + K.astype(zero.dtype)
+
+    @pl.when(K >= 1)
+    def _():
+        k1 = K - jnp.int32(1)
+        pltpu.make_async_copy(
+            row.at[jax.lax.rem(k1, jnp.int32(2))], st_ref.at[k1],
+            sem.at[jax.lax.rem(k1, jnp.int32(2))],
+        ).wait()
+
+    @pl.when(K >= 2)
+    def _():
+        k2 = K - jnp.int32(2)
+        pltpu.make_async_copy(
+            row.at[jax.lax.rem(k2, jnp.int32(2))], st_ref.at[k2],
+            sem.at[jax.lax.rem(k2, jnp.int32(2))],
+        ).wait()
+
+
+def _ek1_adaptive_smoother_kernel(
+    m0_ref, it_ref, st_ref, us_ref, std_ref,
+    row, sem, *,
+    At: np.ndarray, QLt: np.ndarray, S: int, d: int, nq: int, Wp: int,
+    cheb=None,
+):
+    """Backward square-root RTS pass over the dense-EK1 attempt stream.
+
+    Walks rows K-1..0; per row, lanes with accept=1 smooth one chain step
+    (per-lane preconditioning at the carried next-step log-dt; the
+    streamed committed FACTOR is used directly — no re-factorization of a
+    plain covariance anywhere, so the rank-d R=0 collapse of the dense
+    update needs no special handling) and lanes with is_save=1 write the
+    just-smoothed state into save-grid row ``seg+1``. Measurement-
+    agnostic: second-order forward streams feed the identical pass."""
+    D = d * nq
+    Af = np.kron(At, np.eye(d))
+    QLf = np.kron(QLt, np.eye(d))
+    q_half = nq - 1 + 0.5
+
+    def _is0f(x):
+        return isinstance(x, float) and x == 0.0
+
+    def start_load(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+
+    def wait_and_read(k):
+        slot = jax.lax.rem(k, jnp.int32(2))
+        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
+        m = [row[slot, r, D] for r in range(D)]
+        L = [[row[slot, r, c] for c in range(D)] for r in range(D)]
+        ex = [row[slot, D, c] for c in range(6)]
+        return m, L, ex
+
+    K = jnp.max(it_ref[0]).astype(jnp.int32)
+
+    zero = jnp.zeros_like(m0_ref[0, 0])
+    for j in range(d):
+        us_ref[jnp.int32(0), j] = m0_ref[0, j]
+        std_ref[jnp.int32(0), j] = zero
+
+    def write_saves(ex, ms, Ls):
+        is_save, seg1f = ex[4], ex[5]
+
+        @pl.when(jnp.max(is_save) > 0.5)
+        def _():
+            seg1 = jnp.max(seg1f).astype(jnp.int32)
+            wm = is_save > 0.5
+            for j in range(d):
+                us_ref[seg1, j] = jnp.where(wm, ms[j], us_ref[seg1, j])
+                sv = jnp.sqrt(
+                    _sreduce([Ls[j][c] * Ls[j][c] for c in range(D)])
+                )
+                std_ref[seg1, j] = jnp.where(wm, sv, std_ref[seg1, j])
+
+    # --- init from the final attempt row: every lane is parked at t1, so
+    # its committed (m, L) IS the final filter state — smoothed = filtered
+    # there, and the streamed factor is already valid as-is. ---
+    kK = K - jnp.int32(1)
+    start_load(kK)
+    m_T, L_T, ex_T = wait_and_read(kK)
+
+    @pl.when(K >= 2)
+    def _():
+        start_load(kK - jnp.int32(1))
+
+    ms0 = m_T
+    Ls0 = L_T
+    pend_lh = ex_T[1]
+    pend_s2 = ex_T[2]
+    first = (zero + 1.0) - ex_T[0]
+    write_saves(ex_T, ms0, Ls0)
+
+    if cheb is None:
+        Af_st = [[float(Af[r, c]) for c in range(D)] for r in range(D)]
+        QLf_st = [[float(QLf[r, c]) for c in range(D)] for r in range(D)]
+
+    def body(step, carry):
+        ms, Ls, pend_lh, pend_s2, first = carry
+        k = K - jnp.int32(2) - step
+        m_f, L_f, ex = wait_and_read(k)
+
+        @pl.when(k >= 1)
+        def _():
+            start_load(k - jnp.int32(1))
+
+        lh = pend_lh
+        if cheb is None:
+            Afl, QLfl = Af_st, QLf_st
+        else:
+            Atl, QLtl, _ = _cheb_transition_lists(cheb, lh, nq)
+            Afl = [[Atl[r // d][c // d] if (r % d) == (c % d) else 0.0
+                    for c in range(D)] for r in range(D)]
+            QLfl = [[QLtl[r // d][c // d] if (r % d) == (c % d) else 0.0
+                     for c in range(D)] for r in range(D)]
+        ps_ = [jnp.exp((i - q_half) * lh) for i in range(nq)]
+        pinv_ = [jnp.exp((q_half - i) * lh) for i in range(nq)]
+        # row-only factor preconditioning (P L), as in the forward
+        mh_f = [m_f[r] * ps_[r // d] for r in range(D)]
+        Lh_f = [[_smul(ps_[r // d], L_f[r][c]) for c in range(D)]
+                for r in range(D)]
+        msh = [ms[r] * ps_[r // d] for r in range(D)]
+        Lsh = [[_smul(ps_[r // d], Ls[r][c]) for c in range(D)]
+               for r in range(D)]
+        sq_s2 = jnp.sqrt(jnp.maximum(pend_s2, 0.0))
+
+        AL = [
+            [
+                _sreduce([_smul(Afl[r][c], Lh_f[c][b]) for c in range(D)])
+                for b in range(D)
+            ]
+            for r in range(D)
+        ]
+        qT = [
+            [0.0 if _is0f(QLfl[r][c]) else _smul(sq_s2, QLfl[r][c])
+             for r in range(D)]
+            for c in range(D)
+        ]
+        # predicted factor of this lane's interval k -> next accepted:
+        # the identical preconditioned 2D x D MGS the forward ran
+        Lp = _list_mgs_tril(_t_rows(AL, D) + qT, 2 * D, D)
+
+        # G = C_f A^T Cp^-1 with C_f A^T = Lh_f (A Lh_f)^T
+        M = [
+            [
+                _sreduce([_smul(Lh_f[r][b], AL[l][b]) for b in range(D)])
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        G = [_list_cho_solve(Lp, [(zero + x) if _is0(x) else x
+                                  for x in M[r]], D)
+             for r in range(D)]
+        mp = [
+            _sreduce([_smul(Afl[r][c], mh_f[c]) for c in range(D)])
+            for r in range(D)
+        ]
+        dm = [msh[r] - mp[r] for r in range(D)]
+        ms_new = [
+            mh_f[r] + _sreduce([_smul(G[r][l], dm[l]) for l in range(D)])
+            for r in range(D)
+        ]
+        GA = [
+            [
+                _sreduce([_smul(G[r][a], Afl[a][l]) for a in range(D)])
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        IGA = [
+            [(1.0 - GA[r][l]) if r == l else
+             (0.0 - GA[r][l] if not _is0(GA[r][l]) else 0.0)
+             for l in range(D)]
+            for r in range(D)
+        ]
+        b1 = [
+            [
+                _sreduce([_smul(IGA[r][a], Lh_f[a][l]) for a in range(D)])
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        GQ = [
+            [
+                _smul(sq_s2,
+                      _sreduce([_smul(G[r][a], QLfl[a][l])
+                                for a in range(D)]))
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        b3 = [
+            [
+                _sreduce([_smul(G[r][a], Lsh[a][l]) for a in range(D)])
+                for l in range(D)
+            ]
+            for r in range(D)
+        ]
+        Ls_new = _list_mgs_tril(
+            _t_rows(b1, D) + _t_rows(GQ, D) + _t_rows(b3, D), 3 * D, D
+        )
+        # unprecondition (row scaling) and masked commits
+        do = (ex[0] * ((zero + 1.0) - first)) > 0.5
+        ms = [
+            jnp.where(do, pinv_[r // d] * ms_new[r], ms[r])
+            for r in range(D)
+        ]
+        Ls = [
+            [jnp.where(do, pinv_[r // d] * Ls_new[r][c], Ls[r][c])
+             for c in range(D)]
+            for r in range(D)
+        ]
+        took = ex[0] > 0.5
+        pend_lh = jnp.where(took, ex[1], pend_lh)
+        pend_s2 = jnp.where(took, ex[2], pend_s2)
+        first = jnp.where(took, zero, first)
+        write_saves(ex, ms, Ls)
+        return ms, Ls, pend_lh, pend_s2, first
+
+    jax.lax.fori_loop(
+        jnp.int32(0), K - jnp.int32(1), body,
+        (ms0, Ls0, pend_lh, pend_s2, first),
+    )
+
+
+@_no_x64
+def ek1_adaptive_fused_smooth(
+    f: Callable,
+    jac: Optional[Callable],
+    m0: jax.Array,      # (q+1, d, B)
+    ps: jax.Array,      # (n_params, B)
+    dt0s: jax.Array,    # (B,)
+    t0: float,
+    t1: float,
+    n_save: int,
+    q: int,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 512,
+    dtmin: Optional[float] = None,
+    prior=None,
+    mesh=None,
+    second_order: bool = False,
+):
+    """Adaptive per-lane dense EK1(dynamic) filter + square-root RTS
+    smoother, fully fused — the reference's DEFAULT configuration
+    (`algorithms.jl:46-51` EK1 smooth=true + `integrator_utils.jl:20-26`)
+    at ensemble-kernel throughput, completing the adaptive+smooth kernel
+    matrix (EK0 / DiagonalEK1 / dense EK1). Returns
+    ``(us, stds, lls, nacc, nrej, failed)`` with PER-DIMENSION smoothed
+    stds (S+1, d, B). ``max_iters`` bounds total attempts per member AND
+    sizes the HBM attempt stream ((D+1) x max(D+1, 6) x 4 KiB per attempt
+    per 1024-member block — wider than the EK0 pair's by ~D, hence the
+    smaller default)."""
+    if second_order and q < 2:
+        raise ValueError("second_order needs q >= 2 (measures block 2)")
+    if jac is None:
+        jac = _auto_jac_2nd(f) if second_order else _auto_jac(f)
+    if mesh is not None:
+        return _shard_over_ens(
+            mesh,
+            lambda m0_, ps_, dt0_: ek1_adaptive_fused_smooth(
+                f, jac, m0_, ps_, dt0_, t0, t1, n_save, q, abstol=abstol,
+                reltol=reltol, max_iters=max_iters, dtmin=dtmin,
+                prior=prior, second_order=second_order,
+            ),
+            (m0, ps, dt0s), in_axes=(2, 1, 0),
+            out_axes=(2, 2, 0, 0, 0, 0),
+        )
+    nq = q + 1
+    _, d, B = m0.shape
+    D = d * nq
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    S = int(n_save)
+    dt_save = (float(t1) - float(t0)) / S
+    if dtmin is None:
+        span = float(t1) - float(t0)
+        eps = float(jnp.finfo(m0.dtype).eps)
+        dtmin = max(1e-14 * span, 4.0 * eps * span)
+
+    At_np, _, QLt_np = _ibm_small_np(q)
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+    cheb = None
+    if prior is not None:
+        from odefilters.priors import (
+            IWP, chebyshev_transition_fit, normalize_prior,
+        )
+
+        if not isinstance(normalize_prior(prior), IWP):
+            cheb = chebyshev_transition_fit(
+                prior, q, float(dtmin), float(t1) - float(t0)
+            )
+
+    m0_b = m0.reshape(nq, d, nb, _SUB, _LANE).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    dt0_b = dt0s.reshape(nb, 1, _SUB, _LANE)
+
+    Wp = max(D + 1, 6)
+    fkernel = functools.partial(
+        _ek1_adaptive_stream_kernel,
+        f=f, jac=jac, At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+        S=S, dt_save=dt_save, t0=float(t0), d=d, nq=nq, Wp=Wp,
+        abstol=float(abstol), reltol=float(reltol),
+        max_iters=int(max_iters), dtmin=float(dtmin),
+        beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
+        so=bool(second_order),
+    )
+    scratch = [
+        pltpu.VMEM((2, D + 1, Wp, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def fentry(m0_blk, p_blk, dt0_blk, ll_blk, na_blk, nr_blk, fl_blk,
+               it_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        fkernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            dt0_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)], na_blk.at[jnp.int32(0)],
+            nr_blk.at[jnp.int32(0)], fl_blk.at[jnp.int32(0)],
+            it_blk.at[jnp.int32(0)], st_hbm.at[b], row, sem,
+        )
+
+    lane = lambda: pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    lane_shape = jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype)
+    lls, nacc, nrej, fail, iters, st = pl.pallas_call(
+        fentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[lane(), lane(), lane(), lane(), lane(),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[
+            lane_shape, lane_shape, lane_shape, lane_shape, lane_shape,
+            jax.ShapeDtypeStruct(
+                (nb, int(max_iters), D + 1, Wp, _SUB, _LANE), dtype
+            ),
+        ],
+        scratch_shapes=scratch,
+    )(m0_b, ps_b, dt0_b)
+
+    skernel = functools.partial(
+        _ek1_adaptive_smoother_kernel,
+        At=At_np.astype(fdtype), QLt=QLt_np.astype(fdtype),
+        S=S, d=d, nq=nq, Wp=Wp, cheb=cheb,
+    )
+
+    def sentry(m0_blk, it_blk, st_hbm, us_blk, std_blk, row, sem):
+        b = pl.program_id(0)
+        skernel(
+            m0_blk.at[jnp.int32(0)], it_blk.at[jnp.int32(0)], st_hbm.at[b],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)], row, sem,
+        )
+
+    us_s, std_s = pl.pallas_call(
+        sentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, S + 1, d, _SUB, _LANE), dtype),
+        ],
+        scratch_shapes=scratch,
+    )(m0_b, iters, st)
+
+    us = us_s.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    stds = std_s.transpose(1, 2, 0, 3, 4).reshape(S + 1, d, B)
+    return (us, stds, lls.reshape(B), nacc.reshape(B), nrej.reshape(B),
+            fail.reshape(B))
+
+
+def solve_ensemble_ek1_adaptive_smooth_pallas(
+    prob_f: Callable,
+    prob_jac: Optional[Callable],
+    u0s: jax.Array,
+    ps: jax.Array,
+    tspan,
+    n_save: int,
+    q: int = 3,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 512,
+    prior=None,
+    mesh=None,
+    second_order: bool = False,
+):
+    """Taylor-init + fused adaptive dense-EK1 filter + RTS smoother
+    ensemble — the reference's DEFAULT solve (EK1, adaptive, smooth) at
+    fused-kernel speed. Same argument conventions as
+    :func:`solve_ensemble_ek1_adaptive_pallas`; returns SMOOTHED
+    ``(us, stds, lls, nacc, nrej, failed)`` with per-dimension stds."""
+    from odefilters.problem import ode_problem, ode_problem_2nd
+    from odefilters.solve import initial_dt
+    from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
+
+    t0, t1 = tspan
+    B, d_in = u0s.shape
+    if second_order and d_in % 2:
+        raise ValueError(
+            f"second_order expects u0s = [u0 | du0] with even width, got {d_in}"
+        )
+    d = d_in // 2 if second_order else d_in
+
+    def init_one(u0_full, p):
+        if second_order:
+            m = jnp.stack(taylor_coefficients_2nd(
+                prob_f, u0_full[:d], u0_full[d:], p, t0, q
+            ))
+            pr = ode_problem_2nd(prob_f, u0_full[:d], u0_full[d:], tspan, p=p)
+        else:
+            m = jnp.stack(taylor_coefficients(prob_f, u0_full, p, t0, q))
+            pr = ode_problem(prob_f, u0_full, tspan, p=p)
+        return m, initial_dt(pr, q, abstol, reltol)
+
+    m0, dt0s = jax.vmap(init_one)(u0s, ps)
+    m0 = m0.transpose(1, 2, 0)
+    return ek1_adaptive_fused_smooth(
+        prob_f, prob_jac, m0, ps.T, dt0s, float(t0), float(t1), n_save, q,
+        abstol=abstol, reltol=reltol, max_iters=max_iters, prior=prior,
+        mesh=mesh, second_order=second_order,
+    )

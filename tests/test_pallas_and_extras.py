@@ -894,6 +894,125 @@ def test_pallas_ek1d_adaptive_smooth_matches_driver_interpret():
     )
 
 
+def test_pallas_ek1_adaptive_smooth_matches_driver_interpret():
+    """Dense EK1 on the fused adaptive filter + attempt-stream RTS
+    smoother pair — the reference's literal DEFAULT configuration
+    (`algorithms.jl:46-51` EK1 smooth=true, `integrator_utils.jl:20-26`)
+    at kernel speed, the last cell of the adaptive+smooth kernel matrix.
+    Unlike the EK0/DiagonalEK1 pairs (which stream plain covariances and
+    re-factor with structural-zero/Householder Choleskys), the forward
+    streams the committed SQUARE-ROOT FACTOR — the dense R=0 update
+    collapses a rank-d subspace with no closed form, but a factor needs
+    no factoring. Vs the XLA adaptive EK1 driver with smooth=True and
+    tstops on the same grid: identical accepted-step sequences, smoothed
+    means ~1e-11, per-dim stds at the MGS-vs-QR house tolerance;
+    1-device-mesh sharding bit-exact; front-door routing; second-order."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import AxisType, Mesh
+
+    from odefilters.ensemble import solve_ensemble_pallas
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.problem import ode_problem_2nd
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, S = pk.BLOCK, 8
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+
+    kw = dict(q=3, abstol=1e-8, reltol=1e-6, max_iters=256)
+    with pltpu.force_tpu_interpret_mode():
+        us, stds, lls, nacc, nrej, fail = (
+            pk.solve_ensemble_ek1_adaptive_smooth_pallas(
+                prob.f, prob.jac, u0s, ps, prob.tspan, S, **kw
+            )
+        )
+    assert int(jnp.sum(fail)) == 0
+
+    grid = np.linspace(0.0, 2.0, S + 1)
+    for idx in [0, 300]:
+        pr = odf.remake(prob, u0=u0s[idx], p=ps[idx])
+        sol = odf.solve(
+            pr, odf.EK1(order=3, smooth=True),
+            abstol=1e-8, reltol=1e-6, tstops=jnp.asarray(grid[1:-1]),
+        )
+        assert int(nacc[idx]) == int(sol.n_steps)
+        g = sol(jnp.asarray(grid))
+        np.testing.assert_allclose(
+            np.asarray(us[:, :, idx]), np.asarray(g.mean),
+            rtol=1e-8, atol=1e-10,
+        )
+        xstd = np.sqrt(
+            np.einsum("sij,sij->si", np.asarray(g.chol), np.asarray(g.chol))
+        )
+        # stds sit at the solver-accuracy floor (see the EK0 pair test)
+        np.testing.assert_allclose(
+            np.asarray(stds[1:, :, idx]), xstd[1:], rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            float(lls[idx]), float(sol.log_likelihood), rtol=1e-3
+        )
+
+    # sharded (1-device mesh, streaming kernel) == unsharded, bit-exact
+    mesh1 = Mesh(
+        np.asarray(jax.devices()[:1]), ("ens",), axis_types=(AxisType.Auto,)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out_sh = pk.solve_ensemble_ek1_adaptive_smooth_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, S, mesh=mesh1, **kw
+        )
+    for a_sh, a in zip(out_sh, (us, stds, lls, nacc, nrej, fail)):
+        np.testing.assert_array_equal(np.asarray(a_sh), np.asarray(a))
+
+    # front door: EK1 + smooth + adaptive routes to the fused pair
+    with pltpu.force_tpu_interpret_mode():
+        eks = solve_ensemble_pallas(
+            prob, odf.EK1(order=3, smooth=True), u0s, ps, n_save=S,
+            abstol=1e-8, reltol=1e-6, max_iters=256,
+        )
+    np.testing.assert_array_equal(np.asarray(eks.us), np.asarray(us))
+    np.testing.assert_array_equal(np.asarray(eks.lls), np.asarray(lls))
+
+    # second-order: u0s = [u0 | du0], measurement block 2 in the forward;
+    # the backward pass is measurement-agnostic
+    prob2 = odf.models.pendulum_2nd(tspan=(0.0, 1.0))
+    d = prob2.d
+    u0s2 = (prob2.u0 + 0.05 * jax.random.normal(key, (B, 2 * d))).astype(
+        jnp.float64
+    )
+    ps2 = jnp.broadcast_to(jnp.atleast_1d(prob2.p), (B, 1)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        us2, stds2, _, nacc2, _, fail2 = (
+            pk.solve_ensemble_ek1_adaptive_smooth_pallas(
+                prob2.f, None, u0s2, ps2, prob2.tspan, 4,
+                q=3, abstol=1e-6, reltol=1e-4, max_iters=256,
+                second_order=True,
+            )
+        )
+    assert int(jnp.sum(fail2)) == 0
+    idx = 300
+    grid2 = np.linspace(0.0, 1.0, 5)
+    pr2 = ode_problem_2nd(
+        prob2.f, u0s2[idx][:d], u0s2[idx][d:], prob2.tspan, p=ps2[idx][0]
+    )
+    sol2 = odf.solve(
+        pr2, odf.EK1(order=3, smooth=True),
+        abstol=1e-6, reltol=1e-4, tstops=jnp.asarray(grid2[1:-1]),
+    )
+    assert int(nacc2[idx]) == int(sol2.n_steps)
+    g2 = sol2(jnp.asarray(grid2))
+    np.testing.assert_allclose(
+        np.asarray(us2[:, :, idx]), np.asarray(g2.mean)[:, :d],
+        rtol=1e-8, atol=1e-10,
+    )
+    xstd2 = np.sqrt(
+        np.einsum("sij,sij->si", np.asarray(g2.chol), np.asarray(g2.chol))
+    )
+    np.testing.assert_allclose(
+        np.asarray(stds2[1:, :, idx]), xstd2[1:, :d], rtol=1e-3
+    )
+
+
 def test_pallas_kron_grid_matches_kronsolve_interpret():
     """The large-d Kron-grid kernel (Brusselator stencil traced into the
     kernel, jnp.roll on grid values) reproduces the XLA Kronecker path."""
@@ -1186,11 +1305,8 @@ def test_solve_ensemble_pallas_dispatch_interpret():
         odf.solve_ensemble_pallas(
             prob, odf.EK0(order=3, diffusionmodel="fixed"), u0s, ps
         )
-    # adaptive + smooth: EK0/DiagonalEK1 route to the fused attempt-stream
-    # pairs (tested in test_pallas_ek0/ek1d_adaptive_smooth_*); dense EK1
-    # has no fused smoother — raises with guidance
-    with pytest.raises(NotImplementedError, match="attempt-stream"):
-        odf.solve_ensemble_pallas(prob, odf.EK1(order=3, smooth=True), u0s, ps)
+    # adaptive + smooth: every algorithm routes to its fused attempt-
+    # stream pair (tested in test_pallas_ek0/ek1/ek1d_adaptive_smooth_*)
     with pytest.raises(NotImplementedError, match="Kronecker"):
         odf.solve_ensemble_pallas(
             prob, odf.DiagonalEK1(order=3, smooth=True), u0s, ps,
