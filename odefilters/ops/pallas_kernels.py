@@ -63,11 +63,16 @@ def _shard_over_ens(mesh, body, arrays, in_axes, out_axes):
 
     Interpret-mode caveat (tests/dryrun only, not hardware): the
     kernels that STREAM state rows to HBM via DMA (the filter+smoother
-    pair and the custom-VJP forward passes) deadlock when the
+    pairs, samplers and the custom-VJP forward passes) deadlock when the
     interpret-mode DMA emulation runs on several virtual devices
-    concurrently; validate those on a 1-device mesh (same code path) and
-    the non-streaming kernels (filter / adaptive / datalik forward) on
-    the full mesh. Hardware chips have independent DMA engines.
+    concurrently. Multi-shard validation for those runs the shards
+    SEQUENTIALLY through this same entry point (1-device mesh per shard,
+    concatenate, compare bit-exact to the unsharded batch —
+    `test_parallel.py::test_pallas_streaming_kernels_8shard_sequential_
+    bitexact`); that is exactly the decomposition shard_map performs,
+    minus the concurrency, which hardware provides via per-chip DMA
+    engines. Non-streaming kernels (filter / adaptive / datalik forward)
+    validate bit-exact on the full 8-virtual-device mesh directly.
     """
     if len(mesh.axis_names) != 1:
         raise ValueError(
