@@ -67,6 +67,10 @@ class EnsembleKernelSolution:
     nacc: Optional[jax.Array] = None
     nrej: Optional[jax.Array] = None
     failed: Optional[jax.Array] = None
+    # Static diffusion models (fixed / fixedMAP / fixedMV on the
+    # fixed-grid kernels): the calibrated per-member global sigma^2 —
+    # (B,), or (d, B) for fixedMV. None on the dynamic paths.
+    diffusions: Optional[jax.Array] = None
 
 
 def _pair_jac(jac):
@@ -131,11 +135,13 @@ def solve_ensemble_pallas(
         )
     from odefilters.ops import pallas_kernels as pk
 
-    if alg.diffusionmodel != "dynamic":
+    if adaptive and alg.diffusionmodel != "dynamic":
         raise NotImplementedError(
-            f"the fused ensemble kernels implement the dynamic diffusion "
-            f"model; got {alg.diffusionmodel!r} — use "
-            f"parallel.sharding.solve_ensemble (XLA) for other models"
+            f"the fused ADAPTIVE kernels implement the dynamic diffusion "
+            f"model; got {alg.diffusionmodel!r} — static models are "
+            f"per-lane ill-posed under per-lane step control; use "
+            f"adaptive=False (fixed-grid kernels support "
+            f"fixed/fixedMAP/fixedMV) or the XLA driver"
         )
     prior = None if isinstance(normalize_prior(alg.prior), IWP) else alg.prior
     q = alg.order
@@ -202,6 +208,13 @@ def solve_ensemble_pallas(
 
     # ---- fixed grid ----
     del kw  # fixed-grid kernels take no tolerances (no controller)
+    dm = alg.diffusionmodel
+    static = dm in ("fixed", "fixedMAP", "fixedMV")
+    if dm in ("dynamicMV",):
+        raise NotImplementedError(
+            "dynamicMV is not on the fused kernels; use the Kronecker "
+            "path (kronsolve.solve_fixed_kron) or the XLA driver"
+        )
     if getattr(alg, "is_diagonal_ek1", False):
         if alg.smooth or so:
             raise NotImplementedError(
@@ -213,33 +226,45 @@ def solve_ensemble_pallas(
         jd = prob.jac_diag
         if jd is None and prob.jac is not None:
             jd = _diag_from_full(prob.jac, d)
-        us, stds, lls = pk.solve_ensemble_ek1d_pallas(
+        out = pk.solve_ensemble_ek1d_pallas(
             prob.f, jd, u0s, ps, prob.tspan, n_save, q=q, prior=prior,
-            mesh=mesh,
+            mesh=mesh, diffusion=dm,
         )
-        return EnsembleKernelSolution(us, stds, lls)
+        if static:
+            us, stds, lls, sig = out
+            return EnsembleKernelSolution(us, stds, lls, diffusions=sig)
+        return EnsembleKernelSolution(*out)
     if alg.is_ek1:
         if so:
             raise NotImplementedError(
                 "second-order fixed-grid ensembles run on the EK0 kernel "
                 "or the adaptive EK1 kernel"
             )
-        us, stds = pk.solve_ensemble_ek1_pallas(
+        out = pk.solve_ensemble_ek1_pallas(
             prob.f, prob.jac, u0s, ps, prob.tspan, n_save, q=q,
-            smooth=alg.smooth, prior=prior, mesh=mesh,
+            smooth=alg.smooth, prior=prior, mesh=mesh, diffusion=dm,
         )
-        return EnsembleKernelSolution(us, stds)
+        if static:
+            us, stds, sig = out
+            return EnsembleKernelSolution(us, stds, diffusions=sig)
+        return EnsembleKernelSolution(*out)
     if alg.smooth:
-        us, stds = pk.solve_ensemble_ek0_pallas_smooth(
+        out = pk.solve_ensemble_ek0_pallas_smooth(
             prob.f, u0s, ps, prob.tspan, n_save, q=q, prior=prior,
-            mesh=mesh, second_order=so,
+            mesh=mesh, second_order=so, diffusion=dm,
         )
-        return EnsembleKernelSolution(us, stds)
-    us, stds, lls = pk.solve_ensemble_ek0_pallas(
+        if static:
+            us, stds, sig = out
+            return EnsembleKernelSolution(us, stds, diffusions=sig)
+        return EnsembleKernelSolution(*out)
+    out = pk.solve_ensemble_ek0_pallas(
         prob.f, u0s, ps, prob.tspan, n_save, q=q, prior=prior, mesh=mesh,
-        second_order=so,
+        second_order=so, diffusion=dm,
     )
-    return EnsembleKernelSolution(us, stds, lls)
+    if static:
+        us, stds, lls, sig = out
+        return EnsembleKernelSolution(us, stds, lls, diffusions=sig)
+    return EnsembleKernelSolution(*out)
 
 
 def sample_ensemble_pallas(

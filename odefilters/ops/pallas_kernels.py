@@ -130,17 +130,74 @@ def _no_x64(fn):
     return wrapped
 
 
+def _static_local_update(static_diff, calib, zz, z, inv_s, d):
+    """In-kernel running update for the static diffusion models
+    (`diffusions.jl:11-36,46-68,115-153` — exact `odefilters.diffusions`
+    semantics on the per-step statistic ``z^T S^-1 z`` with the scalar /
+    per-dim innovation variance already in hand as ``inv_s``).
+
+    ``calib = (sig, k)``: the running estimate (lane vector, or list of d
+    lane vectors for ``fixedMV``) and the committed-step count. ``inv_s``:
+    scalar ``1/s`` (EK0: S = s I_d) or a list of d per-dim ``1/s_j``
+    (DiagonalEK1). Returns the updated ``(sig, k+1)``."""
+    sig, k = calib
+    kf = k  # float lane vector counting previous steps (success_iter)
+
+    def _fixed_run(prev, local):
+        kmax = jnp.maximum(kf, 1.0)
+        cand = prev + (local - prev) / kmax
+        return jnp.where(kf == 0.0, local, cand)
+
+    if static_diff == "fixedMV":
+        if isinstance(inv_s, list):
+            local = [z[j] * z[j] * inv_s[j] for j in range(d)]
+        else:
+            local = [z[j] * z[j] * inv_s for j in range(d)]
+        sig_new = [_fixed_run(sig[j], local[j]) for j in range(d)]
+    elif static_diff == "fixed":
+        if isinstance(inv_s, list):
+            local = _sreduce(
+                [z[j] * z[j] * inv_s[j] for j in range(d)]
+            ) / d
+        else:
+            local = zz * inv_s / d
+        sig_new = _fixed_run(sig, local)
+    elif static_diff == "fixedMAP":
+        # InverseGamma(1/2, 1/2) MAP updated online
+        # (`diffusions.jl:46-68`; odefilters.diffusions.map_fixed_...)
+        if isinstance(inv_s, list):
+            local = _sreduce(
+                [z[j] * z[j] * inv_s[j] for j in range(d)]
+            ) / d
+        else:
+            local = zz * inv_s / d
+        alpha, beta = 0.5, 0.5
+        N = kf + 1.0
+        first = (beta + 0.5 * local) / (alpha + N * d / 2 + 1)
+        res_prev = (sig * (alpha + (N - 1.0) * d / 2 + 1) - beta) * 2.0
+        later = (beta + 0.5 * (res_prev + local)) / (alpha + N * d / 2 + 1)
+        sig_new = jnp.where(kf == 0.0, first, later)
+    else:
+        raise ValueError(f"unknown static diffusion {static_diff!r}")
+    return sig_new, kf + 1.0
+
+
 def _ek0_step_lists(
     m, C, p_block, t_new, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, d: int, nq: int,
     so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
+    static_diff=None, calib=None,
 ):
     """One EK0(dynamic) step on list-of-lanes state; pure function of
     ``(m, C, p)`` so it is both the fused-kernel body and the target of the
     in-kernel ``jax.vjp`` in the backward (gradient) kernel.
 
-    Returns ``(m_new, C_new, ll_inc, us_row, std_val)``.
+    Returns ``(m_new, C_new, ll_inc, us_row, std_val)`` — plus the
+    updated ``calib`` carry when ``static_diff`` is set (the filter then
+    runs with the UNSCALED prior sigma^2 = 1, per-step MLE statistics
+    accumulate in ``calib``, and the caller rescales factors at exit —
+    `integrator_utils.jl:4-18` semantics).
     """
     b = 2 if so else 1               # measured derivative block
     pb = pinv_b if so else pinv1     # its preconditioner entry
@@ -166,8 +223,11 @@ def _ek0_step_lists(
     z = [pb * mp[b][j] - du[j] for j in range(d)]
     # -- dynamic diffusion: s2 = |z|^2 / (d hq) --
     zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
-    s2 = zz / (d * hq)
-    if stop_calib:
+    if static_diff is not None:
+        s2 = 1.0  # static models filter with the unscaled prior
+    else:
+        s2 = zz / (d * hq)
+    if stop_calib and static_diff is None:
         # calibration treated as part of the (frozen) model in the
         # adjoint: the innovations z sit at the solver-accuracy floor, so
         # reverse-mode tangents through 1/s2 amplify f32 forward noise
@@ -218,6 +278,9 @@ def _ek0_step_lists(
     # 1e-30 floor (not 0): keeps the VJP of sqrt finite when only the
     # likelihood is differentiated (0-cotangent x inf would poison dC)
     std_val = pinv0 * jnp.sqrt(jnp.maximum(C_new[0][0], 1e-30))
+    if static_diff is not None:
+        calib_new = _static_local_update(static_diff, calib, zz, z, inv_s, d)
+        return m_new, C_new, ll_inc, us_row, std_val, calib_new
     return m_new, C_new, ll_inc, us_row, std_val
 
 
@@ -229,10 +292,11 @@ def _step_time(k, t0: float, dt: float, dtype):
 
 
 def _ek0_kernel(
-    m0_ref, p_ref, us_ref, std_ref, ll_ref, *,
+    m0_ref, p_ref, us_ref, std_ref, ll_ref, sig_ref=None, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, T: int, dt: float, t0: float,
     d: int, nq: int, so: bool = False, pinv_b: float = 0.0,
+    static_diff=None,
 ):
     # initial state (already preconditioned); zero covariance (exact init)
     m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
@@ -247,23 +311,37 @@ def _ek0_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq, so=so, pinv_b=pinv_b,
+        d=d, nq=nq, so=so, pinv_b=pinv_b, static_diff=static_diff,
     )
 
+    if static_diff == "fixedMV":
+        calib0 = ([zero for _ in range(d)], zero)
+    else:
+        calib0 = (zero, zero)
+
     def body(k, carry):
-        m, C, ll = carry
+        m, C, ll, calib = carry
         k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
         t_new = _step_time(k, t0, dt, zero.dtype)
-        m_new, C_new, ll_inc, us_row, std_val = step(m, C, p_block, t_new)
+        if static_diff is not None:
+            m_new, C_new, ll_inc, us_row, std_val, calib = step(
+                m, C, p_block, t_new, calib=calib
+            )
+        else:
+            m_new, C_new, ll_inc, us_row, std_val = step(m, C, p_block, t_new)
         for j in range(d):
             us_ref[k1, j] = us_row[j]
         std_ref[k1] = std_val
-        return m_new, C_new, ll + ll_inc
+        return m_new, C_new, ll + ll_inc, calib
 
-    _, _, ll = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(T), body, (m_init, C_init, zero)
+    _, _, ll, calib = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m_init, C_init, zero, calib0)
     )
     ll_ref[...] = ll
+    if static_diff is not None:
+        sig = calib[0]
+        for j in range(d):
+            sig_ref[j] = sig[j] if static_diff == "fixedMV" else sig
 
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -635,6 +713,53 @@ def _ek0_filter_blocked_bwd(f, q, T, dt, t0, so, prior, res, cts):
 _ek0_filter_blocked.defvjp(_ek0_filter_blocked_fwd, _ek0_filter_blocked_bwd)
 
 
+def _ek0_filter_blocked_static(f, q, T, dt, t0, so, prior, static_diff,
+                               m0_p, ps_b):
+    """Blocked fused EK0 filter with a STATIC diffusion model: the filter
+    runs with the unscaled prior (sigma^2 = 1), the per-step MLE/MAP
+    statistic accumulates in-kernel, and the final per-member sigma^2 is
+    returned alongside (nb, d, 8, 128) — the caller applies the exit
+    rescale (`integrator_utils.jl:4-18`). Not differentiable (the static
+    calibration path has no VJP kernel; use the dynamic model for
+    gradient-based inference)."""
+    nb, nq, d = m0_p.shape[:3]
+    n_params = ps_b.shape[1]
+    dtype = m0_p.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
+    pinv_b = float(1.0 / p_np[2]) if so else 0.0
+    kernel = functools.partial(
+        _ek0_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        T=T, dt=float(dt), t0=float(t0), d=d, nq=nq, so=so, pinv_b=pinv_b,
+        static_diff=static_diff,
+    )
+    in_specs, out_specs = _ek0_blocked_specs(nq, d, n_params, T)
+    out_specs = out_specs + [
+        pl.BlockSpec((1, d, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk, sig_blk):
+        kernel(
+            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+            ll_blk.at[jnp.int32(0)], sig_blk.at[jnp.int32(0)],
+        )
+
+    return pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb, d, _SUB, _LANE), dtype),
+        ],
+    )(m0_p, ps_b)
+
+
 @_no_x64
 def ek0_fused_filter(
     f: Callable,
@@ -647,6 +772,7 @@ def ek0_fused_filter(
     second_order: bool = False,
     prior=None,
     mesh=None,
+    diffusion: str = "dynamic",
 ):
     """Run the fused EK0 filter over an ensemble of B members.
 
@@ -661,18 +787,38 @@ def ek0_fused_filter(
     the filter recursion via in-kernel ``jax.vjp`` of the step), so
     likelihood gradients for parameter inference run at kernel speed.
 
+    ``diffusion``: "dynamic" (per-step MLE, default), or a STATIC model
+    — "fixed" / "fixedMAP" (scalar) / "fixedMV" (per-dimension): the
+    filter runs with the unscaled prior, an in-kernel running MLE/MAP
+    accumulates the per-member global sigma^2, and the output stds carry
+    the exit rescale (`integrator_utils.jl:4-18` semantics; means are
+    gain-invariant, so they equal the sigma^2 = 1 filter's exactly). For
+    static models the return is ``(us, stds, lls, sigma2)`` with
+    ``lls = nan`` (reference behavior) and ``sigma2`` of shape (B,) —
+    or (d, B) for fixedMV, where ``stds`` also becomes per-dimension
+    (T+1, d, B). Static models are forward-only (no VJP kernel).
+
     ``mesh``: optional 1-D ``jax.sharding.Mesh`` — shards the ensemble
     axis across devices via ``shard_map`` (B per shard still a multiple
     of 1024); the custom VJP composes, so sharded gradients work too.
     """
+    static = None if diffusion == "dynamic" else str(diffusion)
+    if static is not None and static not in ("fixed", "fixedMAP", "fixedMV"):
+        raise NotImplementedError(
+            f"diffusion={diffusion!r}: fused fixed-grid kernels support "
+            "dynamic / fixed / fixedMAP / fixedMV"
+        )
     if mesh is not None:
+        out_axes = (2, 1, 0) if static is None else (
+            (2, 2, 0, 1) if static == "fixedMV" else (2, 1, 0, 0)
+        )
         return _shard_over_ens(
             mesh,
             lambda m0_, ps_: ek0_fused_filter(
                 f, m0_, ps_, t0, dt, n_steps, q,
-                second_order=second_order, prior=prior,
+                second_order=second_order, prior=prior, diffusion=diffusion,
             ),
-            (m0, ps), in_axes=(2, 1), out_axes=(2, 1, 0),
+            (m0, ps), in_axes=(2, 1), out_axes=out_axes,
         )
     nq = q + 1
     if second_order and q < 2:
@@ -692,6 +838,22 @@ def ek0_fused_filter(
         nq, d, nb, _SUB, _LANE
     ).transpose(2, 0, 1, 3, 4)                      # (nb, nq, d, 8, 128)
     ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+
+    if static is not None:
+        us, stds, lls, sig = _ek0_filter_blocked_static(
+            f, q, T, float(dt), float(t0), bool(second_order), prior,
+            static, m0_p, ps_b,
+        )
+        us = us.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+        stds = stds.transpose(1, 0, 2, 3).reshape(T + 1, B)
+        lls = jnp.full((B,), jnp.nan, dtype)
+        if static == "fixedMV":
+            sig = sig.transpose(1, 0, 2, 3).reshape(d, B)
+            stds = stds[:, None, :] * jnp.sqrt(sig)[None]
+        else:
+            sig = sig[:, 0].reshape(B)
+            stds = stds * jnp.sqrt(sig)[None]
+        return us, stds, lls, sig
 
     us, stds, lls = _ek0_filter_blocked(
         f, q, T, float(dt), float(t0), bool(second_order), prior, m0_p, ps_b
@@ -714,6 +876,7 @@ def solve_ensemble_ek0_pallas(
     second_order: bool = False,
     prior=None,
     mesh=None,
+    diffusion: str = "dynamic",
 ):
     """Convenience wrapper: Taylor-init the ensemble, run the fused kernel.
 
@@ -724,7 +887,8 @@ def solve_ensemble_ek0_pallas(
     measurement moves to derivative block 2, mirroring the dense path's
     2nd-order branch in `odefilters/step.py`): pass ``u0s = [u0 | du0]``
     of shape (B, 2d) and an ``f(du, u, p, t)``. Outputs expose the
-    position block u.
+    position block u. ``diffusion``: see :func:`ek0_fused_filter` —
+    static models return ``(us, stds, lls=nan, sigma2)``.
     """
     from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
 
@@ -751,6 +915,7 @@ def solve_ensemble_ek0_pallas(
     return ek0_fused_filter(
         prob_f, m0, ps.T, float(t0), float(dt), n_steps, q,
         second_order=second_order, prior=prior, mesh=mesh,
+        diffusion=diffusion,
     )
 
 
@@ -1553,7 +1718,7 @@ def _ek1d_pd_step_lists(
     m, C, p_block, t_new, *,
     f: Callable, jac_diag: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, d: int, nq: int,
-    stop_calib: bool = False,
+    stop_calib: bool = False, static_diff=None, calib=None,
 ):
     """One DiagonalEK1(dynamic) step with PER-DIMENSION covariances.
 
@@ -1587,15 +1752,19 @@ def _ek1d_pd_step_lists(
         )
 
     Qtl = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
-    hq = [h_quad(Qtl, j) for j in range(d)]
-    s2 = functools.reduce(
-        lambda a, b: a + b, [z[j] * z[j] / hq[j] for j in range(d)]
-    ) / d
-    if stop_calib:
-        s2 = jax.lax.stop_gradient(s2)
+    if static_diff is not None:
+        s2 = 1.0  # static models filter with the unscaled prior
+    else:
+        hq = [h_quad(Qtl, j) for j in range(d)]
+        s2 = functools.reduce(
+            lambda a, b: a + b, [z[j] * z[j] / hq[j] for j in range(d)]
+        ) / d
+        if stop_calib:
+            s2 = jax.lax.stop_gradient(s2)
 
     m_new = [[None] * d for _ in range(nq)]
     C_new = [None] * d
+    inv_s_list = [None] * d
     ll_inc = None
     for j in range(d):
         Cj = C[j]
@@ -1622,6 +1791,7 @@ def _ek1d_pd_step_lists(
         ]
         s = h_quad(Cp, j)
         inv_s = 1.0 / s
+        inv_s_list[j] = inv_s
         kg = [
             (pinv1 * Cp[i][1] - jd[j] * pinv0 * Cp[i][0]) * inv_s
             for i in range(nq)
@@ -1637,6 +1807,11 @@ def _ek1d_pd_step_lists(
             + jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI
         )
         ll_inc = inc if ll_inc is None else ll_inc + inc
+    if static_diff is not None:
+        calib_new = _static_local_update(
+            static_diff, calib, None, z, inv_s_list, d
+        )
+        return m_new, C_new, ll_inc, calib_new
     return m_new, C_new, ll_inc
 
 
@@ -2969,14 +3144,19 @@ def _t_rows(X, nq):
 
 def _ek0_filter_states_kernel(
     m0_ref, p_ref, st_ref,
-    row, sem,
+    row, sem, sig_ref=None,
     *, f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
-    so: bool = False, pinv_b: float = 0.0,
+    so: bool = False, pinv_b: float = 0.0, static_diff=None,
 ):
     """Forward EK0 filter; streams one packed (mean | factor | s2) row of
     preconditioned square-root state to HBM per step (single DMA). The
     stream is the kernel's ONLY output — filtered means/stds fall out of
     the smoother pass for free, so no (T+1)-sized VMEM output blocks.
+
+    ``static_diff``: a static diffusion model name — the filter then
+    streams s2 = 1 rows (unscaled prior; the smoother's uniform-scale
+    invariance lets the caller rescale its outputs at exit) and
+    accumulates the running per-member sigma^2 into ``sig_ref`` (d rows).
 
     Streaming the predicted factor Lp alongside (so the smoother skips
     its 2(q+1) x (q+1) re-factorization) was measured a NET LOSS here
@@ -3022,8 +3202,13 @@ def _ek0_filter_states_kernel(
     sqlt = jnp.sqrt
     QLt_c = Qt
 
+    if static_diff == "fixedMV":
+        calib0 = ([zero for _ in range(d)], zero)
+    else:
+        calib0 = (zero, zero)
+
     def body(k, carry):
-        m, L = carry
+        m, L, calib = carry
         mp = [
             [
                 functools.reduce(
@@ -3047,7 +3232,10 @@ def _ek0_filter_states_kernel(
             du = f(u_pred, p_block, t_new)
         z = [pb * mp[bx][j] - du[j] for j in range(d)]
         zz = functools.reduce(lambda a, b: a + b, [zj * zj for zj in z])
-        s2 = zz / (d * hq)
+        if static_diff is not None:
+            s2 = zero + 1.0
+        else:
+            s2 = zz / (d * hq)
         sq_s2 = sqlt(s2)
         AtL = [
             [
@@ -3081,10 +3269,18 @@ def _ek0_filter_states_kernel(
         L_new = [
             [Lp[i][l] - kg[i] * Zrow[l] for l in range(nq)] for i in range(nq)
         ]
+        if static_diff is not None:
+            calib = _static_local_update(static_diff, calib, zz, z, inv_s, d)
         pack_and_send(k1, m_new, L_new, s2)
-        return m_new, L_new
+        return m_new, L_new, calib
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, L_init))
+    out_c = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m_init, L_init, calib0)
+    )
+    if static_diff is not None:
+        sig = out_c[2][0]
+        for j in range(d):
+            sig_ref[j] = sig[j] if static_diff == "fixedMV" else sig
     # drain the last (up to two) in-flight copies
     pltpu.make_async_copy(
         row.at[jnp.int32(T % 2)], st_ref.at[jnp.int32(T)], sem.at[jnp.int32(T % 2)]
@@ -3243,6 +3439,7 @@ def ek0_fused_solve(
     prior=None,
     mesh=None,
     second_order: bool = False,
+    diffusion: str = "dynamic",
 ):
     """Complete fused probabilistic solve: filter + RTS smoother kernels.
 
@@ -3255,16 +3452,25 @@ def ek0_fused_solve(
     """
     if second_order and q < 2:
         raise ValueError("second_order needs q >= 2 (measures block 2)")
+    static = None if diffusion == "dynamic" else str(diffusion)
+    if static is not None and static not in ("fixed", "fixedMAP", "fixedMV"):
+        raise NotImplementedError(
+            f"diffusion={diffusion!r}: fused fixed-grid kernels support "
+            "dynamic / fixed / fixedMAP / fixedMV"
+        )
     if mesh is not None:
         if _debug:
             raise ValueError("_debug outputs are not available under mesh=")
+        out_axes = (2, 1) if static is None else (
+            (2, 2, 1) if static == "fixedMV" else (2, 1, 0)
+        )
         return _shard_over_ens(
             mesh,
             lambda m0_, ps_: ek0_fused_solve(
                 f, m0_, ps_, t0, dt, n_steps, q, prior=prior,
-                second_order=second_order,
+                second_order=second_order, diffusion=diffusion,
             ),
-            (m0, ps), in_axes=(2, 1), out_axes=(2, 1),
+            (m0, ps), in_axes=(2, 1), out_axes=out_axes,
         )
     nq = q + 1
     _, d, B = m0.shape
@@ -3293,7 +3499,8 @@ def ek0_fused_solve(
     fkernel = functools.partial(
         _ek0_filter_states_kernel, f=f, pinv1=float(1.0 / p_np[1]),
         dt=float(dt), t0=float(t0), so=bool(second_order),
-        pinv_b=float(1.0 / p_np[2]) if second_order else 0.0, **common,
+        pinv_b=float(1.0 / p_np[2]) if second_order else 0.0,
+        static_diff=static, **common,
     )
 
     # one packed state row per step: [ mean (d) | factor (nq) | s2 (1) ],
@@ -3306,24 +3513,57 @@ def ek0_fused_solve(
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
-    def fentry(m0_blk, p_blk, st_hbm, row, sem):
-        b = pl.program_id(0)
-        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
-                st_hbm.at[b], row, sem)
+    if static is not None:
+        def fentry(m0_blk, p_blk, st_hbm, sig_blk, row, sem):
+            b = pl.program_id(0)
+            fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                    st_hbm.at[b], row, sem, sig_blk.at[jnp.int32(0)])
 
-    st = pl.pallas_call(
-        fentry,
-        grid=(nb,),
-        in_specs=[
-                pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+        st, sig = pl.pallas_call(
+            fentry,
+            grid=(nb,),
+            in_specs=[
+                    pl.BlockSpec((1, nq, d, _SUB, _LANE),
+                                 lambda b: (b, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                                 lambda b: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, d, _SUB, _LANE), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
-                             lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
-        scratch_shapes=scratch,
-    )(m0_p, ps_b)
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
+                jax.ShapeDtypeStruct((nb, d, _SUB, _LANE), dtype),
+            ],
+            scratch_shapes=scratch,
+        )(m0_p, ps_b)
+    else:
+        def fentry(m0_blk, p_blk, st_hbm, row, sem):
+            b = pl.program_id(0)
+            fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                    st_hbm.at[b], row, sem)
+
+        st = pl.pallas_call(
+            fentry,
+            grid=(nb,),
+            in_specs=[
+                    pl.BlockSpec((1, nq, d, _SUB, _LANE),
+                                 lambda b: (b, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                                 lambda b: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(
+                (nb, T + 1, nq, W, _SUB, _LANE), dtype
+            ),
+            scratch_shapes=scratch,
+        )(m0_p, ps_b)
 
     skernel = functools.partial(_ek0_smoother_kernel, **common)
 
@@ -3351,6 +3591,20 @@ def ek0_fused_solve(
 
     us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = std_s.transpose(1, 0, 2, 3).reshape(T + 1, B)
+    if static is not None:
+        # exit rescale (`integrator_utils.jl:4-18`): the smoother ran on
+        # sigma^2 = 1 covariances; uniform scaling commutes with the RTS
+        # recursion (the gain is scale-invariant), so scaling the output
+        # stds IS smoothing the rescaled filter states
+        if static == "fixedMV":
+            sigv = sig.transpose(1, 0, 2, 3).reshape(d, B)
+            stds = stds[:, None, :] * jnp.sqrt(sigv)[None]
+        else:
+            sigv = sig[:, 0].reshape(B)
+            stds = stds * jnp.sqrt(sigv)[None]
+        if _debug:
+            return us, stds, sigv, st
+        return us, stds, sigv
     if _debug:
         return us, stds, st
     return us, stds
@@ -3366,6 +3620,7 @@ def solve_ensemble_ek0_pallas_smooth(
     prior=None,
     mesh=None,
     second_order: bool = False,
+    diffusion: str = "dynamic",
 ):
     """Taylor-init + fused filter + fused RTS smoother over an ensemble.
 
@@ -3397,7 +3652,7 @@ def solve_ensemble_ek0_pallas_smooth(
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
     return ek0_fused_solve(prob_f, m0, ps.T, float(t0), float(dt), n_steps, q,
                            prior=prior, mesh=mesh,
-                           second_order=second_order)
+                           second_order=second_order, diffusion=diffusion)
 
 
 def _ek0_sampler_kernel(
@@ -3792,6 +4047,7 @@ def _ek1_step_lists(
     stop_calib: bool = False,
     want_Lp: bool = False,
     u_lin=None,
+    static_diff=None, calib=None,
 ):
     """One square-root EK1(dynamic) step on D-vector mean / D x D factor
     lists of lanes. Shared by the streamed-state filter kernel and the
@@ -3844,28 +4100,33 @@ def _ek1_step_lists(
             out.append(row)
         return out
 
-    # dynamic diffusion: s2 = z^T (H Q H^T)^-1 z / d, with HQ = Hmul(QLf)
-    QL_lists = [[jnp.zeros_like(zero) if QLf[r, c] == 0.0 else
-                 QLf[r, c] + zero for c in range(D)] for r in range(D)]
-    HQ = Hmul_cols(QL_lists, D)              # d x D
-    Sq = [
-        [
-            functools.reduce(
-                lambda x, y: x + y, [HQ[a][c] * HQ[b][c] for c in range(D)]
-            )
-            for b in range(d)
+    if static_diff is not None:
+        # static models filter with the unscaled prior; the per-step
+        # statistic comes from the measurement covariance S below
+        sq_s2 = 1.0
+    else:
+        # dynamic diffusion: s2 = z^T (H Q H^T)^-1 z / d, HQ = Hmul(QLf)
+        QL_lists = [[jnp.zeros_like(zero) if QLf[r, c] == 0.0 else
+                     QLf[r, c] + zero for c in range(D)] for r in range(D)]
+        HQ = Hmul_cols(QL_lists, D)              # d x D
+        Sq = [
+            [
+                functools.reduce(
+                    lambda x, y: x + y, [HQ[a][c] * HQ[b][c] for c in range(D)]
+                )
+                for b in range(d)
+            ]
+            for a in range(d)
         ]
-        for a in range(d)
-    ]
-    Lq = _list_chol(Sq, d)
-    w = _list_cho_solve(Lq, z, d)
-    s2 = functools.reduce(
-        lambda x, y: x + y, [z[a] * w[a] for a in range(d)]
-    ) / d
-    if stop_calib:
-        # see _ek0_step_lists: the long-horizon f32 gradient estimator
-        s2 = jax.lax.stop_gradient(s2)
-    sq_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
+        Lq = _list_chol(Sq, d)
+        w = _list_cho_solve(Lq, z, d)
+        s2 = functools.reduce(
+            lambda x, y: x + y, [z[a] * w[a] for a in range(d)]
+        ) / d
+        if stop_calib:
+            # see _ek0_step_lists: the long-horizon f32 gradient estimator
+            s2 = jax.lax.stop_gradient(s2)
+        sq_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
 
     # predicted factor: MGS of [ (A L)^T ; sqrt(s2) QLf^T ]  (2D x D)
     AL = Amul_mat(L)
@@ -3928,6 +4189,34 @@ def _ek1_step_lists(
             [2.0 * jnp.log(jnp.maximum(Ls[a][a], 1e-30)) for a in range(d)],
         )
         ll_inc = -0.5 * (zSz + logdet + d * _LOG_2PI)
+    if static_diff is not None:
+        # per-step statistic z^T S^-1 z / d (`diffusions.jl:12-36`) from
+        # the already-factored dense measurement covariance
+        ws2 = _list_cho_solve(Ls, z, d)
+        zSz2 = functools.reduce(
+            lambda x, y: x + y, [z[a] * ws2[a] for a in range(d)]
+        )
+        # fixed / fixedMAP share the d-divided statistic; fixedMV needs
+        # per-dim S_ii and is EK0/DiagonalEK1-only — guarded by callers
+        sig, k = calib
+        local = zSz2 / d
+        kmax = jnp.maximum(k, 1.0)
+        if static_diff == "fixed":
+            sig_new = jnp.where(k == 0.0, local,
+                                sig + (local - sig) / kmax)
+        else:  # fixedMAP
+            alpha, beta = 0.5, 0.5
+            N = k + 1.0
+            first = (beta + 0.5 * local) / (alpha + N * d / 2 + 1)
+            res_prev = (sig * (alpha + (N - 1.0) * d / 2 + 1) - beta) * 2.0
+            later = (beta + 0.5 * (res_prev + local)) / (
+                alpha + N * d / 2 + 1
+            )
+            sig_new = jnp.where(k == 0.0, first, later)
+        s2 = zero + 1.0
+        if want_Lp:
+            return m_new, L_new, s2, ll_inc, Lp, (sig_new, k + 1.0)
+        return m_new, L_new, s2, ll_inc, (sig_new, k + 1.0)
     if want_Lp:
         return m_new, L_new, s2, ll_inc, Lp
     return m_new, L_new, s2, ll_inc
@@ -3939,6 +4228,7 @@ def _ek1_filter_states_kernel(
     *, f, jac, At, QLt, pinv0, pinv1, T, dt, t0, d, nq,
     stream_Lp: bool = False,
     lin_ref=None, lrow=None, lsem=None,
+    sig_ref=None, static_diff=None,
 ):
     """Forward EK1 filter (dynamic diffusion), streaming sqrt states.
 
@@ -3995,8 +4285,10 @@ def _ek1_filter_states_kernel(
 
         start_lin(jnp.int32(1))   # prefetch the first measurement row
 
+    calib0 = (zero, zero)
+
     def body(k, carry):
-        m, L = carry
+        m, L, calib = carry
         _dt = zero.dtype
         k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
         t_new = jnp.asarray(t0, _dt) + jnp.asarray(dt, _dt) * (
@@ -4013,15 +4305,26 @@ def _ek1_filter_states_kernel(
             @pl.when(k1 < jnp.int32(T))
             def _():
                 start_lin(k1 + jnp.ones((), k1.dtype))
-        m_new, L_new, s2, _, Lp = _ek1_step_lists(
-            m, L, p_block, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
-            pinv0=pinv0, pinv1=pinv1, d=d, D=D, want_Lp=True,
-            u_lin=u_lin,
-        )
+        if static_diff is not None:
+            m_new, L_new, s2, _, Lp, calib = _ek1_step_lists(
+                m, L, p_block, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
+                pinv0=pinv0, pinv1=pinv1, d=d, D=D, want_Lp=True,
+                u_lin=u_lin, static_diff=static_diff, calib=calib,
+            )
+        else:
+            m_new, L_new, s2, _, Lp = _ek1_step_lists(
+                m, L, p_block, t_new, f=f, jac=jac, Af=Af, QLf=QLf,
+                pinv0=pinv0, pinv1=pinv1, d=d, D=D, want_Lp=True,
+                u_lin=u_lin,
+            )
         pack_and_send(k1, m_new, L_new, Lp, s2)
-        return m_new, L_new
+        return m_new, L_new, calib
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_init, L_init))
+    out_c = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m_init, L_init, calib0)
+    )
+    if static_diff is not None:
+        sig_ref[0] = out_c[2][0]
     pltpu.make_async_copy(
         row.at[jnp.int32(T % 2)], st_ref.at[jnp.int32(T)],
         sem.at[jnp.int32(T % 2)],
@@ -4374,6 +4677,7 @@ def ek1_fused_solve(
     mesh=None,
     _debug: bool = False,
     linearize_traj=None,
+    diffusion: str = "dynamic",
 ):
     """Fused EK1 solve (dynamic diffusion) over an ensemble: the full
     D x D square-root extended Kalman filter (+ optional RTS smoother)
@@ -4386,6 +4690,13 @@ def ek1_fused_solve(
     ``linearize_traj``: optional (T+1, d, B) per-member Jacobian
     linearization points (the IEKS hook — row k+1 linearizes step
     k -> k+1), DMA-streamed into the filter kernel."""
+    static = None if diffusion == "dynamic" else str(diffusion)
+    if static is not None and static not in ("fixed", "fixedMAP"):
+        raise NotImplementedError(
+            f"diffusion={diffusion!r}: the fused EK1 kernels support "
+            "dynamic / fixed / fixedMAP (MV models require EK0 / "
+            "DiagonalEK1 structure)"
+        )
     if jac is None:
         jac = _auto_jac(f)
     if mesh is not None:
@@ -4396,9 +4707,10 @@ def ek1_fused_solve(
                 mesh,
                 lambda m0_, ps_: ek1_fused_solve(
                     f, jac, m0_, ps_, t0, dt, n_steps, q,
-                    smooth=smooth, prior=prior,
+                    smooth=smooth, prior=prior, diffusion=diffusion,
                 ),
-                (m0, ps), in_axes=(2, 1), out_axes=(2, 2),
+                (m0, ps), in_axes=(2, 1),
+                out_axes=(2, 2) if static is None else (2, 2, 0),
             )
         return _shard_over_ens(
             mesh,
@@ -4433,7 +4745,7 @@ def ek1_fused_solve(
     fkernel = functools.partial(
         _ek1_filter_states_kernel, f=f, jac=jac,
         pinv1=float(1.0 / p_np[1]), dt=float(dt), t0=float(t0),
-        stream_Lp=smooth, **common,
+        stream_Lp=smooth, static_diff=static, **common,
     )
 
     # packed row: [ L row (D) | mean (1) | s2 (1) | tril(Lp) (D) ],
@@ -4446,10 +4758,17 @@ def ek1_fused_solve(
     ]
 
     if linearize_traj is None:
-        def fentry(m0_blk, p_blk, st_hbm, row, sem):
-            b = pl.program_id(0)
-            fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
-                    st_hbm.at[b], row, sem)
+        if static is not None:
+            def fentry(m0_blk, p_blk, st_hbm, sig_blk, row, sem):
+                b = pl.program_id(0)
+                fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                        st_hbm.at[b], row, sem,
+                        sig_ref=sig_blk.at[jnp.int32(0)])
+        else:
+            def fentry(m0_blk, p_blk, st_hbm, row, sem):
+                b = pl.program_id(0)
+                fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                        st_hbm.at[b], row, sem)
 
         fin_specs = []
         fin_args = ()
@@ -4477,7 +4796,22 @@ def ek1_fused_solve(
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
-    st = pl.pallas_call(
+    f_out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    f_out_shape = jax.ShapeDtypeStruct((nb, T + 1, D, W, _SUB, _LANE), dtype)
+    if static is not None:
+        if linearize_traj is not None:
+            raise NotImplementedError(
+                "IEKS linearization streams require the dynamic model"
+            )
+        f_out_specs = [
+            f_out_specs,
+            pl.BlockSpec((1, 1, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        f_out_shape = [
+            f_out_shape, jax.ShapeDtypeStruct((nb, 1, _SUB, _LANE), dtype),
+        ]
+    out_f = pl.pallas_call(
         fentry,
         grid=(nb,),
         in_specs=[
@@ -4486,10 +4820,16 @@ def ek1_fused_solve(
             pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
                          lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ] + fin_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nb, T + 1, D, W, _SUB, _LANE), dtype),
+        out_specs=f_out_specs,
+        out_shape=f_out_shape,
         scratch_shapes=fscratch,
     )(m0_p, ps_b, *fin_args)
+    if static is not None:
+        st, sig = out_f
+        sigv = sig[:, 0].reshape(B)
+        sscale = jnp.sqrt(sigv)
+    else:
+        st = out_f
 
     if not smooth:
         # filter means/stds derived from the packed stream (preconditioned)
@@ -4498,6 +4838,8 @@ def ek1_fused_solve(
         stds = pinv0 * jnp.sqrt(jnp.sum(st[:, :, :d, :D] ** 2, axis=3))
         us = us.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
         stds = stds.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+        if static is not None:
+            return us, stds * sscale[None, None], sigv
         return us, stds
 
     skernel = functools.partial(_ekd_smoother_kernel, **common)
@@ -4526,6 +4868,12 @@ def ek1_fused_solve(
 
     us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = std_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+    if static is not None:
+        # exit rescale: uniform scaling commutes with the RTS recursion
+        stds = stds * sscale[None, None]
+        if _debug:
+            return us, stds, sigv, st
+        return us, stds, sigv
     if _debug:
         return us, stds, st
     return us, stds
@@ -4706,8 +5054,12 @@ def solve_ensemble_ek1_pallas(
     prior=None,
     mesh=None,
     linearize_traj=None,
+    diffusion: str = "dynamic",
 ):
-    """Taylor-init + fused EK1 filter(+smoother) over an ensemble."""
+    """Taylor-init + fused EK1 filter(+smoother) over an ensemble.
+    ``diffusion``: dynamic (default) or a static scalar model
+    (fixed / fixedMAP) — static returns ``(us, stds, sigma2)`` with
+    exit-rescaled stds (see :func:`ek0_fused_filter`)."""
     from odefilters.taylor import taylor_coefficients
 
     t0, t1 = tspan
@@ -4721,7 +5073,7 @@ def solve_ensemble_ek1_pallas(
     return ek1_fused_solve(
         prob_f, prob_jac, m0, ps.T, float(t0), float(dt), n_steps, q,
         smooth=smooth, prior=prior, mesh=mesh,
-        linearize_traj=linearize_traj,
+        linearize_traj=linearize_traj, diffusion=diffusion,
     )
 
 
@@ -6610,14 +6962,17 @@ def ek1d_adaptive_filter(
 
 
 def _ek1d_kernel(
-    m0_ref, p_ref, us_ref, std_ref, ll_ref, *,
+    m0_ref, p_ref, us_ref, std_ref, ll_ref, sig_ref=None, *,
     f: Callable, jac_diag: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, T: int, dt: float, t0: float,
-    d: int, nq: int,
+    d: int, nq: int, static_diff=None,
 ):
     """Fixed-grid fused DiagonalEK1(dynamic) ensemble filter: the per-dim
     step of the datalik kernels (`_ek1d_pd_step_lists`) in a plain time
-    loop, emitting per-dim means/stds each step."""
+    loop, emitting per-dim means/stds each step. ``static_diff``: static
+    diffusion model — filter with the unscaled prior, accumulate the
+    per-member MLE/MAP sigma^2 into ``sig_ref`` (the per-dim innovation
+    variances make fixedMV exact here)."""
     m = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
     zero = jnp.zeros_like(m[0][0])
     C = [[[zero for _ in range(nq)] for _ in range(nq)] for _ in range(d)]
@@ -6629,25 +6984,38 @@ def _ek1d_kernel(
 
     step = functools.partial(
         _ek1d_pd_step_lists, f=f, jac_diag=jac_diag, At=At, Qt=Qt,
-        pinv0=pinv0, pinv1=pinv1, d=d, nq=nq,
+        pinv0=pinv0, pinv1=pinv1, d=d, nq=nq, static_diff=static_diff,
     )
 
+    if static_diff == "fixedMV":
+        calib0 = ([zero for _ in range(d)], zero)
+    else:
+        calib0 = (zero, zero)
+
     def body(k, carry):
-        m, C, ll = carry
+        m, C, ll, calib = carry
         k1 = k + jnp.ones((), k.dtype)
         t_new = _step_time(k, t0, dt, zero.dtype)
-        m_new, C_new, ll_inc = step(m, C, p_block, t_new)
+        if static_diff is not None:
+            m_new, C_new, ll_inc, calib = step(m, C, p_block, t_new,
+                                               calib=calib)
+        else:
+            m_new, C_new, ll_inc = step(m, C, p_block, t_new)
         for j in range(d):
             us_ref[k1, j] = pinv0 * m_new[0][j]
             std_ref[k1, j] = pinv0 * jnp.sqrt(
                 jnp.maximum(C_new[j][0][0], 0.0)
             )
-        return m_new, C_new, ll + ll_inc
+        return m_new, C_new, ll + ll_inc, calib
 
-    _, _, ll = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(T), body, (m, C, zero)
+    _, _, ll, calib = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (m, C, zero, calib0)
     )
     ll_ref[...] = ll
+    if static_diff is not None:
+        sig = calib[0]
+        for j in range(d):
+            sig_ref[j] = sig[j] if static_diff == "fixedMV" else sig
 
 
 @_no_x64
@@ -6662,6 +7030,7 @@ def ek1d_fused_filter(
     q: int,
     prior=None,
     mesh=None,
+    diffusion: str = "dynamic",
 ):
     """Fixed-grid fused DiagonalEK1 ensemble filter.
 
@@ -6670,15 +7039,25 @@ def ek1d_fused_filter(
     JVPs. Per-dim semantics identical to the Kronecker XLA path
     (`ops/kron.py _kron_attempt_step_diag`).
     """
+    static = None if diffusion == "dynamic" else str(diffusion)
+    if static is not None and static not in ("fixed", "fixedMAP", "fixedMV"):
+        raise NotImplementedError(
+            f"diffusion={diffusion!r}: fused fixed-grid kernels support "
+            "dynamic / fixed / fixedMAP / fixedMV"
+        )
     if jac_diag is None:
         jac_diag = _auto_jac_diag(f)
     if mesh is not None:
+        out_axes = (2, 2, 0) if static is None else (
+            (2, 2, 0, 1) if static == "fixedMV" else (2, 2, 0, 0)
+        )
         return _shard_over_ens(
             mesh,
             lambda m0_, ps_: ek1d_fused_filter(
                 f, jac_diag, m0_, ps_, t0, dt, n_steps, q, prior=prior,
+                diffusion=diffusion,
             ),
-            (m0, ps), in_axes=(2, 1), out_axes=(2, 2, 0),
+            (m0, ps), in_axes=(2, 1), out_axes=out_axes,
         )
     nq = q + 1
     _, d, B = m0.shape
@@ -6699,17 +7078,44 @@ def ek1d_fused_filter(
     kernel = functools.partial(
         _ek1d_kernel, f=f, jac_diag=jac_diag, At=At, Qt=Qt,
         pinv0=pinv0, pinv1=pinv1, T=T, dt=float(dt), t0=float(t0),
-        d=d, nq=nq,
+        d=d, nq=nq, static_diff=static,
     )
 
-    def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk):
-        kernel(
-            m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
-            us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
-            ll_blk.at[jnp.int32(0)],
+    out_specs = [
+        pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                     lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
+                     lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+        jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
+        jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+    ]
+    if static is not None:
+        out_specs.append(
+            pl.BlockSpec((1, d, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
         )
+        out_shape.append(jax.ShapeDtypeStruct((nb, d, _SUB, _LANE), dtype))
 
-    us, stds, lls = pl.pallas_call(
+        def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk, sig_blk):
+            kernel(
+                m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+                ll_blk.at[jnp.int32(0)], sig_blk.at[jnp.int32(0)],
+            )
+    else:
+        def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk):
+            kernel(
+                m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                us_blk.at[jnp.int32(0)], std_blk.at[jnp.int32(0)],
+                ll_blk.at[jnp.int32(0)],
+            )
+
+    outs = pl.pallas_call(
         entry,
         grid=(nb,),
         in_specs=[
@@ -6718,23 +7124,23 @@ def ek1d_fused_filter(
             pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
                          lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
-                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
-                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, _LANE), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(m0_p, ps_b)
+    us, stds, lls = outs[:3]
 
     us = us.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
     stds = stds.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+    if static is not None:
+        sig = outs[3]
+        lls = jnp.full((B,), jnp.nan, dtype)
+        if static == "fixedMV":
+            sigv = sig.transpose(1, 0, 2, 3).reshape(d, B)
+            stds = stds * jnp.sqrt(sigv)[None]
+        else:
+            sigv = sig[:, 0].reshape(B)
+            stds = stds * jnp.sqrt(sigv)[None, None]
+        return us, stds, lls, sigv
     return us, stds, lls.reshape(B)
 
 
@@ -6748,8 +7154,11 @@ def solve_ensemble_ek1d_pallas(
     q: int = 3,
     prior=None,
     mesh=None,
+    diffusion: str = "dynamic",
 ):
-    """Taylor-init + fixed-grid fused DiagonalEK1 ensemble filter."""
+    """Taylor-init + fixed-grid fused DiagonalEK1 ensemble filter.
+    ``diffusion``: see :func:`ek0_fused_filter` — static models return
+    ``(us, stds, lls=nan, sigma2)`` with exit-rescaled stds."""
     from odefilters.taylor import taylor_coefficients
 
     t0, t1 = tspan
@@ -6762,7 +7171,7 @@ def solve_ensemble_ek1d_pallas(
     m0 = jax.vmap(init_one)(u0s, ps).transpose(1, 2, 0)
     return ek1d_fused_filter(
         prob_f, prob_jac_diag, m0, ps.T, float(t0), float(dt), n_steps, q,
-        prior=prior, mesh=mesh,
+        prior=prior, mesh=mesh, diffusion=diffusion,
     )
 
 

@@ -2337,3 +2337,125 @@ def test_pallas_ensemble_ieks_matches_xla_interpret():
         odf.ieks_ensemble_pallas(
             prob, odf.EK0(order=q, smooth=True), u0s, ps, n_steps=T
         )
+
+
+def test_pallas_fixed_grid_static_diffusion_interpret():
+    """Static diffusion models (fixed / fixedMAP / fixedMV) on the
+    fixed-grid fused kernels (round-3 VERDICT item 4): the filter runs
+    with the unscaled prior, an in-kernel running MLE/MAP
+    (`diffusions.jl:11-36,46-68,115-153`) accumulates the per-member
+    global sigma^2, and the outputs carry the exit rescale
+    (`integrator_utils.jl:4-18`). Each path vs `solve_fixed` with the
+    same model: means exact, stds and sigma^2 to roundoff; lls = nan
+    (reference behavior). Covers EK0 filter (all three models), the EK0
+    filter+smoother pair, dense EK1 (+smoother), DiagonalEK1 (fixedMV is
+    exact per-dim there), front-door routing, and the adaptive-path
+    rejection."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.ensemble import solve_ensemble_pallas
+    from odefilters.fixedgrid import solve_fixed
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, T = pk.BLOCK, 20
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    dt = 2.0 / T
+    idx = 300
+
+    def xla(alg):
+        pr = odf.remake(prob, u0=u0s[idx], p=ps[idx])
+        sol = solve_fixed(pr, alg, dt=dt)
+        xstd = np.sqrt(np.einsum(
+            "sij,sij->si", np.asarray(sol.pu.chol), np.asarray(sol.pu.chol)
+        ))
+        return sol, xstd
+
+    # --- EK0 filter, all three static models ---
+    for model in ["fixed", "fixedMAP", "fixedMV"]:
+        with pltpu.force_tpu_interpret_mode():
+            us, stds, lls, sig = pk.solve_ensemble_ek0_pallas(
+                prob.f, u0s, ps, prob.tspan, T, q=3, diffusion=model
+            )
+        sol, xstd = xla(odf.EK0(order=3, diffusionmodel=model, smooth=False))
+        np.testing.assert_allclose(
+            np.asarray(us[:, :, idx]), np.asarray(sol.u), rtol=1e-10,
+            atol=1e-12,
+        )
+        if model == "fixedMV":
+            np.testing.assert_allclose(
+                np.asarray(stds[1:, :, idx]), xstd[1:], rtol=1e-8
+            )
+        else:  # EK0 scalar models: isotropic stds, one column suffices
+            np.testing.assert_allclose(
+                np.asarray(stds[1:, idx]), xstd[1:, 0], rtol=1e-8
+            )
+        np.testing.assert_allclose(
+            np.asarray(sig[..., idx]), np.asarray(sol.diffusions)[-1],
+            rtol=1e-9,
+        )
+        assert np.all(np.isnan(np.asarray(lls)))
+
+    # --- EK0 filter + RTS smoother pair ---
+    with pltpu.force_tpu_interpret_mode():
+        us_s, stds_s, sig_s = pk.solve_ensemble_ek0_pallas_smooth(
+            prob.f, u0s, ps, prob.tspan, T, q=3, diffusion="fixed"
+        )
+    sol, xstd = xla(odf.EK0(order=3, diffusionmodel="fixed", smooth=True))
+    np.testing.assert_allclose(
+        np.asarray(us_s[:, :, idx]), np.asarray(sol.u), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(stds_s[1:, idx]), xstd[1:, 0], rtol=1e-7
+    )
+
+    # --- dense EK1 (+ smoother) ---
+    with pltpu.force_tpu_interpret_mode():
+        us1, stds1, sig1 = pk.solve_ensemble_ek1_pallas(
+            prob.f, prob.jac, u0s, ps, prob.tspan, T, q=3, smooth=True,
+            diffusion="fixedMAP",
+        )
+    sol, xstd = xla(odf.EK1(order=3, diffusionmodel="fixedMAP", smooth=True))
+    np.testing.assert_allclose(
+        np.asarray(us1[:, :, idx]), np.asarray(sol.u), rtol=1e-8, atol=1e-10
+    )
+    # smoothed stds sit at the MGS-vs-QR house tolerance (the filter-only
+    # static EK1 stds are exact; verified while writing this test)
+    np.testing.assert_allclose(
+        np.asarray(stds1[1:, :, idx]), xstd[1:], rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(sig1[idx]), float(np.asarray(sol.diffusions)[-1]), rtol=1e-8
+    )
+
+    # --- DiagonalEK1, per-dim fixedMV ---
+    with pltpu.force_tpu_interpret_mode():
+        usd, stdsd, llsd, sigd = pk.solve_ensemble_ek1d_pallas(
+            prob.f, None, u0s, ps, prob.tspan, T, q=3, diffusion="fixedMV"
+        )
+    sol, xstd = xla(
+        odf.DiagonalEK1(order=3, diffusionmodel="fixedMV", smooth=False)
+    )
+    np.testing.assert_allclose(
+        np.asarray(usd[:, :, idx]), np.asarray(sol.u), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(stdsd[1:, :, idx]), xstd[1:], rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sigd[:, idx]), np.asarray(sol.diffusions)[-1], rtol=1e-8
+    )
+
+    # --- front door: static fixed-grid routes; adaptive rejects ---
+    with pltpu.force_tpu_interpret_mode():
+        eks = solve_ensemble_pallas(
+            prob, odf.EK0(order=3, diffusionmodel="fixed", smooth=False),
+            u0s, ps, n_save=T, adaptive=False,
+        )
+    assert eks.diffusions is not None and eks.diffusions.shape == (B,)
+    with pytest.raises(NotImplementedError, match="ADAPTIVE"):
+        solve_ensemble_pallas(
+            prob, odf.EK0(order=3, diffusionmodel="fixed"), u0s, ps
+        )
