@@ -957,12 +957,102 @@ def _ek0_data_update_lists(m, C, y_row, dmask, *, pinv0, r2, d, nq):
     return m_new, C_new, dll_inc
 
 
+def _sched_total_steps(sched) -> int:
+    """Total ODE steps of an off-grid schedule (= stream length)."""
+    T = 0
+    for it in sched:
+        T += (it[2] - it[1]) if it[0] == "run" else 1
+    return T
+
+
+def _sched_odd_consts(sched, q: int, dt: float, prior, fdtype):
+    """Static per-odd-dt' step constants for an off-grid schedule.
+
+    For each distinct non-base step size dt' in the schedule:
+    ``(At', Qt', pinv0', pinv1', pinv_b', r)`` where ``r`` are the
+    STATIC rescale factors ``p_i(dt')/p_i(dt)`` taking a state carried
+    preconditioned at the base dt into the dt' frame (and back by
+    division). All exact host floats — no traced exp/log in-kernel."""
+    out = {}
+    nq = q + 1
+    for it in sched:
+        if it[0] == "one":
+            dtp = it[3]
+            if dtp != dt and dtp not in out:
+                At_o, Qt_o, pinv0_o, pinv1_o, p_np_o = _ek0_consts(
+                    q, dtp, fdtype, prior
+                )
+                jj = np.arange(nq, dtype=np.float64)
+                r = tuple(
+                    float(v) for v in
+                    (float(dtp) ** (jj - q - 0.5))
+                    / (float(dt) ** (jj - q - 0.5))
+                )
+                out[dtp] = (At_o, Qt_o, pinv0_o, pinv1_o,
+                            float(1.0 / p_np_o[2]), r)
+    return out
+
+
+def _build_offgrid_sched(ts_np, is_data, dt: float, t0: float, tol: float):
+    """Static step schedule from a merged (base grid + observation times)
+    grid, for the off-grid data-likelihood kernels.
+
+    Items (hashable, suitable as custom-vjp nondiff args):
+
+    * ``("run", k0, k1, off)`` — a maximal run of base-lattice uniform
+      steps with lattice indices k in [k0, k1) (step time
+      t0 + dt (k+1)); stream position = k + off.
+    * ``("one", pos, t_b, dtp, si)`` — a single step to the static time
+      ``t_b`` with step size ``dtp`` (== dt for a lattice step that ends
+      at an observation row); ``si`` >= 0 applies data update si after
+      the step (-1: none); stream position = pos.
+
+    Stream positions are the sequential step index 0..T-1, so the
+    backward kernel's decreasing-prefetch DMA chain is preserved."""
+    items = []
+    T = len(ts_np) - 1
+    run = None  # [k0, k1, off]
+    si_counter = 0
+    for i in range(T):
+        t_b = float(ts_np[i + 1])
+        dti = float(ts_np[i + 1] - ts_np[i])
+        m_lat = int(round((t_b - t0) / dt))
+        uniform = (
+            abs(dti - dt) <= tol
+            and abs(t_b - (t0 + m_lat * dt)) <= tol
+        )
+        data_after = bool(is_data[i + 1])
+        if uniform and not data_after:
+            k = m_lat - 1
+            if run is not None and run[1] == k and run[2] == i - k:
+                run[1] = k + 1
+            else:
+                if run is not None:
+                    items.append(("run", run[0], run[1], run[2]))
+                run = [k, k + 1, i - k]
+        else:
+            if run is not None:
+                items.append(("run", run[0], run[1], run[2]))
+                run = None
+            si = si_counter if data_after else -1
+            if data_after:
+                si_counter += 1
+            items.append((
+                "one", i, t_b, float(dt) if uniform else dti, si
+            ))
+    if run is not None:
+        items.append(("run", run[0], run[1], run[2]))
+    assert _sched_total_steps(items) == T
+    return tuple(items)
+
+
 def _ek0_datalik_kernel(
     m0_ref, p_ref, y_ref, dll_ref, ll_ref, *,
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, r2: float, seg_lens: tuple,
     dt: float, t0: float, d: int, nq: int,
     so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
+    sched=None, odd_consts=None,
 ):
     """Filter + data updates with a STATICALLY segmented time loop.
 
@@ -994,6 +1084,31 @@ def _ek0_datalik_kernel(
 
     ll = zero
     dll = zero
+    if sched is not None:
+        for it in sched:
+            if it[0] == "run":
+                _, k0, k1, _off = it
+                m, C, ll = jax.lax.fori_loop(
+                    jnp.int32(k0), jnp.int32(k1), body, (m, C, ll)
+                )
+            else:
+                _, _pos, t_b, dtp, si = it
+                t_tr = zero + jnp.asarray(t_b, zero.dtype)
+                if dtp == dt:
+                    m, C, ll_inc, _, _ = step(m, C, p_block, t_tr)
+                else:
+                    m, C, ll_inc = _odd_step_lists(
+                        m, C, p_block, t_tr, odd_consts[dtp], f=f, d=d,
+                        nq=nq, so=so, stop_calib=stop_calib,
+                    )
+                ll = ll + ll_inc
+                if si >= 0:
+                    y_row = [y_ref[si, j] for j in range(d)]
+                    m, C, dll_inc = dupd(m, C, y_row, one)
+                    dll = dll + dll_inc
+        dll_ref[...] = dll
+        ll_ref[...] = ll
+        return
     k_base = 0
     for si, L in enumerate(seg_lens):
         if L > 0:
@@ -1009,9 +1124,29 @@ def _ek0_datalik_kernel(
     ll_ref[...] = ll
 
 
+def _odd_step_lists(m, C, p_block, t_new, consts, *, f, d, nq, so,
+                    stop_calib):
+    """One EK0 step at a non-base step size: rescale the base-dt
+    preconditioned state into the dt' frame (static factors r), run the
+    standard step with the dt' constants, rescale back. Pure function of
+    ``(m, C, p)`` — vjp-able like `_ek0_step_lists`."""
+    At_o, Qt_o, pinv0_o, pinv1_o, pinv_b_o, r = consts
+    mh = [[m[i][j] * r[i] for j in range(d)] for i in range(nq)]
+    Ch = [[C[i][l] * (r[i] * r[l]) for l in range(nq)] for i in range(nq)]
+    m1, C1, ll_inc, _, _ = _ek0_step_lists(
+        mh, Ch, p_block, t_new, f=f, At=At_o, Qt=Qt_o, pinv0=pinv0_o,
+        pinv1=pinv1_o, d=d, nq=nq, so=so, pinv_b=pinv_b_o if so else 0.0,
+        stop_calib=stop_calib,
+    )
+    m1 = [[m1[i][j] / r[i] for j in range(d)] for i in range(nq)]
+    C1 = [[C1[i][l] / (r[i] * r[l]) for l in range(nq)] for i in range(nq)]
+    return m1, C1, ll_inc
+
+
 @_no_x64
 def _ek0_datalik_blocked(
-    f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr, so=False
+    f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr, so=False,
+    sched=None,
 ):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
@@ -1019,11 +1154,15 @@ def _ek0_datalik_blocked(
     dtype = m0_p.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
     At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
+    odd_consts = (None if sched is None else
+                  _sched_odd_consts(sched, q, float(dt), prior, fdtype))
     kernel = functools.partial(
         _ek0_datalik_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        r2=float(r2), seg_lens=tuple(seg_lens), dt=float(dt), t0=float(t0),
+        r2=float(r2), seg_lens=None if sched is not None else tuple(seg_lens),
+        dt=float(dt), t0=float(t0),
         d=d, nq=nq, so=bool(so),
         pinv_b=float(1.0 / p_np[2]) if so else 0.0,
+        sched=sched, odd_consts=odd_consts,
     )
 
     def entry(m0_blk, p_blk, y_blk, dll_blk, ll_blk):
@@ -1070,6 +1209,7 @@ def _ek0_datalik_grad_fwd_kernel(
     row, sem, *,
     f, At, Qt, pinv0, pinv1, r2, seg_lens, dt, t0, d, nq,
     so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
+    sched=None, odd_consts=None,
 ):
     """Segmented data-likelihood filter, streaming the state at entry of
     every ODE step (post any data update) for the adjoint sweep."""
@@ -1090,29 +1230,59 @@ def _ek0_datalik_grad_fwd_kernel(
     def pack_and_send(k_idx, m, C):
         _pack_mc_and_send(row, st_ref, sem, k_idx, m, C, d, nq)
 
-    def body(k, carry):
-        m, C, ll = carry
-        pack_and_send(k, m, C)          # state at ENTRY of step k
-        t_new = _step_time(k, t0, dt, zero.dtype)
-        m_new, C_new, ll_inc, _, _ = step(m, C, p_block, t_new)
-        return m_new, C_new, ll + ll_inc
+    def body_off(off):
+        def body(k, carry):
+            m, C, ll = carry
+            pack_and_send(k + jnp.int32(off), m, C)  # entry of stream pos
+            t_new = _step_time(k, t0, dt, zero.dtype)
+            m_new, C_new, ll_inc, _, _ = step(m, C, p_block, t_new)
+            return m_new, C_new, ll + ll_inc
+
+        return body
+
+    body = body_off(0)
 
     ll = zero
     dll = zero
-    k_base = 0
-    for si, L in enumerate(seg_lens):
-        if L > 0:
-            m, C, ll = jax.lax.fori_loop(
-                jnp.int32(k_base), jnp.int32(k_base + L), body, (m, C, ll)
-            )
-        k_base += L
-        if si < len(seg_lens) - 1:
-            y_row = [y_ref[si, j] for j in range(d)]
-            m, C, dll_inc = dupd(m, C, y_row, one)
-            dll = dll + dll_inc
+    if sched is not None:
+        for it in sched:
+            if it[0] == "run":
+                _, k0, k1, off = it
+                m, C, ll = jax.lax.fori_loop(
+                    jnp.int32(k0), jnp.int32(k1), body_off(off), (m, C, ll)
+                )
+            else:
+                _, pos, t_b, dtp, si = it
+                pack_and_send(jnp.int32(pos), m, C)
+                t_tr = zero + jnp.asarray(t_b, zero.dtype)
+                if dtp == dt:
+                    m, C, ll_inc, _, _ = step(m, C, p_block, t_tr)
+                else:
+                    m, C, ll_inc = _odd_step_lists(
+                        m, C, p_block, t_tr, odd_consts[dtp], f=f, d=d,
+                        nq=nq, so=so, stop_calib=stop_calib,
+                    )
+                ll = ll + ll_inc
+                if si >= 0:
+                    y_row = [y_ref[si, j] for j in range(d)]
+                    m, C, dll_inc = dupd(m, C, y_row, one)
+                    dll = dll + dll_inc
+        T = _sched_total_steps(sched)
+    else:
+        k_base = 0
+        for si, L in enumerate(seg_lens):
+            if L > 0:
+                m, C, ll = jax.lax.fori_loop(
+                    jnp.int32(k_base), jnp.int32(k_base + L), body, (m, C, ll)
+                )
+            k_base += L
+            if si < len(seg_lens) - 1:
+                y_row = [y_ref[si, j] for j in range(d)]
+                m, C, dll_inc = dupd(m, C, y_row, one)
+                dll = dll + dll_inc
+        T = sum(seg_lens)
     dll_ref[...] = dll
     ll_ref[...] = ll
-    T = sum(seg_lens)
     # drain in-flight copies (entries T-1, T-2)
     if T >= 1:
         pltpu.make_async_copy(
@@ -1132,6 +1302,7 @@ def _ek0_datalik_grad_bwd_kernel(
     row, sem, *,
     f, At, Qt, pinv0, pinv1, r2, seg_lens, dt, t0, d, nq,
     so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
+    sched=None, odd_consts=None,
 ):
     """Adjoint of the segmented data-likelihood filter: walks the streamed
     states in reverse, vjp-ing the ODE step per step and (at the static
@@ -1169,15 +1340,16 @@ def _ek0_datalik_grad_bwd_kernel(
     dC = [[zero for _ in range(nq)] for _ in range(nq)]
     dp = jnp.zeros_like(p_block)
 
-    def plain_body(s, carry, a, b):
+    def plain_body(s, carry, a, b, off=0):
         del a  # segment start only fixes the static trip count
         dm, dC, dp = carry
         k = jnp.asarray(b - 1, jnp.int32) - s
-        m_k, C_k = wait_and_read(k)
+        pos = k + jnp.int32(off)
+        m_k, C_k = wait_and_read(pos)
 
-        @pl.when(k >= 1)
+        @pl.when(pos >= 1)
         def _():
-            start_load(k - jnp.ones((), k.dtype))
+            start_load(pos - jnp.ones((), pos.dtype))
 
         t_new = _step_time(k, t0, dt, zero.dtype)
         _, vjp_fn = jax.vjp(
@@ -1185,6 +1357,56 @@ def _ek0_datalik_grad_bwd_kernel(
         )
         dm_k, dC_k, dp_k = vjp_fn((dm, dC, dall))
         return dm_k, dC_k, dp + dp_k
+
+    if sched is not None:
+        T = _sched_total_steps(sched)
+        if T >= 1:
+            start_load(jnp.int32(T - 1))
+        for it in reversed(sched):
+            if it[0] == "run":
+                _, k0, k1, off = it
+                dm, dC, dp = jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(k1 - k0),
+                    functools.partial(plain_body, a=k0, b=k1, off=off),
+                    (dm, dC, dp),
+                )
+            else:
+                _, pos, t_b, dtp, si = it
+                m_k, C_k = wait_and_read(jnp.int32(pos))
+                if pos >= 1:
+                    start_load(jnp.int32(pos - 1))
+                t_tr = zero + jnp.asarray(t_b, zero.dtype)
+                if dtp == dt:
+                    def one_step(m, C, p, _t=t_tr):
+                        return stepr(m, C, p, _t)
+                else:
+                    def one_step(m, C, p, _t=t_tr, _c=odd_consts[dtp]):
+                        return _odd_step_lists(
+                            m, C, p, _t, _c, f=f, d=d, nq=nq, so=so,
+                            stop_calib=stop_calib,
+                        )
+                if si >= 0:
+                    y_row = [y_ref[si, j] for j in range(d)]
+
+                    def comp(m, C, p, y, _s=one_step):
+                        m1, C1, ll_inc = _s(m, C, p)
+                        m2, C2, dll_inc = dupd(m1, C1, y, one_c)
+                        return m2, C2, ll_inc, dll_inc
+
+                    _, vjp_fn = jax.vjp(comp, m_k, C_k, p_block, y_row)
+                    dm, dC, dp_k, dy_row = vjp_fn((dm, dC, dall, ddll))
+                    dp = dp + dp_k
+                    for j in range(d):
+                        dy_ref[si, j] = dy_row[j] + jnp.zeros_like(ddll)
+                else:
+                    _, vjp_fn = jax.vjp(one_step, m_k, C_k, p_block)
+                    dm, dC, dp_k = vjp_fn((dm, dC, dall))
+                    dp = dp + dp_k
+        for i in range(nq):
+            for j in range(d):
+                dm0_ref[i, j] = dm[i][j]
+        dp_ref[...] = dp
+        return
 
     offs = _seg_offsets(seg_lens)
     n_obs = len(seg_lens) - 1
@@ -1232,34 +1454,42 @@ def _ek0_datalik_grad_bwd_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
 )
 @_no_x64
 def _ek0_datalik_vjp(
-    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, m0_p, ps_b, y_arr
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, sched,
+    m0_p, ps_b, y_arr
 ):
     return _ek0_datalik_blocked(
-        f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr, so=so
+        f, q, dt, t0, r2, prior, seg_lens, m0_p, ps_b, y_arr, so=so,
+        sched=sched,
     )
 
 
 @_no_x64
 def _ek0_datalik_vjp_fwd(
-    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, m0_p, ps_b, y_arr
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, sched,
+    m0_p, ps_b, y_arr
 ):
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
     n_obs = y_arr.shape[0]
-    T = int(sum(seg_lens))
+    T = (int(sum(seg_lens)) if sched is None
+         else _sched_total_steps(sched))
     dtype = m0_p.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
     At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
+    odd_consts = (None if sched is None else
+                  _sched_odd_consts(sched, q, float(dt), prior, fdtype))
     kernel = functools.partial(
         _ek0_datalik_grad_fwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
-        pinv1=pinv1, r2=float(r2), seg_lens=tuple(seg_lens),
+        pinv1=pinv1, r2=float(r2),
+        seg_lens=None if sched is not None else tuple(seg_lens),
         dt=float(dt), t0=float(t0), d=d, nq=nq,
         so=bool(so), pinv_b=float(1.0 / p_np[2]) if so else 0.0,
         stop_calib=bool(stop_calib),
+        sched=sched, odd_consts=odd_consts,
     )
     W = d + nq
     scratch = [
@@ -1306,7 +1536,7 @@ def _ek0_datalik_vjp_fwd(
 
 @_no_x64
 def _ek0_datalik_vjp_bwd(
-    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, res, cts
+    f, q, dt, t0, r2, prior, seg_lens, stop_calib, so, sched, res, cts
 ):
     st, ps_b, y_arr = res
     ddll, dall = cts
@@ -1318,12 +1548,16 @@ def _ek0_datalik_vjp_bwd(
     dtype = ps_b.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
     At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
+    odd_consts = (None if sched is None else
+                  _sched_odd_consts(sched, q, float(dt), prior, fdtype))
     kernel = functools.partial(
         _ek0_datalik_grad_bwd_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0,
-        pinv1=pinv1, r2=float(r2), seg_lens=tuple(seg_lens),
+        pinv1=pinv1, r2=float(r2),
+        seg_lens=None if sched is not None else tuple(seg_lens),
         dt=float(dt), t0=float(t0), d=d, nq=nq,
         so=bool(so), pinv_b=float(1.0 / p_np[2]) if so else 0.0,
         stop_calib=bool(stop_calib),
+        sched=sched, odd_consts=odd_consts,
     )
     scratch = [
         pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
@@ -1408,8 +1642,15 @@ def ensemble_data_loglik_pallas(
     chain-rule quantity, dynamic diffusion; `datalik.py:127-214`),
     vectorized over B (u0, p) candidates: the inference sweep for
     SMC/MCMC/grid search runs at fused-filter throughput instead of the
-    batched XLA path. ``ts_data`` must lie on the uniform solve grid
-    (within 1e-6 dt) and be strictly after t0.
+    batched XLA path. ``ts_data`` must be strictly increasing and inside
+    ``(t0, t1]``; times may lie OFF the uniform grid on the default
+    isotropic path — they are merged into the grid host-side exactly as
+    `datalik.py:86-120` does and the kernel walks a static per-step
+    schedule (base-lattice runs as fori_loops; the 1-2 odd-dt steps
+    around each observation as unrolled steps with their own static
+    preconditioner constants — differentiable like the uniform path).
+    The structured paths (ek1 / diagonal_ek1 / partial obs / per-member
+    data) still require grid-aligned times (within 1e-6 dt).
 
     Observation models (VERDICT r2 item 3 — all tested against the XLA
     path in interpret mode):
@@ -1506,21 +1747,45 @@ def ensemble_data_loglik_pallas(
             f"obs_noise_std must be a scalar or ({d_obs},) vector"
         )
 
-    kidx = np.round((td - float(t0)) / float(dt)).astype(int)
-    if np.any(np.abs(td - (float(t0) + kidx * float(dt))) > 1e-6 * float(dt)):
-        raise ValueError(
-            "ts_data must lie on the uniform grid t0 + k (t1-t0)/n_steps "
-            "(use odefilters.datalik.filter_with_data for arbitrary times)"
-        )
-    if np.any(kidx < 1) or np.any(kidx > T):
-        raise ValueError("ts_data must be in (t0, t1]")
-    if np.any(np.diff(kidx) <= 0):
-        raise ValueError("ts_data must be strictly increasing (unique rows)")
-
     dtype = u0s.dtype
-    # static segmentation: ODE steps between consecutive observations
-    bounds = np.concatenate([[0], kidx, [T]])
-    seg_lens = tuple(int(x) for x in np.diff(bounds))
+    kidx = np.round((td - float(t0)) / float(dt)).astype(int)
+    on_grid = not np.any(
+        np.abs(td - (float(t0) + kidx * float(dt))) > 1e-6 * float(dt)
+    )
+    sched = None
+    if on_grid:
+        if np.any(kidx < 1) or np.any(kidx > T):
+            raise ValueError("ts_data must be in (t0, t1]")
+        if np.any(np.diff(kidx) <= 0):
+            raise ValueError("ts_data must be strictly increasing (unique rows)")
+        # static segmentation: ODE steps between consecutive observations
+        bounds = np.concatenate([[0], kidx, [T]])
+        seg_lens = tuple(int(x) for x in np.diff(bounds))
+    else:
+        # OFF-GRID observation times: merge them into the uniform grid
+        # host-side exactly as the XLA path does (`datalik.py:86-120`)
+        # and walk a static per-step schedule — base-lattice runs stay
+        # fori_loops, the 1-2 odd-dt steps around each observation are
+        # single unrolled steps with their own static constants.
+        from types import SimpleNamespace
+
+        from odefilters.datalik import _merged_grid
+
+        ts_m, is_data_m, _ = _merged_grid(
+            SimpleNamespace(tspan=(float(t0), float(t1))), td, T, dtype
+        )
+        ts_np = np.asarray(ts_m, np.float64)
+        is_data_np = np.asarray(is_data_m)
+        if is_data_np[0]:
+            raise ValueError("ts_data must be strictly after t0")
+        eps_span = (float(t1) - float(t0)) * float(
+            np.finfo(np.dtype(dtype)).eps
+        )
+        tol = max(float(dt) * 1e-6, 64.0 * eps_span)
+        sched = _build_offgrid_sched(
+            ts_np, is_data_np, float(dt), float(t0), tol
+        )
+        seg_lens = None
 
     if second_order:
         def init_one(u0_full, p):
@@ -1554,10 +1819,18 @@ def ensemble_data_loglik_pallas(
             "second_order data likelihood supports full-state "
             "observations with scalar noise shared by all members"
         )
+    if sched is not None and not iso:
+        raise NotImplementedError(
+            "off-grid ts_data on the fused kernels is supported for the "
+            "isotropic EK0 path (full-state obs, scalar noise, shared "
+            "data); snap observations to the grid or use "
+            "odefilters.datalik.filter_with_data / data_loglik for the "
+            "other observation models"
+        )
     if iso:
         dll, ll = _ek0_datalik_vjp(
             prob_f, q, float(dt), float(t0), float(r_std) ** 2,
-            prior, seg_lens, not calib_grad, bool(second_order),
+            prior, seg_lens, not calib_grad, bool(second_order), sched,
             m0_p, ps_b, ys.astype(dtype),
         )
         return dll.reshape(B), ll.reshape(B)

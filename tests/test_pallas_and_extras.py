@@ -2459,3 +2459,71 @@ def test_pallas_fixed_grid_static_diffusion_interpret():
         solve_ensemble_pallas(
             prob, odf.EK0(order=3, diffusionmodel="fixed"), u0s, ps
         )
+
+
+def test_pallas_datalik_offgrid_observations_interpret():
+    """Off-grid observation times on the fused data-likelihood kernel
+    (round-3 VERDICT item 7): times that do NOT lie on the uniform solve
+    grid are merged into it host-side exactly as the XLA path does
+    (`datalik.py:86-120`) and the kernel walks a static per-step
+    schedule — uniform base-lattice runs stay fori_loops, the odd-dt
+    steps around each observation are unrolled with their own static
+    preconditioner constants. Values AND gradients vs the XLA
+    `data_loglik` at machine precision; the previous 1e-6 dt snapping
+    ValueError is gone on the isotropic path (structured paths still
+    require grid-aligned times and say so)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.datalik import data_loglik, filter_with_data
+    from odefilters.ops import pallas_kernels as pk
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 1.0))
+    B, T = pk.BLOCK, 10
+    key = jax.random.PRNGKey(5)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    ts_data = np.array([0.137, 0.33, 0.55, 0.777])   # none on the grid
+    ys = jnp.asarray(0.5 + 0.1 * jax.random.normal(key, (4, 2)), jnp.float64)
+
+    def loss(u0s_, ps_, ys_):
+        dll, oll = pk.ensemble_data_loglik_pallas(
+            prob.f, u0s_, ps_, prob.tspan, T, ts_data, ys_, 0.1, q=2
+        )
+        return jnp.sum(dll), (dll, oll)
+
+    with pltpu.force_tpu_interpret_mode():
+        (_, (dll, oll)), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(u0s, ps, ys)
+
+    for idx in [0, 7]:
+        pr = odf.remake(prob, u0=u0s[idx], p=ps[idx])
+
+        def xloss(u0, p):
+            return data_loglik(
+                odf.remake(prob, u0=u0, p=p), odf.EK0(order=2),
+                ts_data, ys, 0.1, n_grid=T,
+            )
+
+        xdll, xg = jax.value_and_grad(xloss, argnums=(0, 1))(
+            u0s[idx], ps[idx]
+        )
+        sol, _ = filter_with_data(
+            pr, odf.EK0(order=2, smooth=False), ts_data, ys, 0.1, n_grid=T
+        )
+        np.testing.assert_allclose(float(dll[idx]), float(xdll), rtol=1e-12)
+        np.testing.assert_allclose(
+            float(oll[idx]), float(sol.log_likelihood), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads[0][idx]), np.asarray(xg[0]), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads[1][idx]), np.asarray(xg[1]), rtol=1e-9
+        )
+
+    # structured paths keep the restriction, with guidance
+    with pytest.raises(NotImplementedError, match="off-grid"):
+        pk.ensemble_data_loglik_pallas(
+            prob.f, u0s, ps, prob.tspan, T, ts_data, ys, 0.1, q=2, ek1=True
+        )
