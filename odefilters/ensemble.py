@@ -128,11 +128,22 @@ def solve_ensemble_pallas(
     sequence divergence for EK1 (MGS vs the driver's QR — documented in
     docs/kernels.md).
     """
+    mass_diag = None
     if getattr(prob, "mass_matrix", None) is not None:
-        raise NotImplementedError(
-            "mass-matrix problems are supported on the dense solver paths "
-            "(odefilters.solve / solve_fixed) only"
+        M = prob.mass_matrix
+        ok = (
+            getattr(M, "ndim", 2) == 1
+            and getattr(alg, "is_diagonal_ek1", False)
+            and adaptive and not alg.smooth and not prob.second_order
         )
+        if not ok:
+            raise NotImplementedError(
+                "mass-matrix problems on the fused kernels require a "
+                "DIAGONAL mass, DiagonalEK1, adaptive=True and "
+                "smooth=False (per-dim structure); use the dense solver "
+                "paths (odefilters.solve / solve_fixed) otherwise"
+            )
+        mass_diag = M
     from odefilters.ops import pallas_kernels as pk
 
     if adaptive and alg.diffusionmodel != "dynamic":
@@ -193,7 +204,8 @@ def solve_ensemble_pallas(
                 if jd is None and prob.jac is not None:
                     jd = _diag_from_full(prob.jac, d)
             out = pk.solve_ensemble_ek1d_adaptive_pallas(
-                prob.f, jd, u0s, ps, prob.tspan, n_save, q=q, **kw
+                prob.f, jd, u0s, ps, prob.tspan, n_save, q=q,
+                mass_diag=mass_diag, **kw
             )
         elif alg.is_ek1:
             out = pk.solve_ensemble_ek1_adaptive_pallas(

@@ -145,7 +145,8 @@ def _solve_fixed_kron_jit_inner(
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_kron_model(alg, prob.f, d, dtype,
                             second_order=prob.second_order,
-                            jac_diag=_kron_jac_diag(prob, alg))
+                            jac_diag=_kron_jac_diag(prob, alg),
+                            mass_diag=_kron_mass_diag(prob, alg, dtype))
 
     if prob.second_order:
         from odefilters.taylor import taylor_coefficients_2nd
@@ -155,9 +156,14 @@ def _solve_fixed_kron_jit_inner(
             prob.f, u0_full[:d], u0_full[d:], prob.p, prob.tspan[0], q
         )
     else:
+        from odefilters.problem import init_rhs
+
+        tm = taylor_method
+        if prob.mass_matrix is not None and tm == "auto":
+            tm = "jvp"  # jet has no rules for the DAE RHS's QR solve
         derivs = taylor_coefficients(
-            prob.f, prob.u0.astype(dtype), prob.p, prob.tspan[0], q,
-            method=taylor_method,
+            init_rhs(prob), prob.u0.astype(dtype), prob.p, prob.tspan[0], q,
+            method=tm,
         )
     m0 = jnp.stack(derivs)  # (q+1, d)
     if alg.diffusionmodel in ("dynamicMV",) or alg.is_diagonal_ek1:
@@ -354,6 +360,28 @@ def _evaluate_one(sol: KronProbODESolution, tval):
     return _sol_u(out, so2), _sol_u_std(out, so2)
 
 
+def _kron_mass_diag(prob, alg, dtype):
+    """Diagonal-mass support on the Kronecker path (DiagonalEK1 only).
+
+    Returns the (d,) mass diagonal or None; raises for configurations the
+    per-dim structure cannot absorb (dense M, or EK0/EK1 with any M —
+    EK0's shared isotropic covariance breaks under non-uniform rows,
+    dense EK1 has no Kron structure at all). Zero diagonal entries state
+    index-1 algebraic constraints, handled exactly like the dense path's
+    ``z = M E1 x - f`` measurement (step.py:282)."""
+    M = getattr(prob, "mass_matrix", None)
+    if M is None:
+        return None
+    M = jnp.asarray(M)
+    if M.ndim != 1 or not alg.is_diagonal_ek1:
+        raise NotImplementedError(
+            "mass-matrix problems on the Kronecker fast path require a "
+            "DIAGONAL mass (shape (d,)) and DiagonalEK1; use the dense "
+            "solver paths (odefilters.solve / solve_fixed) otherwise"
+        )
+    return M.astype(dtype)
+
+
 def solve_fixed_kron(
     prob: ODEProblem,
     alg: AbstractEK,
@@ -366,10 +394,8 @@ def solve_fixed_kron(
 ) -> KronProbODESolution:
     """Fixed-grid EK0 solve on the Kronecker fast path."""
     if getattr(prob, "mass_matrix", None) is not None:
-        raise NotImplementedError(
-            "mass-matrix problems are supported on the dense solver paths "
-            "(odefilters.solve / solve_fixed) only"
-        )
+        # validate eagerly (diagonal + DiagonalEK1 only); used in the jit
+        _kron_mass_diag(prob, alg, jnp.float32)
     t0, t1 = prob.tspan
     if ts is None:
         if dt is None:
@@ -391,11 +417,6 @@ def solve_fixed_kron(
 def _solve_adaptive_kron_jit(
     prob, alg, abstol, reltol, dt0, max_steps, maxiters, dtmin, taylor_method
 ):
-    if getattr(prob, "mass_matrix", None) is not None:
-        raise NotImplementedError(
-            "mass-matrix problems are supported on the dense solver paths "
-            "(odefilters.solve / solve_fixed) only"
-        )
     from odefilters.linalg import highest_precision
 
     with highest_precision():
@@ -426,7 +447,8 @@ def _solve_adaptive_kron_impl(
     dtype = jnp.result_type(prob.u0.dtype, jnp.float32)
     model = make_kron_model(alg, prob.f, d, dtype,
                             second_order=prob.second_order,
-                            jac_diag=_kron_jac_diag(prob, alg))
+                            jac_diag=_kron_jac_diag(prob, alg),
+                            mass_diag=_kron_mass_diag(prob, alg, dtype))
     t0, t1 = prob.tspan
     N1 = max_steps + 1
 
@@ -438,8 +460,13 @@ def _solve_adaptive_kron_impl(
             prob.f, u0_full[:d], u0_full[d:], prob.p, t0, q
         )
     else:
+        from odefilters.problem import init_rhs
+
+        tm = taylor_method
+        if prob.mass_matrix is not None and tm == "auto":
+            tm = "jvp"
         derivs = taylor_coefficients(
-            prob.f, prob.u0.astype(dtype), prob.p, t0, q, method=taylor_method
+            init_rhs(prob), prob.u0.astype(dtype), prob.p, t0, q, method=tm
         )
     m0 = jnp.stack(derivs)
     if alg.diffusionmodel == "dynamicMV" or alg.is_diagonal_ek1:
@@ -573,10 +600,7 @@ def solve_adaptive_kron(
     prefer scalar models at extreme PDE scale).
     """
     if getattr(prob, "mass_matrix", None) is not None:
-        raise NotImplementedError(
-            "mass-matrix problems are supported on the dense solver paths "
-            "(odefilters.solve / solve_fixed) only"
-        )
+        _kron_mass_diag(prob, alg, jnp.float32)  # eager validation
     if alg.is_ek1 and not alg.is_diagonal_ek1:
         raise ValueError(
             "the Kronecker fast path requires EK0 or DiagonalEK1 structure"

@@ -57,6 +57,12 @@ class KronModel:
     second_order: bool = False  # measure block 2: z = E2 x - f(du, u)
     # (u, p, t) -> (d,) Jacobian diagonal (DiagonalEK1 only)
     jac_diag: Any = None
+    # (d,) diagonal mass matrix of ``M u' = f`` (DiagonalEK1 only; zeros
+    # state index-1 algebraic constraints). None = identity. A diagonal M
+    # preserves the per-dimension structure exactly: the measurement row
+    # becomes ``h_j = M_jj pinv1 e_1 - J_jj pinv0 e_0`` and the residual
+    # ``z_j = M_jj (E1 x)_j - f_j`` (dense-path semantics, step.py:282).
+    mass_diag: Any = None
 
     @property
     def is_iwp(self) -> bool:
@@ -76,7 +82,8 @@ class KronModel:
 
 
 def make_kron_model(alg: AbstractEK, f, d: int, dtype,
-                    second_order: bool = False, jac_diag=None) -> KronModel:
+                    second_order: bool = False, jac_diag=None,
+                    mass_diag=None) -> KronModel:
     if alg.is_ek1 and not alg.is_diagonal_ek1:
         raise ValueError(
             "the Kronecker fast path requires EK0 or DiagonalEK1 structure"
@@ -89,10 +96,18 @@ def make_kron_model(alg: AbstractEK, f, d: int, dtype,
         )
     if second_order and alg.order < 2:
         raise ValueError("second-order problems need solver order >= 2")
+    if mass_diag is not None and not alg.is_diagonal_ek1:
+        # EK0's shared isotropic covariance breaks under a non-uniform
+        # diagonal M (per-dim measurement rows differ); DiagonalEK1
+        # carries per-dim covariances and absorbs it exactly
+        raise NotImplementedError(
+            "mass matrices on the Kronecker path require DiagonalEK1 "
+            "(per-dimension covariances); use the dense path for EK0/EK1"
+        )
     At, QLt = ibm_small(alg.order, dtype=dtype)
     return KronModel(alg=alg, d=d, q=alg.order, f=f, At=At, QLt=QLt,
                      dtype=dtype, second_order=second_order,
-                     jac_diag=jac_diag)
+                     jac_diag=jac_diag, mass_diag=mass_diag)
 
 
 @jax.tree_util.register_dataclass
@@ -277,7 +292,13 @@ def _kron_attempt_step_diag(
     m_pred = At @ m_p
     u_pred = pinv_s[0] * m_pred[0]
     fval = model.f(u_pred, p_params, t_new)
-    z = pinv_s[1] * m_pred[1] - fval                 # (d,)
+    md = model.mass_diag
+    if md is None:
+        z = pinv_s[1] * m_pred[1] - fval             # (d,)
+    else:
+        # z = M E1 x - f with diagonal M (step.py:282 semantics; zero
+        # rows of M state index-1 algebraic constraints)
+        z = md * (pinv_s[1] * m_pred[1]) - fval
 
     if model.jac_diag is not None:
         jd = model.jac_diag(u_pred, p_params, t_new)  # (d,)
@@ -286,10 +307,10 @@ def _kron_attempt_step_diag(
             jax.jacfwd(lambda u: model.f(u, p_params, t_new))(u_pred)
         )
 
-    # per-dim measurement row h_i = pinv_1 e_1 - J_ii pinv_0 e_0
+    # per-dim measurement row h_i = M_ii pinv_1 e_1 - J_ii pinv_0 e_0
     dtype = z.dtype
     h = jnp.zeros((d, q + 1), dtype)
-    h = h.at[:, 1].set(pinv_s[1])
+    h = h.at[:, 1].set(pinv_s[1] if md is None else md * pinv_s[1])
     h = h.at[:, 0].add(-jd * pinv_s[0])
 
     hql = h @ QLt                                    # rows h_i^T QLt

@@ -6841,6 +6841,7 @@ def _ek1d_adaptive_kernel(
     S: int, dt_save: float, t0: float, d: int, nq: int,
     abstol: float, reltol: float, max_iters: int, dtmin: float,
     beta1: float, beta2: float, cheb=None, so: bool = False,
+    mass_diag=None,
 ):
     """Per-lane adaptive DiagonalEK1(dynamic): d independent
     scalar-measurement Kalman filters per member, each with its own
@@ -6936,9 +6937,18 @@ def _ek1d_adaptive_kernel(
         else:
             du = f(u_pred, p_block, t_new)
             jd = jac_diag(u_pred, p_block, t_new)   # (d, sub, lane)
-            z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
-            # h_j = pinv1 e1 - jd_j pinv0 e0
-            hc = [[-jd[j] * pinv0, pinv1] for j in range(d)]
+            if mass_diag is None:
+                z = [pinv1 * mp[1][j] - du[j] for j in range(d)]
+                # h_j = pinv1 e1 - jd_j pinv0 e0
+                hc = [[-jd[j] * pinv0, pinv1] for j in range(d)]
+            else:
+                # diagonal mass: z_j = M_jj (E1 x)_j - f_j,
+                # h_j = M_jj pinv1 e1 - jd_j pinv0 e0 (step.py:282; zero
+                # M_jj rows state index-1 algebraic constraints)
+                z = [mass_diag[j] * (pinv1 * mp[1][j]) - du[j]
+                     for j in range(d)]
+                hc = [[-jd[j] * pinv0, mass_diag[j] * pinv1]
+                      for j in range(d)]
             nh = 2
 
         def h_quad(M, j):
@@ -7113,6 +7123,7 @@ def ek1d_adaptive_filter(
     prior=None,
     mesh=None,
     second_order: bool = False,
+    mass_diag=None,
 ):
     """Adaptive-step fused DiagonalEK1(dynamic) ensemble filter.
 
@@ -7123,12 +7134,19 @@ def ek1d_adaptive_filter(
     _kron_attempt_step_diag`). ``jac_diag=None`` derives the diagonal
     in-kernel from d JVPs. ``second_order``: measurement block 2 with
     both partial-Jacobian diagonals (``jac_diag(du, u, p, t) ->
-    (Ju_diag, Jdu_diag)``; auto from 2d JVPs). Returns
+    (Ju_diag, Jdu_diag)``; auto from 2d JVPs). ``mass_diag``: static
+    (d,) diagonal of ``M u' = f`` (zeros = index-1 algebraic rows) —
+    the per-dim measurement becomes ``h_j = M_jj pinv1 e1 - J_jj pinv0
+    e0`` exactly as the dense/Kron paths. Returns
     ``(us, stds, lls, nacc, nrej, failed)`` with per-dimension stds
     (S+1, d, B).
     """
     if second_order and q < 2:
         raise ValueError("second_order needs q >= 2 (measures block 2)")
+    if mass_diag is not None:
+        if second_order:
+            raise NotImplementedError("mass matrices are first-order only")
+        mass_diag = tuple(float(v) for v in np.asarray(mass_diag))
     if jac_diag is None:
         jac_diag = (
             _auto_jac_diag_2nd(f) if second_order else _auto_jac_diag(f)
@@ -7140,6 +7158,7 @@ def ek1d_adaptive_filter(
                 f, jac_diag, m0_, ps_, dt0_, t0, t1, n_save, q,
                 abstol=abstol, reltol=reltol, max_iters=max_iters,
                 dtmin=dtmin, prior=prior, second_order=second_order,
+                mass_diag=mass_diag,
             ),
             (m0, ps, dt0s), in_axes=(2, 1, 0),
             out_axes=(2, 2, 0, 0, 0, 0),
@@ -7185,7 +7204,7 @@ def ek1d_adaptive_filter(
         abstol=float(abstol), reltol=float(reltol),
         max_iters=int(max_iters), dtmin=float(dtmin),
         beta1=7.0 / (10.0 * nq), beta2=2.0 / (5.0 * nq), cheb=cheb,
-        so=bool(second_order),
+        so=bool(second_order), mass_diag=mass_diag,
     )
 
     def entry(m0_blk, p_blk, dt0_blk, us_blk, std_blk, ll_blk, na_blk,
@@ -7462,12 +7481,16 @@ def solve_ensemble_ek1d_adaptive_pallas(
     prior=None,
     mesh=None,
     second_order: bool = False,
+    mass_diag=None,
 ):
     """Taylor-init + per-lane-adaptive fused DiagonalEK1 kernel.
 
     ``second_order``: ``u0s = [u0 | du0]`` (B, 2d) with
     ``prob_f(du, u, p, t)``; ``prob_jac_diag(du, u, p, t)`` returns the
-    pair of partial-Jacobian diagonals (or None for auto-JVP)."""
+    pair of partial-Jacobian diagonals (or None for auto-JVP).
+    ``mass_diag``: concrete (d,) diagonal of ``M u' = f`` — zeros state
+    index-1 algebraic constraints; Taylor init and the dt heuristic run
+    on the state-space RHS (`problem.mass_state_space_f`)."""
     from odefilters.problem import ode_problem, ode_problem_2nd
     from odefilters.solve import initial_dt
     from odefilters.taylor import taylor_coefficients, taylor_coefficients_2nd
@@ -7480,6 +7503,12 @@ def solve_ensemble_ek1d_adaptive_pallas(
         )
     d = d_in // 2 if second_order else d_in
 
+    init_f = prob_f
+    if mass_diag is not None:
+        from odefilters.problem import mass_state_space_f
+
+        init_f = mass_state_space_f(prob_f, jnp.asarray(mass_diag))
+
     def init_one(u0_full, p):
         if second_order:
             m = jnp.stack(taylor_coefficients_2nd(
@@ -7489,8 +7518,13 @@ def solve_ensemble_ek1d_adaptive_pallas(
                 prob_f, u0_full[:d], u0_full[d:], tspan, p=p
             )
         else:
-            m = jnp.stack(taylor_coefficients(prob_f, u0_full, p, t0, q))
-            pr = ode_problem(prob_f, u0_full, tspan, p=p)
+            m = jnp.stack(taylor_coefficients(
+                init_f, u0_full, p, t0, q,
+                method="jvp" if mass_diag is not None else "auto",
+            ))
+            pr = ode_problem(prob_f, u0_full, tspan, p=p,
+                             mass_matrix=(None if mass_diag is None
+                                          else jnp.asarray(mass_diag)))
         return m, initial_dt(pr, q, abstol, reltol)
 
     m0, dt0s = jax.vmap(init_one)(u0s, ps)
@@ -7499,6 +7533,7 @@ def solve_ensemble_ek1d_adaptive_pallas(
         prob_f, prob_jac_diag, m0, ps.T, dt0s, float(t0), float(t1),
         n_save, q, abstol=abstol, reltol=reltol, max_iters=max_iters,
         prior=prior, mesh=mesh, second_order=second_order,
+        mass_diag=mass_diag,
     )
 
 

@@ -210,3 +210,113 @@ def test_mass_matrix_fixed_grid_grad():
     eps = 1e-6
     fd = (loss(1.5 + eps) - loss(1.5 - eps)) / (2 * eps)
     assert abs(float(g) - float(fd)) < 1e-5 * max(1.0, abs(float(fd)))
+
+
+def test_diagonal_mass_on_structured_paths():
+    """Diagonal mass matrices beyond the dense paths (round-3 VERDICT
+    item 8): a (d,) diagonal M preserves the per-dimension structure
+    exactly, so DiagonalEK1 absorbs it on the Kronecker fast path
+    (``h_j = M_jj pinv1 e1 - J_jj pinv0 e0``, ``z = M E1 x - f`` — dense
+    step.py:282 semantics) and on the fused adaptive ensemble kernel.
+    kron == dense at machine precision (fixed grid and adaptive with
+    identical step sequences); kernel == driver; EK0/dense-M still
+    reject with a pointer."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.kronsolve import solve_adaptive_kron, solve_fixed_kron
+    from odefilters.ops import pallas_kernels as pk
+
+    prob0 = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    M = jnp.array([2.0, 0.5])
+    prob = odf.ode_problem(
+        prob0.f, prob0.u0, prob0.tspan, p=prob0.p, mass_matrix=M
+    )
+    alg = odf.DiagonalEK1(order=3, smooth=True)
+
+    # --- kron == dense, fixed grid ---
+    solk = solve_fixed_kron(prob, alg, dt=0.05)
+    sold = odf.solve(prob, alg, adaptive=False, dt=0.05)
+    np.testing.assert_allclose(
+        np.asarray(solk.u), np.asarray(sold.u), rtol=1e-12, atol=1e-14
+    )
+    xstd = np.sqrt(np.einsum(
+        "sij,sij->si", np.asarray(sold.pu.chol), np.asarray(sold.pu.chol)
+    ))
+    np.testing.assert_allclose(
+        np.asarray(solk.u_std), xstd, rtol=1e-9, atol=1e-15
+    )
+
+    # --- kron == dense, adaptive (identical accepted-step sequences) ---
+    solka = solve_adaptive_kron(prob, alg, abstol=1e-8, reltol=1e-6)
+    solda = odf.solve(prob, alg, abstol=1e-8, reltol=1e-6)
+    n = int(solka.n_steps)
+    assert n == int(solda.n_steps)
+    np.testing.assert_allclose(
+        np.asarray(solka.u[: n + 1]), np.asarray(solda.u[: n + 1]),
+        rtol=1e-8, atol=1e-12,
+    )
+
+    # --- ROBER index-1 DAE on the Kron path == dense DiagonalEK1 ---
+    probr = odf.remake(odf.models.rober_dae(), tspan=(0.0, 0.3))
+    algr = odf.DiagonalEK1(order=3, smooth=False)
+    srk = solve_adaptive_kron(probr, algr, abstol=1e-8, reltol=1e-6)
+    srd = odf.solve(probr, algr, abstol=1e-8, reltol=1e-6)
+    nr = int(srk.n_steps)
+    assert srk.retcode_name == "Success"
+    # the stiff controller is chaotic near EEst ~ 1 (per-path op-order
+    # roundoff flips accepts), so step sequences may differ — compare
+    # the solutions and the algebraic constraint instead
+    uk = np.asarray(srk.u[nr])
+    ud = np.asarray(srd.u[int(srd.n_steps)])
+    np.testing.assert_allclose(uk, ud, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(float(uk.sum()), 1.0, rtol=1e-9)
+
+    # --- fused adaptive DiagonalEK1 ensemble kernel == dense driver ---
+    B, S = pk.BLOCK, 8
+    key = jax.random.PRNGKey(0)
+    u0s = (prob.u0 + 0.05 * jax.random.normal(key, (B, 2))).astype(
+        jnp.float64
+    )
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    with pltpu.force_tpu_interpret_mode():
+        eks = odf.solve_ensemble_pallas(
+            odf.remake(prob, u0=u0s[0]),
+            odf.DiagonalEK1(order=3, smooth=False),
+            u0s, ps, n_save=S, abstol=1e-8, reltol=1e-6,
+        )
+    assert int(eks.failed.sum()) == 0
+    grid = np.linspace(0.0, 2.0, S + 1)
+    idx = 300
+    pr = odf.remake(prob, u0=u0s[idx], p=ps[idx])
+    sol = odf.solve(
+        pr, odf.DiagonalEK1(order=3, smooth=False),
+        abstol=1e-8, reltol=1e-6, tstops=jnp.asarray(grid[1:-1]),
+    )
+    assert int(eks.nacc[idx]) == int(sol.n_steps)
+    g = sol(jnp.asarray(grid))
+    np.testing.assert_allclose(
+        np.asarray(eks.us[:, :, idx]), np.asarray(g.mean),
+        rtol=1e-10, atol=1e-12,
+    )
+    xstd2 = np.sqrt(np.einsum(
+        "sij,sij->si", np.asarray(g.chol), np.asarray(g.chol)
+    ))
+    np.testing.assert_allclose(
+        np.asarray(eks.stds[1:, :, idx]), xstd2[1:], rtol=1e-5
+    )
+
+    # --- structured-path rejections narrowed, not removed ---
+    with pytest.raises(NotImplementedError, match="DiagonalEK1"):
+        solve_fixed_kron(prob, odf.EK0(order=3), dt=0.05)
+    dense_M = odf.ode_problem(
+        prob0.f, prob0.u0, prob0.tspan, p=prob0.p,
+        mass_matrix=jnp.diag(M),
+    )
+    with pytest.raises(NotImplementedError, match="DIAGONAL"):
+        solve_fixed_kron(dense_M, alg, dt=0.05)
+    with pytest.raises(NotImplementedError, match="DIAGONAL"):
+        odf.solve_ensemble_pallas(
+            dense_M, odf.DiagonalEK1(order=3, smooth=False), u0s, ps,
+            n_save=S,
+        )
