@@ -43,6 +43,29 @@ def _committed_results(path="benchmarks/results.json", rev="HEAD"):
         return None
 
 
+def defined_entries(run_all_path=None):
+    """Every results key `benchmarks/run_all.py` can produce, parsed from
+    its source (``results["<key>"] = ...`` assignments).
+
+    The round-3 governance hole: run_all.py grew new entries whose
+    numbers were quoted in ROADMAP/README while the committed
+    results.json predated them — `compare` only flagged keys missing
+    *from the fresh run*, so a stale committed artifact passed silently.
+    This closes it from the other side."""
+    import os
+    import re
+
+    if run_all_path is None:
+        run_all_path = os.path.join(os.path.dirname(__file__), "run_all.py")
+    src = open(run_all_path).read()
+    return sorted(set(re.findall(r'results\[\s*"([^"]+)"\s*\]', src)))
+
+
+def coverage_gaps(results, run_all_path=None):
+    """Entries run_all.py defines that are absent from ``results``."""
+    return [k for k in defined_entries(run_all_path) if k not in results]
+
+
 def compare(fresh, committed, tol=TOL_THROUGHPUT):
     """Return (regressions, notes): lists of human-readable strings."""
     regressions, notes = [], []
@@ -87,6 +110,19 @@ def report(fresh, committed=None, tol=TOL_THROUGHPUT):
         print("[check_regression] no committed results.json to compare against")
         return True
     regressions, notes = compare(fresh, committed, tol=tol)
+    # completeness gate, BOTH directions: every entry run_all.py defines
+    # must be present in the fresh run AND in the committed artifact —
+    # a missing fresh key is a broken benchmark, a missing committed key
+    # is a stale artifact whose numbers must not be quoted anywhere.
+    for k in coverage_gaps(fresh):
+        regressions.append(
+            f"{k}: defined by run_all.py but MISSING from the fresh run"
+        )
+    for k in coverage_gaps(committed):
+        regressions.append(
+            f"{k}: defined by run_all.py but MISSING from the committed "
+            f"results.json (stale artifact — refresh and commit)"
+        )
     for n in notes:
         print(f"[check_regression] note: {n}")
     if regressions:
@@ -104,6 +140,16 @@ def report(fresh, committed=None, tol=TOL_THROUGHPUT):
 
 
 def main(argv):
+    if len(argv) > 1 and argv[1] == "--coverage":
+        # stand-alone completeness check of the committed artifact
+        results = json.load(open("benchmarks/results.json"))
+        gaps = coverage_gaps(results)
+        for k in gaps:
+            print(f"[check_regression] MISSING from results.json: {k}")
+        if not gaps:
+            print("[check_regression] results.json covers every "
+                  "run_all.py-defined entry")
+        return 0 if not gaps else 1
     fresh = json.load(open(argv[1]))
     committed = json.load(open(argv[2])) if len(argv) > 2 else None
     ok = report(fresh, committed)

@@ -44,8 +44,25 @@ def _time(fn, *args, iters=5, repeats=3):
     estimate of the true cost (the same reason `timeit` reports min).
     The full spread still lands in the governance fields
     (n_runs/std_s/mean_s); a large std_s flags contention during the
-    run."""
+    run.
+
+    DISPATCH AMORTIZATION (round-4): the remote-TPU tunnel costs
+    ~15-40 ms per sync batch PLUS ~250 us per dispatched call — at the
+    old iters=10 a sub-millisecond kernel measured the TUNNEL, not the
+    chip (the round-3 ensemble_8192_pallas_filter artifact reported
+    2.84M solves/s where the chip does ~17M). Sub-5ms calls are now
+    re-timed with enough queued dispatches that the per-batch sync
+    amortizes below ~2%; the residual ~250 us/call dispatch is part of
+    the honest per-call figure and noted in `dispatch_floor_us`."""
     _sync(fn(*args))  # warmup / compile
+    # pilot batch to pick an iters that amortizes the per-batch sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    per_call = (time.perf_counter() - t0) / iters
+    if per_call < 5e-3:
+        iters = max(iters, min(200, int(round(0.1 / max(per_call, 1e-5)))))
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -57,6 +74,7 @@ def _time(fn, *args, iters=5, repeats=3):
     _LAST_TIMING.update(
         n_runs=repeats, iters_per_run=iters,
         std_s=float(np.std(samples)), mean_s=float(np.mean(samples)),
+        dispatch_floor_us=250.0,
     )
     return float(np.min(samples))
 
@@ -591,6 +609,25 @@ def tpu_main(quick=False):
     results["ensemble_8192_pallas_adaptive_smooth_ek1d"] = {
         "B": B, "save_points": 20, "runtime_s": t,
         "solves_per_sec": B / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
+    # dense-EK1 adaptive+smooth pair (round-4: the reference's literal
+    # default EK1 config at kernel speed; streams committed D x D
+    # factors per attempt — max_iters sized well below the EK0 pair's)
+    run_adsm1 = jax.jit(
+        lambda u, p: pk.solve_ensemble_ek1_adaptive_smooth_pallas(
+            prob.f, prob.jac, u, p, prob.tspan, 20, q=3,
+            abstol=1e-6, reltol=1e-4, max_iters=2048,
+        )
+    )
+    t = _time(lambda u, p: run_adsm1(u, p)[0], u0s, ps, iters=5)
+    _, _, _, nacc_e1, _, fail_e1 = run_adsm1(u0s, ps)
+    results["ensemble_8192_pallas_adaptive_smooth_ek1"] = {
+        "B": B, "save_points": 20, "runtime_s": t,
+        "solves_per_sec": B / t,
+        "mean_accepted_steps": float(nacc_e1.mean()),
+        "failed_members": int(fail_e1.sum()),
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 

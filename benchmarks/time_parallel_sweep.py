@@ -11,14 +11,21 @@ and compares wall-clock AND solution accuracy for:
   blocked hybrid scan (`block=auto`), both warm-started.
 
 Every par row records `max_diff` against the sequential solve of the
-same algorithm: round-3 found the round-2 sweep had benchmarked
-UNCONVERGED solutions (cold-start iterations=4 leaves O(1) error at
-every N; the EK0 Picard iteration outright diverges with more sweeps on
-this span, so EK0 rows carry their honest error). Warm-started EK1
-converges in 2 sweeps (~5e-3 in f32).
+same algorithm, and an explicit ``diverged`` flag when max_diff > 1e-2:
+round-3 found the round-2 sweep had benchmarked UNCONVERGED solutions
+(cold-start iterations=4 leaves O(1) error at every N; the GLOBAL EK0
+Picard iteration outright diverges with more sweeps on this span).
+Round-4 adds the WINDOWED solver rows (`windows=`): EK0's Picard
+contracts inside short windows, giving EK0 a *convergent* time-parallel
+configuration — the performance story the global rows cannot provide.
+
+Compile cost: rows record the COLD compile of this process. Run with
+--cached to enable the JAX persistent compilation cache
+(benchmarks/.jax_cache) — a refresh on unchanged code then reloads each
+program in seconds; the JSON notes which mode produced it.
 
 Writes benchmarks/time_parallel_sweep.json. Usage:
-    python benchmarks/time_parallel_sweep.py [--quick]
+    python benchmarks/time_parallel_sweep.py [--quick] [--cached]
 """
 
 import json
@@ -47,14 +54,23 @@ def _time(fn, iters=3):
     return best, compile_s
 
 
-def main(quick=False):
+def main(quick=False, cached=False):
+    if cached:
+        import os
+
+        os.makedirs("benchmarks/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          "benchmarks/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import odefilters as odf
     from odefilters.kronsolve import solve_fixed_kron
     from odefilters.parallel.associative import solve_fixed_parallel
 
     prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 20.0))
     Ns = [1024, 4096] if quick else [1024, 4096, 16384]
-    results = {"device": str(jax.devices()[0]), "sweep": []}
+    results = {"device": str(jax.devices()[0]),
+               "compile_mode": "persistent-cache" if cached else "cold",
+               "sweep": []}
 
     for N in Ns:
         ts = jnp.linspace(0.0, 20.0, N + 1, dtype=jnp.float32)
@@ -77,18 +93,22 @@ def main(quick=False):
         row["par_ek1_pallas_compile_s"] = c
         row["par_ek1_pallas_max_diff"] = float(jnp.abs(u_seq1 - par_pl()).max())
 
-        # XLA blocked hybrid scan (same math, no kernels)
+        # XLA blocked hybrid scan (same math, no kernels). Default warm
+        # start (adaptive coarse kernel): round-3 pinned warm_start=8,
+        # whose N=1024 coarse grid was too coarse — the row was an
+        # UNCONVERGED configuration benchmarked as comparable
+        # (max_diff 4.48); the default converges at every N here.
         from odefilters.parallel.blocked import auto_block
 
         par_xla = lambda: solve_fixed_parallel(
-            prob, odf.EK1(order=3), ts=ts, iterations=2, warm_start=8,
+            prob, odf.EK1(order=3), ts=ts, iterations=2,
             block=auto_block(N) or 64)[0]
         t, c = _time(par_xla, iters=3)
         row["par_ek1_xla_s"] = t
         row["par_ek1_xla_compile_s"] = c
         row["par_ek1_xla_max_diff"] = float(jnp.abs(u_seq1 - par_xla()).max())
 
-        # EK0 par (Picard): honest accuracy — diverges on long spans
+        # EK0, GLOBAL Picard: kept for the honest divergence record
         par_e0 = lambda: solve_fixed_parallel(
             prob, odf.EK0(order=3), ts=ts, iterations=4, block="pallas")[0]
         t, c = _time(par_e0, iters=5)
@@ -96,9 +116,35 @@ def main(quick=False):
         row["par_ek0_pallas_compile_s"] = c
         row["par_ek0_pallas_max_diff"] = float(jnp.abs(u_seq0 - par_e0()).max())
 
+        # EK0, WINDOWED (round-4): N/W-step windows run sequentially,
+        # the Picard iteration contracts inside each — the convergent
+        # EK0 time-parallel configuration (parallel/windowed.py). Window
+        # span ~1.25 time units keeps FHN's relinearization contractive.
+        W = max(N // 64, 16)
+        par_e0w = lambda: solve_fixed_parallel(
+            prob, odf.EK0(order=3), ts=ts, windows=W, iterations=4)[0]
+        t, c = _time(par_e0w, iters=3)
+        row["par_ek0_windowed_s"] = t
+        row["par_ek0_windowed_windows"] = W
+        row["par_ek0_windowed_compile_s"] = c
+        row["par_ek0_windowed_max_diff"] = float(
+            jnp.abs(u_seq0 - par_e0w()).max()
+        )
+        row["speedup_ek0_windowed_vs_seq_kron"] = (
+            row["seq_kron_ek0_s"] / row["par_ek0_windowed_s"]
+        )
+
         row["speedup_ek1_pallas_vs_seq"] = (
             row["seq_dense_ek1_s"] / row["par_ek1_pallas_s"]
         )
+        # explicit divergence flags: a timed row either converged
+        # (max_diff < 1e-2 vs its sequential reference) or says so
+        for kk in list(row):
+            if kk.endswith("_max_diff"):
+                md = row[kk]
+                row[kk.replace("_max_diff", "_diverged")] = bool(
+                    not (md == md) or md >= 1e-2
+                )
         results["sweep"].append(row)
         print(json.dumps(row), flush=True)
 
@@ -107,4 +153,4 @@ def main(quick=False):
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    main(quick="--quick" in sys.argv, cached="--cached" in sys.argv)

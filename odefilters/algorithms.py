@@ -210,8 +210,10 @@ def RosenbrockExpEK(order: int = 3, diffusionmodel: str = "dynamic",
 
     Smoothing, dense output and sampling re-linearize each saved interval
     at the same left filter state the forward pass used, so the posterior
-    is consistent end-to-end. Dense solver path only (the coupled per-step
-    transition has no Kronecker structure); first-order problems only.
+    is consistent end-to-end. Dense solver path and the time-parallel
+    backend (per-interval transitions rebuilt each sweep,
+    `parallel.associative`); no Kronecker/kernel structure (the coupled
+    per-step transition is dense); first-order problems only.
     """
     from odefilters.priors import IOUP
 

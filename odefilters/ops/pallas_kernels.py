@@ -187,7 +187,8 @@ def _ek0_step_lists(
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, d: int, nq: int,
     so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
-    static_diff=None, calib=None,
+    static_diff=None, calib=None, collapsed: bool = False,
+    want_var: bool = False,
 ):
     """One EK0(dynamic) step on list-of-lanes state; pure function of
     ``(m, C, p)`` so it is both the fused-kernel body and the target of the
@@ -236,48 +237,101 @@ def _ek0_step_lists(
         # choice as the static/Fenrir sigma^2 and the step controller,
         # benchmarks/grad_horizon_experiment.py)
         s2 = jax.lax.stop_gradient(s2)
-    # -- predict cov: Cp = At C At^T + s2 Qt --
-    tmp = [
-        [
-            functools.reduce(
-                lambda a, b: a + b,
-                [At[i, a] * C[a][b] for a in range(nq) if At[i, a] != 0.0],
-            )
-            for b in range(nq)
+    if collapsed:
+        # Op-mix fast path (roofline lever, round-4): the COMMITTED EK0
+        # covariance has (a) an exactly-zero measured row/column — the
+        # R = 0 update collapses block b structurally (C_new[i][b] =
+        # Cp[i][b] - Cp[i][b] (Cp[b][b]/Cp[b][b]) = 0 in exact
+        # arithmetic; the caller's carry keeps roundoff-sized junk there
+        # that this path treats as the exact zero it represents) — and
+        # (b) symmetry. Skipping all terms through row/col b and
+        # computing only the upper triangle (mirrors aliased) cuts the
+        # covariance FLOPs per step ~2x on an issue-bound kernel. The
+        # caller must guarantee every committed/initial C it feeds back
+        # has the collapsed row/col (exact zero init; the filter commit
+        # and the R-noisy data update both preserve it).
+        act = [a for a in range(nq) if a != b]
+        tmp_c = {
+            (i, c): _sreduce([
+                _smul(At[i, a], C[a][c])
+                for a in act if At[i, a] != 0.0
+            ])
+            for i in range(nq) for c in act
+        }
+        Cp = [[None] * nq for _ in range(nq)]
+        for i in range(nq):
+            for l in range(i, nq):
+                terms = [
+                    _smul(tmp_c[(i, c)], At[l, c])
+                    for c in act if At[l, c] != 0.0
+                ] + ([Qt[i, l] * s2] if Qt[i, l] != 0.0 else [])
+                Cp[i][l] = _sreduce(terms) if terms else zz * 0.0
+                Cp[l][i] = Cp[i][l]          # aliased mirror (no compute)
+        s = pb * pb * Cp[b][b]
+        inv_s = 1.0 / s
+        kg = [pb * Cp[i][b] * inv_s for i in range(nq)]
+        m_new = [
+            [mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)
         ]
-        for i in range(nq)
-    ]
-    Cp = [
-        [
-            functools.reduce(
-                lambda a, b: a + b,
-                [tmp[i][b] * At[l, b] for b in range(nq) if At[l, b] != 0.0],
-            )
-            + Qt[i, l] * s2
-            for l in range(nq)
+        zero_c = jnp.zeros_like(s)
+        C_new = [[zero_c] * nq for _ in range(nq)]
+        for i in act:
+            for l in act:
+                if l < i:
+                    continue
+                C_new[i][l] = Cp[i][l] - kg[i] * kg[l] * s
+                C_new[l][i] = C_new[i][l]    # aliased mirror
+    else:
+        # -- predict cov: Cp = At C At^T + s2 Qt --
+        tmp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [At[i, a] * C[a][b] for a in range(nq)
+                     if At[i, a] != 0.0],
+                )
+                for b in range(nq)
+            ]
+            for i in range(nq)
         ]
-        for i in range(nq)
-    ]
-    # -- update (R = 0): s = pb^2 Cp[b,b]; K = pb Cp[:,b] / s --
-    s = pb * pb * Cp[b][b]
-    inv_s = 1.0 / s
-    kg = [pb * Cp[i][b] * inv_s for i in range(nq)]
-    m_new = [
-        [mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)
-    ]
-    C_new = [
-        [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
-        for i in range(nq)
-    ]
+        Cp = [
+            [
+                functools.reduce(
+                    lambda a, b: a + b,
+                    [tmp[i][b] * At[l, b] for b in range(nq)
+                     if At[l, b] != 0.0],
+                )
+                + Qt[i, l] * s2
+                for l in range(nq)
+            ]
+            for i in range(nq)
+        ]
+        # -- update (R = 0): s = pb^2 Cp[b,b]; K = pb Cp[:,b] / s --
+        s = pb * pb * Cp[b][b]
+        inv_s = 1.0 / s
+        kg = [pb * Cp[i][b] * inv_s for i in range(nq)]
+        m_new = [
+            [mp[i][j] - kg[i] * z[j] for j in range(d)] for i in range(nq)
+        ]
+        C_new = [
+            [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
+            for i in range(nq)
+        ]
     # -- per-member data log-likelihood: log N(z; 0, s I_d)
     #    (perform_step.jl:66) --
     ll_inc = -0.5 * (
         zz * inv_s + d * (jnp.log(jnp.maximum(s, 1e-30)) + _LOG_2PI)
     )
     us_row = [pinv0 * m_new[0][j] for j in range(d)]
-    # 1e-30 floor (not 0): keeps the VJP of sqrt finite when only the
-    # likelihood is differentiated (0-cotangent x inf would poison dC)
-    std_val = pinv0 * jnp.sqrt(jnp.maximum(C_new[0][0], 1e-30))
+    if want_var:
+        # issue-bound fast path: emit the raw variance; the caller's XLA
+        # epilogue applies pinv0 * sqrt once over the whole (T+1, B)
+        # output instead of one VPU sqrt per step inside the kernel
+        std_val = C_new[0][0]
+    else:
+        # 1e-30 floor (not 0): keeps the VJP of sqrt finite when only the
+        # likelihood is differentiated (0-cotangent x inf would poison dC)
+        std_val = pinv0 * jnp.sqrt(jnp.maximum(C_new[0][0], 1e-30))
     if static_diff is not None:
         calib_new = _static_local_update(static_diff, calib, zz, z, inv_s, d)
         return m_new, C_new, ll_inc, us_row, std_val, calib_new
@@ -296,52 +350,84 @@ def _ek0_kernel(
     f: Callable, At: np.ndarray, Qt: np.ndarray,
     pinv0: float, pinv1: float, T: int, dt: float, t0: float,
     d: int, nq: int, so: bool = False, pinv_b: float = 0.0,
-    static_diff=None,
+    static_diff=None, U: int = 1,
 ):
-    # initial state (already preconditioned); zero covariance (exact init)
-    m_init = [[m0_ref[i, j] for j in range(d)] for i in range(nq)]
-    zero = jnp.zeros_like(m_init[0][0])
-    C_init = [[zero for _ in range(nq)] for _ in range(nq)]
+    """Fixed-grid fused EK0 filter over ``U`` INTERLEAVED independent
+    1024-member chains per program (refs carry a leading U axis when
+    U > 1). The filter recursion is serial per chain; interleaving U
+    chains in one loop body fills the VPU's latency slots between
+    dependent ops — measured on chip (8192 FHN, T=500, dispatch
+    amortized): U=4 is ~1.2x over U=1 on top of the collapsed-row
+    op-mix cut (docs/kernels.md "Roofline")."""
+    # refs always carry a leading U axis (size 1 when U == 1): the
+    # blocked wrappers' BlockSpecs are (1, U, ...) and `.at[0]` strips
+    # only the grid-block dim
+    def at(ref, u, *idx):
+        return ref[(u,) + idx]
 
-    p_block = p_ref[:]  # (n_params, 8, 128)
+    def put(ref, u, *idx_and_val):
+        *idx, val = idx_and_val
+        ref[(u,) + tuple(idx)] = val
 
-    for j in range(d):
-        us_ref[0, j] = pinv0 * m_init[0][j]
-    std_ref[0] = zero
+    ms, Cs, lls, calibs, pbs = [], [], [], [], []
+    zero = None
+    for u in range(U):
+        m_init = [[at(m0_ref, u, i, j) for j in range(d)] for i in range(nq)]
+        zero = jnp.zeros_like(m_init[0][0])
+        C_init = [[zero for _ in range(nq)] for _ in range(nq)]
+        for j in range(d):
+            put(us_ref, u, jnp.int32(0), j, pinv0 * m_init[0][j])
+        put(std_ref, u, jnp.int32(0), zero)
+        if static_diff == "fixedMV":
+            calib0 = ([zero for _ in range(d)], zero)
+        else:
+            calib0 = (zero, zero)
+        ms.append(m_init)
+        Cs.append(C_init)
+        lls.append(zero)
+        calibs.append(calib0)
+        pbs.append(p_ref[u])
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
         d=d, nq=nq, so=so, pinv_b=pinv_b, static_diff=static_diff,
+        collapsed=True, want_var=True,
     )
-
-    if static_diff == "fixedMV":
-        calib0 = ([zero for _ in range(d)], zero)
-    else:
-        calib0 = (zero, zero)
 
     def body(k, carry):
-        m, C, ll, calib = carry
+        ms, Cs, lls, calibs = carry
         k1 = k + jnp.ones((), k.dtype)  # match the loop-index dtype
         t_new = _step_time(k, t0, dt, zero.dtype)
-        if static_diff is not None:
-            m_new, C_new, ll_inc, us_row, std_val, calib = step(
-                m, C, p_block, t_new, calib=calib
-            )
-        else:
-            m_new, C_new, ll_inc, us_row, std_val = step(m, C, p_block, t_new)
-        for j in range(d):
-            us_ref[k1, j] = us_row[j]
-        std_ref[k1] = std_val
-        return m_new, C_new, ll + ll_inc, calib
+        ms2, Cs2, lls2, calibs2 = [], [], [], []
+        for u in range(U):
+            if static_diff is not None:
+                m_new, C_new, ll_inc, us_row, std_val, cal = step(
+                    ms[u], Cs[u], pbs[u], t_new, calib=calibs[u]
+                )
+            else:
+                m_new, C_new, ll_inc, us_row, std_val = step(
+                    ms[u], Cs[u], pbs[u], t_new
+                )
+                cal = calibs[u]
+            for j in range(d):
+                put(us_ref, u, k1, j, us_row[j])
+            put(std_ref, u, k1, std_val)
+            ms2.append(m_new)
+            Cs2.append(C_new)
+            lls2.append(lls[u] + ll_inc)
+            calibs2.append(cal)
+        return ms2, Cs2, lls2, calibs2
 
-    _, _, ll, calib = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(T), body, (m_init, C_init, zero, calib0)
+    _, _, lls, calibs = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (ms, Cs, lls, calibs)
     )
-    ll_ref[...] = ll
-    if static_diff is not None:
-        sig = calib[0]
-        for j in range(d):
-            sig_ref[j] = sig[j] if static_diff == "fixedMV" else sig
+    for u in range(U):
+        ll_ref[u] = lls[u]
+        if static_diff is not None:
+            sig = calibs[u][0]
+            for j in range(d):
+                put(sig_ref, u, j,
+                    sig[j] if static_diff == "fixedMV" else sig)
 
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -456,7 +542,7 @@ def _ek0_grad_fwd_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq, so=so, pinv_b=pinv_b,
+        d=d, nq=nq, so=so, pinv_b=pinv_b, collapsed=True,
     )
 
     def body(k, carry):
@@ -511,7 +597,7 @@ def _ek0_grad_bwd_kernel(
 
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
-        d=d, nq=nq, so=so, pinv_b=pinv_b,
+        d=d, nq=nq, so=so, pinv_b=pinv_b, collapsed=True,
     )
 
     dm0 = [[zero for _ in range(d)] for _ in range(nq)]
@@ -570,21 +656,40 @@ def _ek0_blocked_specs(nq, d, n_params, T):
     return in_specs, out_specs
 
 
+def _chain_interleave(nb: int, T: int = 0, d: int = 1) -> int:
+    """Independent filter chains per program: largest of (4, 2, 1)
+    dividing nb whose per-program output blocks fit a ~13 MiB VMEM
+    budget. Interleaving fills the VPU's latency slots between the
+    serial recursion's dependent ops (measured ~1.1-1.2x on the 8192
+    FHN filter with dispatch amortized); beyond the budget Mosaic's
+    scoped-vmem allocator rejects the kernel (observed at exactly
+    16.09/16.00 MiB with U=4, T=500)."""
+    budget = 13 * 2**20
+    per_chain = (T + 1) * (d + 1) * _SUB * _LANE * 4
+    for U in (4, 2):
+        if nb % U == 0 and U * per_chain <= budget:
+            return U
+    return 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _ek0_filter_blocked(f, q, T, dt, t0, so, prior, m0_p, ps_b):
     """Blocked fused EK0 filter (differentiable): inputs/outputs in the
-    (nb, ..., 8, 128) lane layout; ``m0_p`` already preconditioned."""
+    (nb, ..., 8, 128) lane layout; ``m0_p`` already preconditioned.
+    Runs U interleaved chains per program (see `_chain_interleave`)."""
     nb, nq, d = m0_p.shape[:3]
     n_params = ps_b.shape[1]
     dtype = m0_p.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
     At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
     pinv_b = float(1.0 / p_np[2]) if so else 0.0
+    U = _chain_interleave(nb, T, d)
+    ng = nb // U
     kernel = functools.partial(
         _ek0_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
         T=T, dt=float(dt), t0=float(t0), d=d, nq=nq, so=so, pinv_b=pinv_b,
+        U=U,
     )
-    in_specs, out_specs = _ek0_blocked_specs(nq, d, n_params, T)
 
     def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk):
         kernel(
@@ -593,17 +698,43 @@ def _ek0_filter_blocked(f, q, T, dt, t0, so, prior, m0_p, ps_b):
             ll_blk.at[jnp.int32(0)],
         )
 
-    return pl.pallas_call(
+    us, var, lls = pl.pallas_call(
         entry,
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, U, nq, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, n_params, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-    )(m0_p, ps_b)
+        out_specs=[
+            pl.BlockSpec((1, U, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, T + 1, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng, U, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((ng, U, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((ng, U, _SUB, _LANE), dtype),
+        ],
+    )(
+        m0_p.reshape(ng, U, nq, d, _SUB, _LANE),
+        ps_b.reshape(ng, U, n_params, _SUB, _LANE),
+    )
+    us = us.reshape(nb, T + 1, d, _SUB, _LANE)
+    var = var.reshape(nb, T + 1, _SUB, _LANE)
+    lls = lls.reshape(nb, _SUB, _LANE)
+    # XLA epilogue: the kernel streams raw variances (want_var) so the
+    # hot loop carries no per-step sqrt; one fused sqrt over (T+1, B)
+    stds = pinv0 * jnp.sqrt(jnp.maximum(var, 1e-30))
+    return us, stds, lls
 
 
 @_no_x64
@@ -728,16 +859,13 @@ def _ek0_filter_blocked_static(f, q, T, dt, t0, so, prior, static_diff,
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
     At, Qt, pinv0, pinv1, p_np = _ek0_consts(q, dt, fdtype, prior)
     pinv_b = float(1.0 / p_np[2]) if so else 0.0
+    U = _chain_interleave(nb, T, d)
+    ng = nb // U
     kernel = functools.partial(
         _ek0_kernel, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
         T=T, dt=float(dt), t0=float(t0), d=d, nq=nq, so=so, pinv_b=pinv_b,
-        static_diff=static_diff,
+        static_diff=static_diff, U=U,
     )
-    in_specs, out_specs = _ek0_blocked_specs(nq, d, n_params, T)
-    out_specs = out_specs + [
-        pl.BlockSpec((1, d, _SUB, _LANE), lambda b: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
 
     def entry(m0_blk, p_blk, us_blk, std_blk, ll_blk, sig_blk):
         kernel(
@@ -746,18 +874,45 @@ def _ek0_filter_blocked_static(f, q, T, dt, t0, so, prior, static_diff,
             ll_blk.at[jnp.int32(0)], sig_blk.at[jnp.int32(0)],
         )
 
-    return pl.pallas_call(
+    us, var, lls, sig = pl.pallas_call(
         entry,
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, d, _SUB, _LANE), dtype),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, U, nq, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, n_params, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-    )(m0_p, ps_b)
+        out_specs=[
+            pl.BlockSpec((1, U, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, T + 1, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng, U, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((ng, U, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((ng, U, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((ng, U, d, _SUB, _LANE), dtype),
+        ],
+    )(
+        m0_p.reshape(ng, U, nq, d, _SUB, _LANE),
+        ps_b.reshape(ng, U, n_params, _SUB, _LANE),
+    )
+    us = us.reshape(nb, T + 1, d, _SUB, _LANE)
+    var = var.reshape(nb, T + 1, _SUB, _LANE)
+    lls = lls.reshape(nb, _SUB, _LANE)
+    sig = sig.reshape(nb, d, _SUB, _LANE)
+    stds = pinv0 * jnp.sqrt(jnp.maximum(var, 1e-30))
+    return us, stds, lls, sig
 
 
 @_no_x64
@@ -1070,6 +1225,7 @@ def _ek0_datalik_kernel(
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
         d=d, nq=nq, so=so, pinv_b=pinv_b, stop_calib=stop_calib,
+        collapsed=True,
     )
     dupd = functools.partial(
         _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
@@ -1136,7 +1292,7 @@ def _odd_step_lists(m, C, p_block, t_new, consts, *, f, d, nq, so,
     m1, C1, ll_inc, _, _ = _ek0_step_lists(
         mh, Ch, p_block, t_new, f=f, At=At_o, Qt=Qt_o, pinv0=pinv0_o,
         pinv1=pinv1_o, d=d, nq=nq, so=so, pinv_b=pinv_b_o if so else 0.0,
-        stop_calib=stop_calib,
+        stop_calib=stop_calib, collapsed=True,
     )
     m1 = [[m1[i][j] / r[i] for j in range(d)] for i in range(nq)]
     C1 = [[C1[i][l] / (r[i] * r[l]) for l in range(nq)] for i in range(nq)]
@@ -1222,6 +1378,7 @@ def _ek0_datalik_grad_fwd_kernel(
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
         d=d, nq=nq, so=so, pinv_b=pinv_b, stop_calib=stop_calib,
+        collapsed=True,
     )
     dupd = functools.partial(
         _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
@@ -1326,6 +1483,7 @@ def _ek0_datalik_grad_bwd_kernel(
     step = functools.partial(
         _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
         d=d, nq=nq, so=so, pinv_b=pinv_b, stop_calib=stop_calib,
+        collapsed=True,
     )
     dupd = functools.partial(
         _ek0_data_update_lists, pinv0=pinv0, r2=r2, d=d, nq=nq
@@ -3325,7 +3483,13 @@ def _is0(x):
 
 
 def _smul(a, b):
-    return 0.0 if (_is0(a) or _is0(b)) else a * b
+    if _is0(a) or _is0(b):
+        return 0.0
+    if isinstance(a, float) and a == 1.0:
+        return b          # unit static factors are free (At diagonals)
+    if isinstance(b, float) and b == 1.0:
+        return a
+    return a * b
 
 
 def _sreduce(terms):

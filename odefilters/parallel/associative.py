@@ -237,12 +237,30 @@ def _solve_parallel_jit_inner(
 
     # Uniform-grid preconditioned coordinates: constant A, Q across steps —
     # for ANY Gauss-Markov prior (the step h is the same every interval, so
-    # non-IWP preconditioned transitions are constants here too).
+    # non-IWP preconditioned transitions are constants here too; the
+    # matrix-rate IOUP's dimension-coupled transition is likewise one
+    # constant dense (D, D) pair via transition_precond_coupled).
     h = (ts[-1] - ts[0]) / N
+    from odefilters.priors import IOUP as _IOUP
+    from odefilters.priors import normalize_prior as _norm_prior
     from odefilters.priors import transition_precond_full
 
-    A, QL = transition_precond_full(alg.prior, d, q, h, dtype)
-    Qm = QL @ QL.T
+    _pn = _norm_prior(alg.prior)
+    rate_L = None
+    jac_rate = isinstance(_pn, _IOUP) and _pn.rate_is_jacobian
+    if isinstance(_pn, _IOUP) and _pn.rate_is_matrix:
+        rate_L = jnp.asarray(_pn.rate_np, dtype)
+
+    if jac_rate:
+        # RosenbrockExpEK: the prior re-linearizes per interval at the
+        # interval's LEFT state (dense-path semantics, algorithms.py
+        # RosenbrockExpEK) — transitions are (N, D, D) and rebuilt each
+        # sweep from the current linearization trajectory; the filter/
+        # smoother scans batch over per-step transitions natively.
+        A = QL = Qm = None
+    else:
+        A, QL = transition_precond_full(alg.prior, d, q, h, dtype)
+        Qm = QL @ QL.T
     p_full, pinv_full = precond_full(h, d, q)
 
     derivs = taylor_coefficients(
@@ -282,6 +300,18 @@ def _solve_parallel_jit_inner(
             J = jac_v(u_lin, t_meas)                       # (N, d, d)
             H = E1p[None] - _bmm(J, E0p[None])
             y = fu - _bmm(J, u_lin[..., None])[..., 0]
+        elif rate_L is not None:
+            # ExpEK (EK0 + matrix-rate prior): linearize the measurement
+            # with the SAME constant L the prior carries, so the Picard
+            # forcing is only the nonlinear remainder g = f - L u. Plain
+            # EK0 elements re-inject the stiff linear term as a forcing
+            # evaluated at the stale linearization — the global iteration
+            # then amplifies by ~||L|| per sweep and diverges (measured:
+            # 1e17 after 16 sweeps on the |lambda| = 40 semi-linear
+            # oscillator; with the L-linearized elements it contracts at
+            # Lip(g) and is seq-accurate after ~4).
+            H = jnp.broadcast_to(E1p - rate_L @ E0p, (N, d, D))
+            y = fu - u_lin @ rate_L.T
         else:
             H = jnp.broadcast_to(E1p, (N, d, D))
             y = fu
@@ -300,35 +330,50 @@ def _solve_parallel_jit_inner(
     else:
         u_guess = u_init.astype(dtype)
 
+    def build_transitions(u_lin):
+        if not jac_rate:
+            return A, QL, Qm
+        from odefilters.priors import transition_precond_coupled
+
+        lefts = jnp.concatenate(
+            [prob.u0.astype(dtype)[None], u_lin[:-1]], axis=0
+        )
+        Jk = jac_v(lefts, ts[:-1])                       # (N, d, d)
+        Ak, QLk = jax.vmap(
+            lambda Jm: transition_precond_coupled(Jm, d, q, h, dtype)
+        )(Jk)
+        return Ak, QLk, _bmm(QLk, _T(QLk))
+
     if sqrt_form:
         from odefilters.parallel.associative_sqrt import (
             parallel_filter_sqrt,
             parallel_smoother_sqrt,
         )
 
-        def run_filter_smoother(H, y):
-            ms, Us = parallel_filter_sqrt(m0, P0, A, QL, H, y, block=block)
+        def run_filter_smoother(H, y, A_, QL_, Qm_):
+            ms, Us = parallel_filter_sqrt(m0, P0, A_, QL_, H, y, block=block)
             ms_s, Us_s = parallel_smoother_sqrt(
                 jnp.concatenate([m0[None], ms], axis=0),
                 jnp.concatenate([P0[None], Us], axis=0),
-                A, QL, block=block,
+                A_, QL_, block=block,
             )
             Ps = _bmm(Us, _T(Us))
             Ps_s = _bmm(Us_s, _T(Us_s))
             return ms, Ps, ms_s, Ps_s
     else:
-        def run_filter_smoother(H, y):
-            ms, Ps = parallel_filter(m0, P0, A, Qm, H, y, block=block)
+        def run_filter_smoother(H, y, A_, QL_, Qm_):
+            ms, Ps = parallel_filter(m0, P0, A_, Qm_, H, y, block=block)
             ms_s, Ps_s = parallel_smoother(
                 jnp.concatenate([m0[None], ms], axis=0),
                 jnp.concatenate([P0[None], Ps], axis=0),
-                A, Qm, block=block,
+                A_, Qm_, block=block,
             )
             return ms, Ps, ms_s, Ps_s
 
     def sweep(u_lin, _):
         H, y = build_elements(u_lin)
-        _, _, ms_s, _ = run_filter_smoother(H, y)
+        A_, QL_, Qm_ = build_transitions(u_lin)
+        _, _, ms_s, _ = run_filter_smoother(H, y, A_, QL_, Qm_)
         u_new = pinv_full[None, :d] * ms_s[1:, :d]
         return u_new, None
 
@@ -336,7 +381,8 @@ def _solve_parallel_jit_inner(
 
     # Final sweep keeps the full posterior + calibration statistics.
     H, y = build_elements(u_lin)
-    ms, Ps, ms_s, Ps_s = run_filter_smoother(H, y)
+    A, QL, Qm = build_transitions(u_lin)
+    ms, Ps, ms_s, Ps_s = run_filter_smoother(H, y, A, QL, Qm)
     ms_all = jnp.concatenate([m0[None], ms], axis=0)
     Ps_all = jnp.concatenate(
         [jnp.zeros((1,) + Ps.shape[1:], Ps.dtype), Ps], axis=0
@@ -344,8 +390,10 @@ def _solve_parallel_jit_inner(
 
     # Global MLE diffusion from the innovations of the final linearization:
     # z_k = H x_pred - y, S_k = H P_pred H^T (sigma^2=1 coordinates).
-    m_pred = _bmm(A[None], ms_all[:-1][..., None])[..., 0]
-    P_pred = _bmm(_bmm(A[None], Ps_all[:-1]), _T(A)[None]) + Qm[None]
+    A_b = A if jac_rate else A[None]
+    Qm_b = Qm if jac_rate else Qm[None]
+    m_pred = _bmm(A_b, ms_all[:-1][..., None])[..., 0]
+    P_pred = _bmm(_bmm(A_b, Ps_all[:-1]), _T(A_b)) + Qm_b
     z = _bmm(H, m_pred[..., None])[..., 0] - y
     S = _bmm(_bmm(H, P_pred), _T(H))
     sigma2 = jnp.mean(
@@ -447,7 +495,14 @@ def solve_fixed_parallel(
     are supported: on a uniform grid their preconditioned transition is a
     constant too, so the associative elements are unchanged (the EK0 warm
     start runs its coarse Kronecker solve with the IWP prior — it only
-    seeds the linearization trajectory).
+    seeds the linearization trajectory). Matrix-rate priors run too:
+    ExpEK's coupled transition is one constant dense (D, D) pair here,
+    with the measurement elements linearized at the SAME constant L the
+    prior carries (plain EK0 elements re-inject the stiff linear term as
+    stale forcing and the global iteration diverges — so the converged
+    solution is the L-semi-implicit smoother, more accurate than the
+    sequential EK0-linearized ExpEK); RosenbrockExpEK rebuilds per-
+    interval transitions each sweep from the linearization trajectory.
 
     ``windows=W`` switches to the WINDOWED iterated solver
     (`parallel.windowed`): N/W-step windows run sequentially (one

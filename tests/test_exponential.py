@@ -387,3 +387,59 @@ def test_matrix_rate_validation_and_guards(prob_semilinear):
             prob_semilinear, odf.ExpEK(rate=_L_OSC, order=2),
             ts=jnp.linspace(0.0, 2.0, 9),
         )
+
+
+def test_matrix_rate_priors_time_parallel(prob_semilinear):
+    """Matrix-rate priors on the time-parallel backend (round-3 VERDICT
+    item 10). Static rate (ExpEK): the coupled preconditioned transition
+    is one constant dense (D, D) pair on a uniform grid, and the
+    measurement elements are linearized with the SAME constant L the
+    prior carries — plain EK0 elements re-inject the stiff linear term
+    as a stale forcing and the global Picard iteration diverges
+    (measured 1e17 after 16 sweeps at |lambda| = 40), while the
+    L-linearized elements contract at Lip(g) = 0.25. Jacobian rate
+    (RosenbrockExpEK): per-interval transitions rebuilt each sweep from
+    the current linearization trajectory at the interval LEFT states
+    (dense-path semantics); the filter/smoother scans batch over
+    (N, D, D) transitions natively."""
+    from odefilters.fixedgrid import solve_fixed
+    from odefilters.parallel.associative import solve_fixed_parallel
+
+    prob = prob_semilinear
+    dt = 2.0 / 256
+
+    # --- RosenbrockExpEK: par == seq (both Newton-type EK1) ---
+    alg_r = odf.RosenbrockExpEK(order=3, smooth=True)
+    sol_r = solve_fixed(prob, alg_r, dt=dt)
+    u_r, _, _, _, _ = solve_fixed_parallel(
+        prob, alg_r, dt=dt, iterations=4, warm_start=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_r), np.asarray(sol_r.u), rtol=1e-4, atol=1e-5
+    )
+
+    # --- EK1 + static matrix rate: par == seq ---
+    alg_1 = odf.EK1(prior=IOUP(rate=_L_OSC), order=3, smooth=True)
+    sol_1 = solve_fixed(prob, alg_1, dt=dt)
+    u_1, _, _, _, _ = solve_fixed_parallel(
+        prob, alg_1, dt=dt, iterations=4, warm_start=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_1), np.asarray(sol_1.u), rtol=1e-3, atol=1e-4
+    )
+
+    # --- ExpEK (EK0 + static rate): converges, and is *seq-EK1*-accurate
+    # (its elements are L-linearized, so the converged fixed point is the
+    # L-semi-implicit smoother — far closer to the truth than the
+    # sequential EK0-linearized ExpEK filter, whose own error on this
+    # problem is ~0.09 at this grid) ---
+    alg_e = odf.ExpEK(rate=_L_OSC, order=3, smooth=True)
+    u_e, _, _, _, s2 = solve_fixed_parallel(
+        prob, alg_e, dt=dt, iterations=4, warm_start=0
+    )
+    assert np.isfinite(np.asarray(u_e)).all() and np.isfinite(float(s2))
+    np.testing.assert_allclose(
+        np.asarray(u_e), np.asarray(sol_1.u), rtol=1e-3, atol=2e-4
+    )
+    ref = _semilinear_oracle(np.linspace(0.0, 2.0, 257), prob.u0)
+    assert np.abs(np.asarray(u_e) - ref).max() < 5e-4
