@@ -26,14 +26,31 @@ import jax.numpy as jnp
 
 def _timeit(fn, *args, warmup=1, iters=10):
     """fn must return a (tiny) array; float() forces device sync + transfer
-    (block_until_ready is unreliable over the remote-TPU tunnel)."""
+    (block_until_ready is unreliable over the remote-TPU tunnel).
+
+    Dispatch amortization (round 4): the tunnel costs ~15-40 ms per sync
+    round trip + ~250 us per dispatched call — a shallow queue measures
+    the tunnel, not the chip (the round-3 headline under-reported ~4x).
+    Sub-5ms calls re-time with a queue deep enough that the per-batch
+    sync amortizes below ~2%."""
     for _ in range(warmup):
         float(jnp.sum(fn(*args)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
     float(jnp.sum(out))
-    return (time.perf_counter() - t0) / iters
+    per_call = (time.perf_counter() - t0) / iters
+    if per_call >= 5e-3:
+        return per_call
+    iters = max(iters, min(200, int(round(0.1 / max(per_call, 1e-5)))))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        float(jnp.sum(out))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
