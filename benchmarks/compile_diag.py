@@ -11,6 +11,14 @@ Usage:
     python benchmarks/compile_diag.py [--cpu] [N ...]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python benchmarks/<script>.py` from anywhere: the repo
+# root (odefilters package) goes on sys.path ahead of the script dir
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

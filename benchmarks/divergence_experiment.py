@@ -22,6 +22,14 @@ The divergence tax is t_config / t_homogeneous; sorted-binning recovery
 is t_unsorted / t_sorted. Writes benchmarks/divergence_experiment.json.
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python benchmarks/<script>.py` from anywhere: the repo
+# root (odefilters package) goes on sys.path ahead of the script dir
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import time
 

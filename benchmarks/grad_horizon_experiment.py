@@ -28,6 +28,14 @@ gradient stays ~1e-4..1e-3 at T=500 where the full gradient is O(1)
 wrong), the kernels expose it as ``calib_grad=False``.
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python benchmarks/<script>.py` from anywhere: the repo
+# root (odefilters package) goes on sys.path ahead of the script dir
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 
 import jax

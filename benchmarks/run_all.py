@@ -12,6 +12,14 @@ Accuracy oracles are pure-numpy scipy solves (never route the oracle RHS
 through the remote TPU). Usage: python benchmarks/run_all.py [--quick]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python benchmarks/<script>.py` from anywhere: the repo
+# root (odefilters package) goes on sys.path ahead of the script dir
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time
@@ -313,8 +321,8 @@ def tpu_main(quick=False):
     vdp32["note"] = (
         "EXPECTED failure in absolute time units (TPU transcendental "
         "range, docs/kernels.md); the on-chip stiff answer is the "
-        "RESCALED solve in benchmarks/stiff_vdp_chip.json (f64 405 "
-        "steps Success via rescale_time)"
+        "RESCALED solve in benchmarks/stiff_vdp_chip.json "
+        "(tpu_vdp_mu1e5_ek1_5_f64: 683 steps, Success, via rescale_time)"
     )
     results["tpu_single_vdp_ek1_5_f32"] = vdp32
 
@@ -344,10 +352,13 @@ def tpu_main(quick=False):
         "steps_per_sec": n / t, "device": str(jax.devices()[0]),
         "note": (
             "single-solve story (BASELINE #1): the XLA while-loop driver "
-            "has the lower per-step cost but pays multi-minute remote "
-            "compiles; this kernel path compiles in ~2 s and pays "
-            "save-grid barrier truncations (n_save=20) that inflate its "
-            "accepted-step count for one trajectory — pick per workload"
+            "has the lower per-step cost but pays multi-minute COLD "
+            "remote compiles (its compile_s field here is whatever this "
+            "process pays — warm in-process jit caches make it seconds; "
+            "a fresh process pays the cold cost); this kernel path "
+            "compiles in ~2 s cold and pays save-grid barrier "
+            "truncations (n_save=20) that inflate its accepted-step "
+            "count for one trajectory — pick per workload"
         ),
     }
 
@@ -650,6 +661,14 @@ def tpu_main(quick=False):
         "B": B, "grid_steps": T, "runtime_s": t,
         "grad_solves_per_sec": B / t,
         "device": str(jax.devices()[0]), **_timing_fields(),
+        "note": (
+            "gradient of the ODE-RESIDUAL log-likelihood: in f32 this "
+            "objective's gradient is trustworthy over tens of steps "
+            "only (innovations sit at the solver-accuracy floor — "
+            "benchmarks/grad_horizon.json); for long-horizon parameter "
+            "inference use the DATA likelihood with calib_grad=False "
+            "(8e-5 rel at T=500), same kernel family"
+        ),
     }
 
     # ---- data-likelihood parameter sweep on chip: vmap(data_loglik) over

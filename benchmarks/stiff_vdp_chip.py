@@ -23,6 +23,14 @@ Writes benchmarks/stiff_vdp_chip.json. Reference analogue:
 Usage: python benchmarks/stiff_vdp_chip.py [--quick]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python benchmarks/<script>.py` from anywhere: the repo
+# root (odefilters package) goes on sys.path ahead of the script dir
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

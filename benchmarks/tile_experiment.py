@@ -18,6 +18,14 @@ QUIET chip (CLAUDE.md: contention invalidates timing).
 Writes benchmarks/tile_experiment.json.
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python benchmarks/<script>.py` from anywhere: the repo
+# root (odefilters package) goes on sys.path ahead of the script dir
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import time
 

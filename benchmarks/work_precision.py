@@ -6,6 +6,14 @@ Writes benchmarks/wp_results.json and benchmarks/wp.png.
 Usage: python benchmarks/work_precision.py
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python benchmarks/<script>.py` from anywhere: the repo
+# root (odefilters package) goes on sys.path ahead of the script dir
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 
 import jax
