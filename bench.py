@@ -35,14 +35,18 @@ def _timeit(fn, *args, warmup=1, iters=10):
     sync amortizes below ~2%."""
     for _ in range(warmup):
         float(jnp.sum(fn(*args)))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    float(jnp.sum(out))
-    per_call = (time.perf_counter() - t0) / iters
-    if per_call >= 5e-3:
-        return per_call
-    iters = max(iters, min(200, int(round(0.1 / max(per_call, 1e-5)))))
+    # two-round pilot: a shallow pilot's per-call estimate is itself
+    # dispatch-inflated, so deepen, re-estimate, deepen again (batches
+    # target ~0.3 s; the ~15-40 ms per-batch sync amortizes below ~10%)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        float(jnp.sum(out))
+        per_call = (time.perf_counter() - t0) / iters
+        if per_call >= 20e-3:
+            return per_call
+        iters = max(iters, min(400, int(round(0.3 / max(per_call, 1e-5)))))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

@@ -63,14 +63,19 @@ def _time(fn, *args, iters=5, repeats=3):
     amortizes below ~2%; the residual ~250 us/call dispatch is part of
     the honest per-call figure and noted in `dispatch_floor_us`."""
     _sync(fn(*args))  # warmup / compile
-    # pilot batch to pick an iters that amortizes the per-batch sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    per_call = (time.perf_counter() - t0) / iters
-    if per_call < 5e-3:
-        iters = max(iters, min(200, int(round(0.1 / max(per_call, 1e-5)))))
+    # two-round pilot: the dispatch floor inflates a shallow pilot's
+    # per-call estimate (a 0.5 ms kernel reads ~3-6 ms at depth 10), so
+    # deepen, re-estimate, deepen again — batches target ~0.3 s so the
+    # ~15-40 ms per-batch sync amortizes below ~10%
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        per_call = (time.perf_counter() - t0) / iters
+        if per_call >= 20e-3:
+            break
+        iters = max(iters, min(400, int(round(0.3 / max(per_call, 1e-5)))))
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
