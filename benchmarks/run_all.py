@@ -628,6 +628,22 @@ def tpu_main(quick=False):
         "device": str(jax.devices()[0]), **_timing_fields(),
     }
 
+    # adaptive-SOLUTION sampling (round 4): attempt-stream forward +
+    # backward conditioning sampler over each lane's ragged chain
+    key_as = jax.random.PRNGKey(3)
+    run_adsmp = jax.jit(
+        lambda u, p, k: pk.sample_ensemble_adaptive_pallas(
+            prob.f, u, p, prob.tspan, 20, k, q=3,
+            abstol=1e-6, reltol=1e-4, max_iters=4096,
+        )[0]
+    )
+    t = _time(run_adsmp, u0s, ps, key_as, iters=5)
+    results["ensemble_8192_pallas_adaptive_sampler"] = {
+        "B": B, "save_points": 20, "runtime_s": t,
+        "sample_paths_per_sec": B / t,
+        "device": str(jax.devices()[0]), **_timing_fields(),
+    }
+
     # dense-EK1 adaptive+smooth pair (round-4: the reference's literal
     # default EK1 config at kernel speed; streams committed D x D
     # factors per attempt — max_iters sized well below the EK0 pair's)

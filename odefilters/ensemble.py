@@ -288,6 +288,10 @@ def sample_ensemble_pallas(
     *,
     n_steps: int = 100,
     n_samples: int = 1,
+    adaptive: bool = False,
+    abstol: float = 1e-6,
+    reltol: float = 1e-3,
+    max_iters: int = 1024,
     mesh=None,
 ) -> jax.Array:
     """Joint smoothing-posterior sample paths per ensemble member.
@@ -324,6 +328,26 @@ def sample_ensemble_pallas(
     if not alg.smooth:
         raise ValueError("sampling not implemented for non-smoothed posteriors")
     prior = None if isinstance(normalize_prior(alg.prior), IWP) else alg.prior
+    if adaptive:
+        # ADAPTIVE-solution sampling (round 4): the attempt-stream
+        # forward + a backward conditioning sampler over each lane's
+        # ragged accepted-step chain — the fused analogue of
+        # `odefilters.sample` on an adaptive solve
+        # (`solution_sampling.jl:24-62`). EK0 only; ``n_steps`` is the
+        # save-grid interval count here.
+        if alg.is_ek1:
+            raise NotImplementedError(
+                "adaptive-solution sampling runs on the EK0 attempt-"
+                "stream pair; use adaptive=False for EK1, or "
+                "odefilters.sample on an XLA solution"
+            )
+        us, *_ = pk.sample_ensemble_adaptive_pallas(
+            prob.f, u0s, ps, prob.tspan, n_steps, key, q=alg.order,
+            n_samples=n_samples, abstol=abstol, reltol=reltol,
+            max_iters=max_iters, prior=prior, mesh=mesh,
+            second_order=bool(prob.second_order),
+        )
+        return us
     if alg.is_ek1:
         if prob.second_order:
             raise NotImplementedError(
