@@ -245,6 +245,17 @@ def kernel_models():
     f_ek0 = count_step_flops(
         lambda m_, C_, p_: step(m_, C_, p_, jnp.float32(0.1)), m, C, p_block
     )
+    # round-4: the production filter kernel runs the collapsed-row fast
+    # path (structural zero measured row/col, symmetric triangle only,
+    # variance output) — count ITS jaxpr, not the generic step's
+    step_c = functools.partial(
+        _ek0_step_lists, f=prob.f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq, collapsed=True, want_var=True,
+    )
+    f_ek0_c = count_step_flops(
+        lambda m_, C_, p_: step_c(m_, C_, p_, jnp.float32(0.1)),
+        m, C, p_block,
+    )
 
     results = json.load(open("benchmarks/results.json"))
     ad_steps = results.get("ensemble_8192_pallas_adaptive", {}).get(
@@ -255,7 +266,7 @@ def kernel_models():
     models = {
         # filter kernel: writes us (d) + std (1) per member-step
         "ensemble_8192_pallas_filter": {
-            "flops_per_member_step": f_ek0,
+            "flops_per_member_step": f_ek0_c,
             "bytes_per_member_step": 4 * (d + 1),
             "throughput_key": ("filter_steps_per_sec", 1.0),
         },
