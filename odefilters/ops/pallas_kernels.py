@@ -188,7 +188,7 @@ def _ek0_step_lists(
     pinv0: float, pinv1: float, d: int, nq: int,
     so: bool = False, pinv_b: float = 0.0, stop_calib: bool = False,
     static_diff=None, calib=None, collapsed: bool = False,
-    want_var: bool = False,
+    want_var: bool = False, want_outputs: bool = True,
 ):
     """One EK0(dynamic) step on list-of-lanes state; pure function of
     ``(m, C, p)`` so it is both the fused-kernel body and the target of the
@@ -199,6 +199,11 @@ def _ek0_step_lists(
     runs with the UNSCALED prior sigma^2 = 1, per-step MLE statistics
     accumulate in ``calib``, and the caller rescales factors at exit —
     `integrator_utils.jl:4-18` semantics).
+
+    ``want_outputs=False`` (the filter+smoother pair's forward, whose
+    solution outputs fall out of the backward pass): skips the ll/us/std
+    work entirely and returns ``(m_new, C_new, s2[, calib_new])`` — ``s2``
+    is the step's diffusion (the Python float 1.0 under a static model).
     """
     b = 2 if so else 1               # measured derivative block
     pb = pinv_b if so else pinv1     # its preconditioner entry
@@ -317,6 +322,13 @@ def _ek0_step_lists(
             [Cp[i][l] - kg[i] * kg[l] * s for l in range(nq)]
             for i in range(nq)
         ]
+    if not want_outputs:
+        if static_diff is not None:
+            calib_new = _static_local_update(
+                static_diff, calib, zz, z, inv_s, d
+            )
+            return m_new, C_new, s2, calib_new
+        return m_new, C_new, s2
     # -- per-member data log-likelihood: log N(z; 0, s I_d)
     #    (perform_step.jl:66) --
     ll_inc = -0.5 * (
@@ -3729,138 +3741,376 @@ def _ek0_filter_states_kernel(
         ).wait()
 
 
-def _ek0_smoother_kernel(
-    st_ref, us_ref, std_ref,
-    row, sem,
-    *, At, Qt, pinv0, T, d, nq,
+def _pair_layout(nq, d, bx):
+    """Packed-row layout of the pair's plain-covariance state stream: per
+    step ``[ mean (nq*d) | active covariance upper triangle | s2 ]``.
+
+    The COMMITTED EK0 covariance's measured row/column ``bx`` is exactly
+    zero after the R = 0 update (see `_ek0_step_lists` collapsed path), so
+    only the (nq-1)nq/2 active-triangle entries are streamed — 15 instead
+    of 32 (8, 128) registers per step at the headline (d=2, q=3) config,
+    ~2x less HBM traffic than the round-4 (mean | factor | s2) rows."""
+    triu = [(i, l) for i in range(nq) if i != bx
+            for l in range(i, nq) if l != bx]
+    return triu, nq * d + len(triu) + 1
+
+
+def _ek0_pair_fwd_kernel(
+    m0_ref, p_ref, st_refs, row, sem, sig_ref=None,
+    *, f, At, Qt, pinv0, pinv1, T, dt, t0, d, nq,
+    so: bool = False, pinv_b: float = 0.0, static_diff=None, U: int = 1,
 ):
-    """Backward RTS pass over the packed streamed states, square-root form.
+    """Forward filter of the fused filter+smoother pair: the collapsed
+    plain-covariance recursion of the fast filter kernel (the same
+    `_ek0_step_lists` body as `_ek0_kernel`, so the two stay equal by
+    construction) over ``U`` interleaved 1024-member chains, streaming one
+    packed (mean | active-cov-triangle | s2) row per chain per step to HBM
+    (double-buffered DMA per chain).
 
-    One DMA per step; the next row's diffusion (needed for the interval
-    k -> k+1) is carried from the previous iteration instead of re-read.
-    """
-    QLt_c = Qt  # the noise *factor* QLt
+    vs the round-4 forward (`_ek0_filter_states_kernel`, kept for the
+    sampler kernels): no in-kernel MGS re-factorization (~2x fewer
+    covariance FLOPs via the collapsed symmetric algebra), no ll/us/std
+    epilogue work (the smoother recomputes the solution outputs for
+    free), a ~2x smaller streamed row, and U-way chain interleaving to
+    fill the serial recursion's latency slots."""
+    bx = 2 if so else 1
+    triu, V = _pair_layout(nq, d, bx)
 
-    def start_load(k):
+    def pack_and_send(u, k_idx, m, C, s2):
+        slot = jax.lax.rem(k_idx, jnp.int32(2))
+
+        @pl.when(k_idx >= 2)
+        def _():
+            pltpu.make_async_copy(
+                row.at[u, slot], st_refs[u].at[k_idx], sem.at[u, slot]
+            ).wait()
+
+        idx = 0
+        for i in range(nq):
+            for j in range(d):
+                row[u, slot, idx] = m[i][j]
+                idx += 1
+        for (i, l) in triu:
+            row[u, slot, idx] = C[i][l]
+            idx += 1
+        row[u, slot, idx] = s2
+        pltpu.make_async_copy(
+            row.at[u, slot], st_refs[u].at[k_idx], sem.at[u, slot]
+        ).start()
+
+    ms, Cs, calibs, pbs = [], [], [], []
+    zero = None
+    for u in range(U):
+        m_init = [[m0_ref[u, i, j] for j in range(d)] for i in range(nq)]
+        zero = jnp.zeros_like(m_init[0][0])
+        Cs.append([[zero for _ in range(nq)] for _ in range(nq)])
+        ms.append(m_init)
+        if static_diff == "fixedMV":
+            calibs.append(([zero for _ in range(d)], zero))
+        else:
+            calibs.append((zero, zero))
+        pbs.append(p_ref[u])
+        pack_and_send(u, jnp.int32(0), m_init, Cs[u], zero + 1.0)
+
+    step = functools.partial(
+        _ek0_step_lists, f=f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq, so=so, pinv_b=pinv_b, static_diff=static_diff,
+        collapsed=True, want_outputs=False,
+    )
+
+    def body(k, carry):
+        ms, Cs, calibs = carry
+        k1 = k + jnp.ones((), k.dtype)
+        t_new = _step_time(k, t0, dt, zero.dtype)
+        ms2, Cs2, calibs2 = [], [], []
+        for u in range(U):
+            if static_diff is not None:
+                m_new, C_new, s2, cal = step(
+                    ms[u], Cs[u], pbs[u], t_new, calib=calibs[u]
+                )
+                s2 = zero + 1.0   # stream the unscaled-prior diffusion
+            else:
+                m_new, C_new, s2 = step(ms[u], Cs[u], pbs[u], t_new)
+                cal = calibs[u]
+            pack_and_send(u, k1, m_new, C_new, s2)
+            ms2.append(m_new)
+            Cs2.append(C_new)
+            calibs2.append(cal)
+        return ms2, Cs2, calibs2
+
+    out_c = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body, (ms, Cs, calibs)
+    )
+    if static_diff is not None:
+        for u in range(U):
+            sig = out_c[2][u][0]
+            for j in range(d):
+                sig_ref[u, j] = sig[j] if static_diff == "fixedMV" else sig
+    for u in range(U):   # drain the last (up to two) in-flight copies
+        pltpu.make_async_copy(
+            row.at[u, jnp.int32(T % 2)], st_refs[u].at[jnp.int32(T)],
+            sem.at[u, jnp.int32(T % 2)],
+        ).wait()
+        if T >= 1:
+            pltpu.make_async_copy(
+                row.at[u, jnp.int32((T - 1) % 2)],
+                st_refs[u].at[jnp.int32(T - 1)],
+                sem.at[u, jnp.int32((T - 1) % 2)],
+            ).wait()
+
+
+def _ek0_pair_bwd_kernel(
+    st_refs, us_ref, var_ref, row, sem,
+    *, At, QLt, Qt, pinv0, T, d, nq, bx, U,
+):
+    """Backward square-root RTS pass over the packed plain-covariance
+    stream, ``U`` chains interleaved (`smoothing.jl:12-27` semantics on
+    the uniform preconditioned grid).
+
+    Per chain per step: Cholesky-factor the streamed committed covariance
+    with the measured block's row/column treated as a STRUCTURAL zero
+    (`_list_cholesky(zero_row=bx)` — the exact-zero treatment the
+    adaptive pair established; a guarded pivot there divides
+    roundoff-sized junk by ~1e-15 and destroys the factor), rebuild the
+    predicted covariance with the collapsed symmetric plain algebra
+    (M = C_f At^T falls out of it transposed, for free), and run the
+    Joseph square-root smoothing stack. Structural zeros propagate at
+    trace time: the gain's row ``bx`` is exactly zero (the R = 0 update
+    pinned that block, so smoothed == filtered there), hence b1/GQ/b3
+    rows ``bx`` vanish and the 3(q+1)-row MGS skips its ``bx`` column.
+
+    Emits smoothed solution means and RAW first-block variances — the
+    caller applies one fused ``pinv0 * sqrt`` XLA epilogue instead of a
+    per-step VPU sqrt."""
+    triu, V = _pair_layout(nq, d, bx)
+    At_st = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
+    QL_st = [[float(QLt[i, l]) for l in range(nq)] for i in range(nq)]
+    Q_st = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
+    tril_act = [(i, l) for i in range(nq) if i != bx
+                for l in range(i + 1) if l != bx]
+
+    def start_load(u, k):
         slot = jax.lax.rem(k, jnp.int32(2))
-        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).start()
+        pltpu.make_async_copy(
+            st_refs[u].at[k], row.at[u, slot], sem.at[u, slot]
+        ).start()
 
-    def wait_and_read(k):
+    def wait_and_read(u, k):
         slot = jax.lax.rem(k, jnp.int32(2))
-        pltpu.make_async_copy(st_ref.at[k], row.at[slot], sem.at[slot]).wait()
-        m = [[row[slot, i, j] for j in range(d)] for i in range(nq)]
-        L = [[row[slot, i, d + l] for l in range(nq)] for i in range(nq)]
-        return m, L, row[slot, 0, d + nq]
+        pltpu.make_async_copy(
+            st_refs[u].at[k], row.at[u, slot], sem.at[u, slot]
+        ).wait()
+        m = [[row[u, slot, i * d + j] for j in range(d)] for i in range(nq)]
+        C = [[0.0] * nq for _ in range(nq)]
+        idx = nq * d
+        for (i, l) in triu:
+            C[i][l] = row[u, slot, idx]
+            C[l][i] = C[i][l]
+            idx += 1
+        return m, C, row[u, slot, idx]
 
-    def block_std(Lrow):
-        return pinv0 * jnp.sqrt(
-            functools.reduce(lambda a, b: a + b, [x * x for x in Lrow])
-        )
-
-    start_load(jnp.int32(T))
-    m_T, L_T, s2_T = wait_and_read(jnp.int32(T))
-    if T >= 1:
-        start_load(jnp.int32(T - 1))   # prefetch the first backward row
-    for j in range(d):
-        us_ref[T, j] = pinv0 * m_T[0][j]
-    std_ref[T] = block_std(L_T[0])
+    # --- init from the final filter row: smoothed == filtered at t1 ---
+    for u in range(U):
+        start_load(u, jnp.int32(T))
+    ms, Lacts, s2s = [], [], []
+    for u in range(U):
+        m_T, C_T, s2_T = wait_and_read(u, jnp.int32(T))
+        if T >= 1:
+            start_load(u, jnp.int32(T - 1))   # prefetch first backward row
+        L_T = _list_cholesky(C_T, nq, zero_row=bx)
+        for j in range(d):
+            us_ref[u, jnp.int32(T), j] = pinv0 * m_T[0][j]
+        var_ref[u, jnp.int32(T)] = L_T[0][0] * L_T[0][0]
+        ms.append(m_T)
+        Lacts.append([L_T[i][l] for (i, l) in tril_act])
+        s2s.append(s2_T)
 
     def body(step, carry):
-        m_s, L_s, s2_next = carry
+        ms, Lacts, s2s = carry
         k = jnp.asarray(T, step.dtype) - jnp.ones((), step.dtype) - step
-        m_f, L_f, s2_k = wait_and_read(k)
+        ms2, Lacts2, s2s2 = [], [], []
+        for u in range(U):
+            m_s = ms[u]
+            Ls = [[0.0] * nq for _ in range(nq)]
+            for (i, l), v in zip(tril_act, Lacts[u]):
+                Ls[i][l] = v
+            m_f, C_f, s2_k = wait_and_read(u, k)
 
-        @pl.when(k >= 1)
-        def _():
-            start_load(k - jnp.ones((), k.dtype))
-        sq_s2 = jnp.sqrt(s2_next)   # diffusion of interval k -> k+1
-        zero = jnp.zeros_like(sq_s2)
+            @pl.when(k >= 1)
+            def _():
+                start_load(u, k - jnp.ones((), k.dtype))
 
-        AtL = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [At[i, a] * L_f[a][b] for a in range(nq) if At[i, a] != 0.0],
+            s2 = s2s[u]               # diffusion of interval k -> k+1
+            sq_s2 = jnp.sqrt(s2)
+            L_f = _list_cholesky(C_f, nq, zero_row=bx)
+            # tmp = At C_f (column bx statically zero); the smoother's
+            # cross term M = C_f At^T is tmp transposed — free
+            tmp = [
+                [
+                    _sreduce([_smul(At_st[i][a], C_f[a][c])
+                              for a in range(nq)])
+                    for c in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            # predicted covariance, plain symmetric (upper + aliased
+            # mirror); full-rank — Q restores the measured direction
+            Cp = [[None] * nq for _ in range(nq)]
+            for i in range(nq):
+                for l in range(i, nq):
+                    Cp[i][l] = _sreduce(
+                        [_smul(tmp[i][c], At_st[l][c]) for c in range(nq)]
+                        + [_smul(s2, Q_st[i][l])]
+                    )
+                    Cp[l][i] = Cp[i][l]
+            Lp = _list_chol(Cp, nq)
+            # gain rows (row bx structurally zero: smoothed == filtered
+            # at the measured block)
+            G = [[0.0] * nq for _ in range(nq)]
+            for i in range(nq):
+                if i == bx:
+                    continue
+                G[i] = _list_cho_solve(
+                    Lp, [tmp[l][i] for l in range(nq)], nq
                 )
-                for b in range(nq)
+            mp = [
+                [
+                    _sreduce([_smul(At_st[i][l], m_f[l][j])
+                              for l in range(nq)])
+                    for j in range(d)
+                ]
+                for i in range(nq)
             ]
-            for i in range(nq)
-        ]
-        # predicted factor of interval k -> k+1, recomputed here (streaming
-        # it from the filter was measured a net loss for EK0 — see the
-        # filter kernel's docstring)
-        qT = [
-            [sq_s2 * QLt_c[i, a] if QLt_c[i, a] != 0.0 else 0.0
-             for i in range(nq)]
-            for a in range(nq)
-        ]
-        Lp = _list_mgs_tril(_t_rows(AtL, nq) + qT, 2 * nq, nq)
+            dm = [[m_s[i][j] - mp[i][j] for j in range(d)]
+                  for i in range(nq)]
+            m_new = []
+            for i in range(nq):
+                rowm = []
+                for j in range(d):
+                    inc = _sreduce(
+                        [_smul(G[i][l], dm[l][j]) for l in range(nq)]
+                    )
+                    rowm.append(
+                        m_f[i][j] if _is0(inc) else m_f[i][j] + inc
+                    )
+                m_new.append(rowm)
+            GA = [
+                [
+                    _sreduce([_smul(G[i][a], At_st[a][l])
+                              for a in range(nq)])
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            IGA = [
+                [(1.0 - GA[i][l]) if i == l else
+                 (0.0 - GA[i][l] if not _is0(GA[i][l]) else 0.0)
+                 for l in range(nq)]
+                for i in range(nq)
+            ]
+            b1 = [
+                [
+                    _sreduce([_smul(IGA[i][a], L_f[a][l])
+                              for a in range(nq)])
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            GQ = [
+                [
+                    _smul(sq_s2,
+                          _sreduce([_smul(G[i][a], QL_st[a][l])
+                                    for a in range(nq)]))
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            b3 = [
+                [
+                    _sreduce([_smul(G[i][a], Ls[a][l])
+                              for a in range(nq)])
+                    for l in range(nq)
+                ]
+                for i in range(nq)
+            ]
+            Ls_new = _list_mgs_tril(
+                _t_rows(b1, nq) + _t_rows(GQ, nq) + _t_rows(b3, nq),
+                3 * nq, nq,
+            )
+            for j in range(d):
+                us_ref[u, k, j] = pinv0 * m_new[0][j]
+            v00 = Ls_new[0][0]
+            var_ref[u, k] = v00 * v00
+            ms2.append(m_new)
+            Lacts2.append([Ls_new[i][l] for (i, l) in tril_act])
+            s2s2.append(s2_k)
+        return ms2, Lacts2, s2s2
 
-        M = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [L_f[i][b] * AtL[l][b] for b in range(nq)],
-                )
-                for l in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        G = [_list_cho_solve(Lp, M[i], nq) for i in range(nq)]
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (ms, Lacts, s2s))
 
-        mp = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [At[i, l] * m_f[l][j] for l in range(nq) if At[i, l] != 0.0],
-                )
-                for j in range(d)
-            ]
-            for i in range(nq)
-        ]
-        dm = [[m_s[i][j] - mp[i][j] for j in range(d)] for i in range(nq)]
-        m_new = [
-            [
-                m_f[i][j]
-                + functools.reduce(
-                    lambda a, b: a + b, [G[i][l] * dm[l][j] for l in range(nq)]
-                )
-                for j in range(d)
-            ]
-            for i in range(nq)
-        ]
 
-        GA = _matmul_lists(G, [[At[i, l] for l in range(nq)] for i in range(nq)], nq)
-        IGA = [
-            [
-                (1.0 if i == l else 0.0) - GA[i][l]
-                for l in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        b1 = _matmul_lists(IGA, L_f, nq)
-        GQ = [
-            [
-                sq_s2
-                * functools.reduce(
-                    lambda a, b: a + b,
-                    [G[i][a] * QLt_c[a, l] for a in range(l, nq)],
-                )
-                for l in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        b3 = _matmul_lists(G, L_s, nq)
-        L_new = _list_mgs_tril(
-            _t_rows(b1, nq) + _t_rows(GQ, nq) + _t_rows(b3, nq), 3 * nq, nq
-        )
+@_no_x64
+def ek0_filter_state_stream(
+    f: Callable,
+    m0: jax.Array,      # (q+1, d, B) unpreconditioned Taylor init means
+    ps: jax.Array,      # (n_params, B)
+    t0: float,
+    dt: float,
+    n_steps: int,
+    q: int,
+    prior=None,
+    second_order: bool = False,
+):
+    """Packed (mean | factor | s2) SQUARE-ROOT state stream of the
+    streaming filter the sampler kernels consume, shape
+    (nb, T+1, nq, d+nq+1, 8, 128). Test hook: `ek0_fused_sample` builds
+    the identical stream inline; the sampler replica tests read it here to
+    drive the numpy backward replica on the exact same rows."""
+    nq = q + 1
+    _, d, B = m0.shape
+    if B % BLOCK:
+        raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
+    nb = B // BLOCK
+    T = int(n_steps)
+    At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
+    j = np.arange(nq, dtype=np.float64)
+    p_np = float(dt) ** (j - q - 0.5)
+    dtype = m0.dtype
+    fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    m0_p = (jnp.asarray(p_np, dtype)[:, None, None] * m0).reshape(
+        nq, d, nb, _SUB, _LANE
+    ).transpose(2, 0, 1, 3, 4)
+    ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    fkernel = functools.partial(
+        _ek0_filter_states_kernel, f=f, At=At_np.astype(fdtype),
+        Qt=QLt_np.astype(fdtype), pinv0=float(1.0 / p_np[0]),
+        pinv1=float(1.0 / p_np[1]), T=T, d=d, nq=nq,
+        dt=float(dt), t0=float(t0), so=bool(second_order),
+        pinv_b=float(1.0 / p_np[2]) if second_order else 0.0,
+    )
+    W = d + nq + 1
 
-        for j in range(d):
-            us_ref[k, j] = pinv0 * m_new[0][j]
-        std_ref[k] = block_std(L_new[0])
-        return m_new, L_new, s2_k
+    def fentry(m0_blk, p_blk, st_hbm, row, sem):
+        b = pl.program_id(0)
+        fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
+                st_hbm.at[b], row, sem)
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (m_T, L_T, s2_T))
+    return pl.pallas_call(
+        fentry,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d, _SUB, _LANE), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(m0_p, ps_b)
 
 
 @_no_x64
@@ -3886,6 +4136,16 @@ def ek0_fused_solve(
     intermediate state stream stays shard-local, no collectives).
     ``second_order``: measurement block 2 in the filter kernel; the RTS
     smoother pass is measurement-agnostic and runs unchanged.
+
+    Round-5 design: the forward is the collapsed plain-covariance filter
+    (`_ek0_pair_fwd_kernel` — the fast filter's step body) streaming
+    (mean | active-cov-triangle | s2) rows; the backward Cholesky-factors
+    each streamed covariance with the measured block's row/column as a
+    structural zero and runs the Joseph square-root RTS stack
+    (`_ek0_pair_bwd_kernel`); both passes interleave independent member
+    chains to fill the serial recursion's latency slots. Measured on chip
+    (8192-member FHN, T=500, q=3): 3.84 ms -> see benchmarks/results.json
+    `ensemble_8192_pallas_filter_smoother`.
     """
     if second_order and q < 2:
         raise ValueError("second_order needs q >= 2 (measures block 2)")
@@ -3915,119 +4175,136 @@ def ek0_fused_solve(
         raise ValueError(f"ensemble size must be a multiple of {BLOCK}, got {B}")
     nb = B // BLOCK
     T = int(n_steps)
+    bx = 2 if second_order else 1
 
     At_np, QLt_np = _prior_consts_np(prior, q, float(dt))
+    Qt_np = QLt_np @ QLt_np.T
     j = np.arange(nq, dtype=np.float64)
     p_np = float(dt) ** (j - q - 0.5)
     dtype = m0.dtype
     fdtype = np.float32 if dtype == jnp.float32 else np.float64
+    pinv0 = float(1.0 / p_np[0])
 
     m0_p = (jnp.asarray(p_np, dtype)[:, None, None] * m0).reshape(
         nq, d, nb, _SUB, _LANE
     ).transpose(2, 0, 1, 3, 4)
     ps_b = ps.reshape(ps.shape[0], nb, _SUB, _LANE).transpose(1, 0, 2, 3)
+    n_params = ps_b.shape[1]
 
-    # Both kernels consume the noise *factor* QLt (square-root form); the
-    # filter also needs Qt[1,1] for the dynamic-diffusion statistic, passed
-    # via hq below.
-    common = dict(At=At_np.astype(fdtype), Qt=QLt_np.astype(fdtype),
-                  pinv0=float(1.0 / p_np[0]), T=T, d=d, nq=nq)
+    _, V = _pair_layout(nq, d, bx)
+
+    # Chain interleaving: the forward has no large VMEM output blocks, so
+    # it takes the largest divisor of nb up to 4; the backward's
+    # (T+1, d+1) output blocks cap it at the fast filter's VMEM budget.
+    U_f = next(u for u in (4, 2, 1) if nb % u == 0)
+    U_b = _chain_interleave(nb, T, d)
+    ng_f, ng_b = nb // U_f, nb // U_b
 
     fkernel = functools.partial(
-        _ek0_filter_states_kernel, f=f, pinv1=float(1.0 / p_np[1]),
-        dt=float(dt), t0=float(t0), so=bool(second_order),
+        _ek0_pair_fwd_kernel, f=f, At=At_np.astype(fdtype),
+        Qt=Qt_np.astype(fdtype), pinv0=pinv0,
+        pinv1=float(1.0 / p_np[1]), T=T, dt=float(dt), t0=float(t0),
+        d=d, nq=nq, so=bool(second_order),
         pinv_b=float(1.0 / p_np[2]) if second_order else 0.0,
-        static_diff=static, **common,
+        static_diff=static, U=U_f,
     )
-
-    # one packed state row per step: [ mean (d) | factor (nq) | s2 (1) ],
-    # two slots for double-buffered DMA. The filter's only output is the
-    # HBM state stream — its solution means/stds are recomputed for free
-    # by the smoother pass, so no (T+1)-sized VMEM output blocks here.
-    W = d + nq + 1
-    scratch = [
-        pltpu.VMEM((2, nq, W, _SUB, _LANE), dtype),
-        pltpu.SemaphoreType.DMA((2,)),
+    fscratch = [
+        pltpu.VMEM((U_f, 2, V, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((U_f, 2)),
+    ]
+    st_shape = jax.ShapeDtypeStruct((nb, T + 1, V, _SUB, _LANE), dtype)
+    m0_g = m0_p.reshape(ng_f, U_f, nq, d, _SUB, _LANE)
+    ps_g = ps_b.reshape(ng_f, U_f, n_params, _SUB, _LANE)
+    f_in_specs = [
+        pl.BlockSpec((1, U_f, nq, d, _SUB, _LANE),
+                     lambda b: (b, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, U_f, n_params, _SUB, _LANE),
+                     lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
 
     if static is not None:
         def fentry(m0_blk, p_blk, st_hbm, sig_blk, row, sem):
-            b = pl.program_id(0)
+            base = pl.program_id(0) * U_f
             fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
-                    st_hbm.at[b], row, sem, sig_blk.at[jnp.int32(0)])
+                    [st_hbm.at[base + u] for u in range(U_f)],
+                    row, sem, sig_blk.at[jnp.int32(0)])
 
         st, sig = pl.pallas_call(
             fentry,
-            grid=(nb,),
-            in_specs=[
-                    pl.BlockSpec((1, nq, d, _SUB, _LANE),
-                                 lambda b: (b, 0, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
-                                 lambda b: (b, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-            ],
+            grid=(ng_f,),
+            in_specs=f_in_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, d, _SUB, _LANE), lambda b: (b, 0, 0, 0),
+                pl.BlockSpec((1, U_f, d, _SUB, _LANE),
+                             lambda b: (b, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nb, T + 1, nq, W, _SUB, _LANE), dtype),
-                jax.ShapeDtypeStruct((nb, d, _SUB, _LANE), dtype),
+                st_shape,
+                jax.ShapeDtypeStruct((ng_f, U_f, d, _SUB, _LANE), dtype),
             ],
-            scratch_shapes=scratch,
-        )(m0_p, ps_b)
+            scratch_shapes=fscratch,
+        )(m0_g, ps_g)
+        sig = sig.reshape(nb, d, _SUB, _LANE)
     else:
         def fentry(m0_blk, p_blk, st_hbm, row, sem):
-            b = pl.program_id(0)
+            base = pl.program_id(0) * U_f
             fkernel(m0_blk.at[jnp.int32(0)], p_blk.at[jnp.int32(0)],
-                    st_hbm.at[b], row, sem)
+                    [st_hbm.at[base + u] for u in range(U_f)], row, sem)
 
         st = pl.pallas_call(
             fentry,
-            grid=(nb,),
-            in_specs=[
-                    pl.BlockSpec((1, nq, d, _SUB, _LANE),
-                                 lambda b: (b, 0, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, ps_b.shape[1], _SUB, _LANE),
-                                 lambda b: (b, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-            ],
+            grid=(ng_f,),
+            in_specs=f_in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct(
-                (nb, T + 1, nq, W, _SUB, _LANE), dtype
-            ),
-            scratch_shapes=scratch,
-        )(m0_p, ps_b)
+            out_shape=st_shape,
+            scratch_shapes=fscratch,
+        )(m0_g, ps_g)
 
-    skernel = functools.partial(_ek0_smoother_kernel, **common)
+    skernel = functools.partial(
+        _ek0_pair_bwd_kernel, At=At_np.astype(fdtype),
+        QLt=QLt_np.astype(fdtype), Qt=Qt_np.astype(fdtype),
+        pinv0=pinv0, T=T, d=d, nq=nq, bx=bx, U=U_b,
+    )
+    sscratch = [
+        pltpu.VMEM((U_b, 2, V, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((U_b, 2)),
+    ]
 
-    def sentry(st_hbm, us_blk, std_blk, row, sem):
-        b = pl.program_id(0)
-        skernel(st_hbm.at[b], us_blk.at[jnp.int32(0)],
-                std_blk.at[jnp.int32(0)], row, sem)
+    def sentry(st_hbm, us_blk, var_blk, row, sem):
+        base = pl.program_id(0) * U_b
+        skernel([st_hbm.at[base + u] for u in range(U_b)],
+                us_blk.at[jnp.int32(0)], var_blk.at[jnp.int32(0)],
+                row, sem)
 
-    us_s, std_s = pl.pallas_call(
+    us_s, var_s = pl.pallas_call(
         sentry,
-        grid=(nb,),
+        grid=(ng_b,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-                pl.BlockSpec((1, T + 1, d, _SUB, _LANE),
-                             lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T + 1, _SUB, _LANE),
-                             lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_b, T + 1, d, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_b, T + 1, _SUB, _LANE),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T + 1, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((ng_b, U_b, T + 1, d, _SUB, _LANE), dtype),
+            jax.ShapeDtypeStruct((ng_b, U_b, T + 1, _SUB, _LANE), dtype),
         ],
-        scratch_shapes=scratch,
+        scratch_shapes=sscratch,
     )(st)
 
-    us = us_s.transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
-    stds = std_s.transpose(1, 0, 2, 3).reshape(T + 1, B)
+    us = us_s.reshape(nb, T + 1, d, _SUB, _LANE).transpose(
+        1, 2, 0, 3, 4
+    ).reshape(T + 1, d, B)
+    var = var_s.reshape(nb, T + 1, _SUB, _LANE).transpose(
+        1, 0, 2, 3
+    ).reshape(T + 1, B)
+    # XLA epilogue: the backward emits raw preconditioned variances so its
+    # hot loop carries no per-step sqrt; one fused sqrt over (T+1, B)
+    stds = pinv0 * jnp.sqrt(jnp.maximum(var, 0.0))
     if static is not None:
         # exit rescale (`integrator_utils.jl:4-18`): the smoother ran on
         # sigma^2 = 1 covariances; uniform scaling commutes with the RTS

@@ -2157,9 +2157,7 @@ def test_pallas_sampler_matches_replica_interpret():
             prob.f, m0, ps.T, normals, 0.0, dt, T, q
         )
         # the identical filter pass, with its packed state stream exposed
-        _, _, st = pk.ek0_fused_solve(
-            prob.f, m0, ps.T, 0.0, dt, T, q, _debug=True
-        )
+        st = pk.ek0_filter_state_stream(prob.f, m0, ps.T, 0.0, dt, T, q)
 
     At, QLt = pk._prior_consts_np(None, q, dt)
     pinv0 = float(dt ** (q + 0.5))
