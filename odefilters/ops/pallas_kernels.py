@@ -3475,6 +3475,70 @@ def _list_cho_solve(L, b, nq):
     return x
 
 
+def _list_chol_inv(C, nq):
+    """Unrolled Cholesky returning ``(L, inv_diag)``: one rsqrt per pivot
+    and multiplicative inverses throughout — VPU divide/sqrt throughput is
+    the pair backward's hot resource (the sqrt+divide `_list_chol` stays
+    for the paths whose tests pin exact bit patterns)."""
+    L = [[None] * nq for _ in range(nq)]
+    invd = [None] * nq
+    for i in range(nq):
+        for j in range(i + 1):
+            s = C[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                inv = jax.lax.rsqrt(jnp.maximum(s, 1e-30))
+                invd[i] = inv
+                L[i][j] = s * inv           # == sqrt(s) up to rounding
+            else:
+                L[i][j] = s * invd[j]
+    return L, invd
+
+
+def _list_cho_solve_inv(L, invd, b, nq):
+    """`_list_cho_solve` with the pivot reciprocals precomputed by
+    `_list_chol_inv` — 2 nq multiplications instead of divisions per
+    solve."""
+    y = [None] * nq
+    for i in range(nq):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * invd[i]
+    x = [None] * nq
+    for i in range(nq - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, nq):
+            s = s - L[k][i] * x[k]
+        x[i] = s * invd[i]
+    return x
+
+
+def _list_cholesky_rs(Cm, nq, zero_row=None):
+    """`_list_cholesky` (structural zero row/column) with rsqrt pivots and
+    multiplicative inverses. Bit-level different from the sqrt+divide
+    original, so the adaptive kernels keep that one — their equivalence
+    tests pin exact accept sequences."""
+    L = [[0.0] * nq for _ in range(nq)]
+    for i in range(nq):
+        if i == zero_row:
+            continue
+        s = Cm[i][i]
+        for k in range(i):
+            s = s - _smul(L[i][k], L[i][k])
+        inv = jax.lax.rsqrt(jnp.maximum(s, 1e-30))
+        L[i][i] = s * inv
+        for l in range(i + 1, nq):
+            if l == zero_row:
+                continue
+            v = Cm[l][i]
+            for k in range(i):
+                v = v - _smul(L[l][k], L[i][k])
+            L[l][i] = _smul(v, inv)
+    return L
+
+
 def _matmul_lists(A, B, nq):
     """C = A @ B for list-of-lists of lane vectors (or float constants)."""
     return [
@@ -3511,7 +3575,7 @@ def _sreduce(terms):
     return functools.reduce(lambda a, b: a + b, live)
 
 
-def _list_mgs_tril(rows, K, nq):
+def _list_mgs_tril(rows, K, nq, rsqrt=False):
     """Lower-triangular factor of M^T M via modified Gram-Schmidt.
 
     ``rows`` is a K x nq list-of-lists of lane vectors representing M;
@@ -3533,10 +3597,20 @@ def _list_mgs_tril(rows, K, nq):
     for j in range(nq):
         ss = _sreduce([_smul(v[k][j], v[k][j]) for k in range(K)])
         if _is0(ss):  # statically zero column: zero factor row
+            if rsqrt:
+                # rsqrt mode spends no sqrt/divide on the structural
+                # zero (the pair backward's collapsed column)
+                for l in range(j, nq):
+                    R[j][l] = 0.0
+                continue
             ss = jnp.zeros_like(next(x for r_ in rows for x in r_
                                      if not _is0(x)))
-        R[j][j] = jnp.sqrt(jnp.maximum(ss, 1e-30))
-        inv = 1.0 / R[j][j]
+        if rsqrt:
+            inv = jax.lax.rsqrt(jnp.maximum(ss, 1e-30))
+            R[j][j] = ss * inv
+        else:
+            R[j][j] = jnp.sqrt(jnp.maximum(ss, 1e-30))
+            inv = 1.0 / R[j][j]
         for k in range(K):
             qcol[k] = _smul(v[k][j], inv)
         for l in range(j + 1, nq):
@@ -3860,7 +3934,7 @@ def _ek0_pair_fwd_kernel(
 
 
 def _ek0_pair_bwd_kernel(
-    st_refs, us_ref, var_ref, row, sem,
+    st_refs, out_refs, row, sem, orow, osem,
     *, At, QLt, Qt, pinv0, T, d, nq, bx, U,
 ):
     """Backward square-root RTS pass over the packed plain-covariance
@@ -3879,9 +3953,12 @@ def _ek0_pair_bwd_kernel(
     pinned that block, so smoothed == filtered there), hence b1/GQ/b3
     rows ``bx`` vanish and the 3(q+1)-row MGS skips its ``bx`` column.
 
-    Emits smoothed solution means and RAW first-block variances — the
-    caller applies one fused ``pinv0 * sqrt`` XLA epilogue instead of a
-    per-step VPU sqrt."""
+    Emits smoothed solution means and RAW first-block variances as
+    DMA-streamed (us | var) rows to HBM (``out_refs``; double-buffered per
+    chain) — with VMEM output blocks the (T+1, d+1) windows cap the
+    interleave at U = 2, streamed outputs free it to 4. The caller applies
+    one fused ``pinv0 * sqrt`` XLA epilogue instead of a per-step VPU
+    sqrt."""
     triu, V = _pair_layout(nq, d, bx)
     At_st = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
     QL_st = [[float(QLt[i, l]) for l in range(nq)] for i in range(nq)]
@@ -3909,6 +3986,24 @@ def _ek0_pair_bwd_kernel(
             idx += 1
         return m, C, row[u, slot, idx]
 
+    def emit(u, k, us_row, var):
+        # k walks T, T-1, ..., 0: the copy sharing this slot was issued
+        # two rows earlier (k + 2)
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k <= T - 2)
+        def _():
+            pltpu.make_async_copy(
+                orow.at[u, slot], out_refs[u].at[k], osem.at[u, slot]
+            ).wait()
+
+        for j in range(d):
+            orow[u, slot, j] = us_row[j]
+        orow[u, slot, d] = var
+        pltpu.make_async_copy(
+            orow.at[u, slot], out_refs[u].at[k], osem.at[u, slot]
+        ).start()
+
     # --- init from the final filter row: smoothed == filtered at t1 ---
     for u in range(U):
         start_load(u, jnp.int32(T))
@@ -3917,10 +4012,9 @@ def _ek0_pair_bwd_kernel(
         m_T, C_T, s2_T = wait_and_read(u, jnp.int32(T))
         if T >= 1:
             start_load(u, jnp.int32(T - 1))   # prefetch first backward row
-        L_T = _list_cholesky(C_T, nq, zero_row=bx)
-        for j in range(d):
-            us_ref[u, jnp.int32(T), j] = pinv0 * m_T[0][j]
-        var_ref[u, jnp.int32(T)] = L_T[0][0] * L_T[0][0]
+        L_T = _list_cholesky_rs(C_T, nq, zero_row=bx)
+        emit(u, jnp.int32(T), [pinv0 * m_T[0][j] for j in range(d)],
+             L_T[0][0] * L_T[0][0])
         ms.append(m_T)
         Lacts.append([L_T[i][l] for (i, l) in tril_act])
         s2s.append(s2_T)
@@ -3942,7 +4036,7 @@ def _ek0_pair_bwd_kernel(
 
             s2 = s2s[u]               # diffusion of interval k -> k+1
             sq_s2 = jnp.sqrt(s2)
-            L_f = _list_cholesky(C_f, nq, zero_row=bx)
+            L_f = _list_cholesky_rs(C_f, nq, zero_row=bx)
             # tmp = At C_f (column bx statically zero); the smoother's
             # cross term M = C_f At^T is tmp transposed — free
             tmp = [
@@ -3963,15 +4057,15 @@ def _ek0_pair_bwd_kernel(
                         + [_smul(s2, Q_st[i][l])]
                     )
                     Cp[l][i] = Cp[i][l]
-            Lp = _list_chol(Cp, nq)
+            Lp, Lp_inv = _list_chol_inv(Cp, nq)
             # gain rows (row bx structurally zero: smoothed == filtered
             # at the measured block)
             G = [[0.0] * nq for _ in range(nq)]
             for i in range(nq):
                 if i == bx:
                     continue
-                G[i] = _list_cho_solve(
-                    Lp, [tmp[l][i] for l in range(nq)], nq
+                G[i] = _list_cho_solve_inv(
+                    Lp, Lp_inv, [tmp[l][i] for l in range(nq)], nq
                 )
             mp = [
                 [
@@ -4035,18 +4129,26 @@ def _ek0_pair_bwd_kernel(
             ]
             Ls_new = _list_mgs_tril(
                 _t_rows(b1, nq) + _t_rows(GQ, nq) + _t_rows(b3, nq),
-                3 * nq, nq,
+                3 * nq, nq, rsqrt=True,
             )
-            for j in range(d):
-                us_ref[u, k, j] = pinv0 * m_new[0][j]
             v00 = Ls_new[0][0]
-            var_ref[u, k] = v00 * v00
+            emit(u, k, [pinv0 * m_new[0][j] for j in range(d)], v00 * v00)
             ms2.append(m_new)
             Lacts2.append([Ls_new[i][l] for (i, l) in tril_act])
             s2s2.append(s2_k)
         return ms2, Lacts2, s2s2
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (ms, Lacts, s2s))
+    for u in range(U):   # drain the last (up to two) in-flight output rows
+        pltpu.make_async_copy(
+            orow.at[u, jnp.int32(0)], out_refs[u].at[jnp.int32(0)],
+            osem.at[u, jnp.int32(0)],
+        ).wait()
+        if T >= 1:
+            pltpu.make_async_copy(
+                orow.at[u, jnp.int32(1)], out_refs[u].at[jnp.int32(1)],
+                osem.at[u, jnp.int32(1)],
+            ).wait()
 
 
 @_no_x64
@@ -4193,11 +4295,11 @@ def ek0_fused_solve(
 
     _, V = _pair_layout(nq, d, bx)
 
-    # Chain interleaving: the forward has no large VMEM output blocks, so
-    # it takes the largest divisor of nb up to 4; the backward's
-    # (T+1, d+1) output blocks cap it at the fast filter's VMEM budget.
+    # Chain interleaving: neither pass holds large VMEM output blocks
+    # (the backward DMA-streams its (us | var) rows), so both take the
+    # largest divisor of nb up to 4 (measured best on the 8192 config).
     U_f = next(u for u in (4, 2, 1) if nb % u == 0)
-    U_b = _chain_interleave(nb, T, d)
+    U_b = U_f
     ng_f, ng_b = nb // U_f, nb // U_b
 
     fkernel = functools.partial(
@@ -4269,39 +4371,29 @@ def ek0_fused_solve(
     sscratch = [
         pltpu.VMEM((U_b, 2, V, _SUB, _LANE), dtype),
         pltpu.SemaphoreType.DMA((U_b, 2)),
+        pltpu.VMEM((U_b, 2, d + 1, _SUB, _LANE), dtype),
+        pltpu.SemaphoreType.DMA((U_b, 2)),
     ]
 
-    def sentry(st_hbm, us_blk, var_blk, row, sem):
+    def sentry(st_hbm, out_hbm, row, sem, orow, osem):
         base = pl.program_id(0) * U_b
         skernel([st_hbm.at[base + u] for u in range(U_b)],
-                us_blk.at[jnp.int32(0)], var_blk.at[jnp.int32(0)],
-                row, sem)
+                [out_hbm.at[base + u] for u in range(U_b)],
+                row, sem, orow, osem)
 
-    us_s, var_s = pl.pallas_call(
+    out = pl.pallas_call(
         sentry,
         grid=(ng_b,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, U_b, T + 1, d, _SUB, _LANE),
-                         lambda b: (b, 0, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_b, T + 1, _SUB, _LANE),
-                         lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ng_b, U_b, T + 1, d, _SUB, _LANE), dtype),
-            jax.ShapeDtypeStruct((ng_b, U_b, T + 1, _SUB, _LANE), dtype),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb, T + 1, d + 1, _SUB, _LANE), dtype
+        ),
         scratch_shapes=sscratch,
     )(st)
 
-    us = us_s.reshape(nb, T + 1, d, _SUB, _LANE).transpose(
-        1, 2, 0, 3, 4
-    ).reshape(T + 1, d, B)
-    var = var_s.reshape(nb, T + 1, _SUB, _LANE).transpose(
-        1, 0, 2, 3
-    ).reshape(T + 1, B)
+    us = out[:, :, :d].transpose(1, 2, 0, 3, 4).reshape(T + 1, d, B)
+    var = out[:, :, d].transpose(1, 0, 2, 3).reshape(T + 1, B)
     # XLA epilogue: the backward emits raw preconditioned variances so its
     # hot loop carries no per-step sqrt; one fused sqrt over (T+1, B)
     stds = pinv0 * jnp.sqrt(jnp.maximum(var, 0.0))
