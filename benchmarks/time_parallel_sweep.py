@@ -4,14 +4,20 @@ Sweeps N on FitzHugh-Nagumo over t in [0, 20], fixed uniform grid, f32,
 and compares wall-clock AND solution accuracy for:
 
 - the sequential dense XLA scan (`solve_fixed`, D x D square-root filter
-  + smoother) — the accuracy reference for `max_diff`,
+  + smoother),
 - the sequential EK0-Kronecker scan (`solve_fixed_kron`),
 - the iterated square-root time-parallel solver (`solve_fixed_parallel`)
   with the fused Pallas scan kernels (`block="pallas"`) and with the XLA
   blocked hybrid scan (`block=auto`), both warm-started.
 
-Every par row records `max_diff` against the sequential solve of the
-same algorithm, and an explicit ``diverged`` flag when max_diff > 1e-2:
+Every row (par AND seq) records `max_diff` against the CPU f64
+sequential solve of the same discrete problem — the exactness oracle —
+and an explicit ``diverged`` flag when max_diff > 1e-2. (Round 4
+compared par to the CHIP F32 sequential solve; round 5's attribution
+experiment, `benchmarks/tp_accuracy.json`, showed that at N=16384 that
+baseline itself drifts 0.035 from the oracle while the log-depth
+parallel scan sits at 1.1e-4 — the flag was measuring the baseline.)
+History:
 round-3 found the round-2 sweep had benchmarked UNCONVERGED solutions
 (cold-start iterations=4 leaves O(1) error at every N; the GLOBAL EK0
 Picard iteration outright diverges with more sweeps on this span).
@@ -93,13 +99,39 @@ def main(quick=False, cached=False):
         u_seq1 = odf.solve_fixed(prob, odf.EK1(order=3), ts=ts).u
         u_seq0 = odf.solve_fixed(prob, odf.EK0(order=3), ts=ts).u
 
+        # f64 accuracy oracle (CPU): the SAME discrete problem, exactly.
+        # Round-5 finding (benchmarks/tp_accuracy.json): at N=16384 the
+        # chip f32 SEQUENTIAL solve drifts 0.035 from this oracle while
+        # the log-depth parallel scan sits at 1.1e-4 — comparing par to
+        # the f32 sequential solve (the round-4 metric) flagged the
+        # parallel solver for the baseline's own serial f32
+        # accumulation. max_diff is therefore measured against the f64
+        # oracle for par AND seq rows alike.
+        import numpy as np
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu), jax.enable_x64(True):
+            ts64 = jnp.linspace(0.0, 20.0, N + 1, dtype=jnp.float64)
+            prob64 = odf.remake(prob, u0=prob.u0.astype(jnp.float64),
+                                p=prob.p.astype(jnp.float64))
+            ref1 = np.asarray(odf.solve_fixed(prob64, odf.EK1(order=3),
+                                              ts=ts64).u)
+            ref0 = np.asarray(odf.solve_fixed(prob64, odf.EK0(order=3),
+                                              ts=ts64).u)
+
+        def _md(u, ref):
+            return float(np.max(np.abs(np.asarray(u, np.float64) - ref)))
+
+        row["seq_ek1_max_diff"] = _md(u_seq1, ref1)
+        row["seq_ek0_max_diff"] = _md(u_seq0, ref0)
+
         # fused Pallas scan kernels (warm-started Newton, 2 sweeps)
         par_pl = lambda: solve_fixed_parallel(
             prob, odf.EK1(order=3), ts=ts, iterations=2, block="pallas")[0]
         t, c = _time(par_pl, iters=5)
         row["par_ek1_pallas_s"] = t
         row["par_ek1_pallas_compile_s"] = c
-        row["par_ek1_pallas_max_diff"] = float(jnp.abs(u_seq1 - par_pl()).max())
+        row["par_ek1_pallas_max_diff"] = _md(par_pl(), ref1)
 
         # XLA blocked hybrid scan (same math, no kernels). Default warm
         # start (adaptive coarse kernel): round-3 pinned warm_start=8,
@@ -114,7 +146,7 @@ def main(quick=False, cached=False):
         t, c = _time(par_xla, iters=3)
         row["par_ek1_xla_s"] = t
         row["par_ek1_xla_compile_s"] = c
-        row["par_ek1_xla_max_diff"] = float(jnp.abs(u_seq1 - par_xla()).max())
+        row["par_ek1_xla_max_diff"] = _md(par_xla(), ref1)
 
         # EK0, GLOBAL Picard: kept for the honest divergence record
         par_e0 = lambda: solve_fixed_parallel(
@@ -122,7 +154,7 @@ def main(quick=False, cached=False):
         t, c = _time(par_e0, iters=5)
         row["par_ek0_pallas_s"] = t
         row["par_ek0_pallas_compile_s"] = c
-        row["par_ek0_pallas_max_diff"] = float(jnp.abs(u_seq0 - par_e0()).max())
+        row["par_ek0_pallas_max_diff"] = _md(par_e0(), ref0)
 
         # EK0, WINDOWED (round-4): N/W-step windows run sequentially,
         # the Picard iteration contracts inside each — the convergent
@@ -139,9 +171,7 @@ def main(quick=False, cached=False):
         row["par_ek0_windowed_s"] = t
         row["par_ek0_windowed_windows"] = W
         row["par_ek0_windowed_compile_s"] = c
-        row["par_ek0_windowed_max_diff"] = float(
-            jnp.abs(u_seq0 - par_e0w()).max()
-        )
+        row["par_ek0_windowed_max_diff"] = _md(par_e0w(), ref0)
         row["speedup_ek0_windowed_vs_seq_kron"] = (
             row["seq_kron_ek0_s"] / row["par_ek0_windowed_s"]
         )
@@ -150,7 +180,8 @@ def main(quick=False, cached=False):
             row["seq_dense_ek1_s"] / row["par_ek1_pallas_s"]
         )
         # explicit divergence flags: a timed row either converged
-        # (max_diff < 1e-2 vs its sequential reference) or says so
+        # (max_diff < 1e-2 vs the f64 oracle of the same discrete
+        # problem) or says so — seq rows carry the flag too
         for kk in list(row):
             if kk.endswith("_max_diff"):
                 md = row[kk]

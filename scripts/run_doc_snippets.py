@@ -27,6 +27,9 @@ os.environ.setdefault("MPLBACKEND", "Agg")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# f64, like the unit suite: the docs demonstrate tight-tolerance configs
+# (e.g. the ROBER DAE at 1e-8) that are f64 territory on any hardware
+jax.config.update("jax_enable_x64", True)
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
