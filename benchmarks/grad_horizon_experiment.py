@@ -85,6 +85,41 @@ def filter_ll(f, m0, C0, p, t0, dt, T, q, d, dtype, stop_calib):
     return ll
 
 
+def filter_ll_steps(f, m0, C0, p, t0, dt, T, q, d, dtype, stop_calib):
+    """Per-step ll increments (T,) — same recursion as `filter_ll` but
+    emitting each step's contribution, for the accumulation-attribution
+    test (round 5)."""
+    At, Qt, pinv0, pinv1, _ = _ek0_consts(q, dt, np.dtype(dtype))
+    At = jnp.asarray(At, dtype)
+    Qt = jnp.asarray(Qt, dtype)
+    hq = pinv1 * pinv1 * Qt[1, 1]
+
+    def step(carry, k):
+        m, C = carry
+        t_new = jnp.asarray(t0, dtype) + dt * (k.astype(dtype) + 1.0)
+        mp = At @ m
+        u_pred = pinv0 * mp[0]
+        du = f(u_pred, p, t_new)
+        z = pinv1 * mp[1] - du
+        zz = jnp.sum(z * z)
+        s2 = zz / (d * hq)
+        if stop_calib:
+            s2 = jax.lax.stop_gradient(s2)
+        Cp = At @ C @ At.T + s2 * Qt
+        s = pinv1 * pinv1 * Cp[1, 1]
+        kg = pinv1 * Cp[:, 1] / s
+        m_new = mp - kg[:, None] * z[None, :]
+        C_new = Cp - jnp.outer(kg, kg) * s
+        ll_inc = -0.5 * (
+            zz / s
+            + d * (jnp.log(jnp.maximum(s, 1e-30)) + float(np.log(2 * np.pi)))
+        )
+        return (m_new, C_new), ll_inc
+
+    _, lls = jax.lax.scan(step, (m0, C0), jnp.arange(T))
+    return lls
+
+
 def filter_data_ll(f, m0, C0, p, t0, dt, T, q, d, dtype, stop_calib,
                    obs_every, ys, r2):
     """Replica with noisy data updates every ``obs_every`` steps: the
@@ -229,6 +264,65 @@ def main():
         rows.append(res)
         print(res, flush=True)
     out["sweep"] = rows
+
+    # ------------------------------------------------------------------
+    # Round-5 attribution (VERDICT task 5): is the residual-ll stop-calib
+    # gradient's ~0.3 relative error at depth ACCUMULATION error (fixable
+    # by Kahan/two-float sums in the backward kernels) or FORWARD-NOISE
+    # error (the f32 innovations sit at the solver-accuracy floor, so the
+    # f32 objective itself differs)? Decisive bound: compute each step's
+    # gradient piece separately in f32 and sum the pieces in f64 — the
+    # best result ANY compensated accumulation of the backward could
+    # achieve. If that sum still carries the ~0.3 error, accumulation is
+    # exonerated and the error is in the per-step f32 pieces themselves.
+    # ------------------------------------------------------------------
+    T = 500
+    dt = 20.0 / 500
+    attrib = {"T": T}
+    piece = {}
+    for dtype in (jnp.float64, jnp.float32):
+        p = jnp.asarray(prob.p, dtype)
+        u0 = prob.u0.astype(dtype)
+        m0 = jnp.stack(taylor_coefficients(prob.f, u0, p, 0.0, q)).astype(dtype)
+        j = np.arange(q + 1, dtype=np.float64)
+        pvec = jnp.asarray(dt ** (j - q - 0.5), dtype)
+        m0p = pvec[:, None] * m0
+        C0 = jnp.zeros((q + 1, q + 1), dtype)
+
+        def lls_of_p(p_):
+            return filter_ll_steps(
+                prob.f, m0p, C0, p_, 0.0, jnp.asarray(dt, dtype),
+                T, q, d, dtype, True,
+            )
+
+        # (T, n_params) per-step gradient pieces: T one-hot VJPs
+        Jp = np.asarray(jax.jacrev(lls_of_p)(p), np.float64)
+        piece[str(np.dtype(dtype))] = Jp
+    g64 = piece["float64"].sum(axis=0)
+    g32_f64sum = piece["float32"].sum(axis=0)          # exact f64 summation
+    # per-step piece error (forward-noise content, no accumulation at all)
+    piece_rel = float(
+        np.abs(piece["float32"] - piece["float64"]).max()
+        / max(np.abs(piece["float64"]).max(), 1e-30)
+    )
+    attrib["rel_err_f32_pieces_f64_sum"] = float(
+        np.abs(g32_f64sum - g64).max() / max(np.abs(g64).max(), 1e-30)
+    )
+    attrib["rel_err_worst_single_piece"] = piece_rel
+    attrib["conclusion"] = (
+        "accumulation-exonerated: summing the f32 per-step gradient "
+        "pieces in exact f64 arithmetic (the ceiling for any "
+        "Kahan/two-float backward) retains the error, and individual "
+        "f32 pieces already carry it — the f32 residual-ll OBJECTIVE "
+        "differs (innovations at the solver-accuracy floor); use the "
+        "data likelihood (calib_grad=False) for long-horizon inference"
+        if attrib["rel_err_f32_pieces_f64_sum"] > 1e-2 else
+        "accumulation-dominated: f64 summation of f32 pieces fixes the "
+        "gradient — compensated accumulation in the backward kernels "
+        "would recover it"
+    )
+    out["attribution"] = attrib
+    print(attrib, flush=True)
     with open("benchmarks/grad_horizon.json", "w") as fh:
         json.dump(out, fh, indent=2)
     print("wrote benchmarks/grad_horizon.json")
