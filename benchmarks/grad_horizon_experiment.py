@@ -310,12 +310,15 @@ def main():
     )
     attrib["rel_err_worst_single_piece"] = piece_rel
     attrib["conclusion"] = (
-        "accumulation-exonerated: summing the f32 per-step gradient "
-        "pieces in exact f64 arithmetic (the ceiling for any "
-        "Kahan/two-float backward) retains the error, and individual "
-        "f32 pieces already carry it — the f32 residual-ll OBJECTIVE "
-        "differs (innovations at the solver-accuracy floor); use the "
-        "data likelihood (calib_grad=False) for long-horizon inference"
+        "accumulation-exonerated: with the summation done in EXACT f64 "
+        "arithmetic (the ceiling for any Kahan/two-float backward) the "
+        "error is unchanged. The per-step f32 pieces are individually "
+        "percent-level wrong (innovations at the solver-accuracy floor) "
+        "and the true pieces cancel heavily in the sum, so uncancelled "
+        "piece error dominates — forward noise + cancellation, not "
+        "summation roundoff; no compensated accumulation can recover "
+        "it. Long-horizon inference uses the data likelihood "
+        "(calib_grad=False)"
         if attrib["rel_err_f32_pieces_f64_sum"] > 1e-2 else
         "accumulation-dominated: f64 summation of f32 pieces fixes the "
         "gradient — compensated accumulation in the backward kernels "
