@@ -120,6 +120,42 @@ def main():
             entry["runtime_sorted_s"] = t_s
             entry["solves_per_sec_sorted"] = B / t_s
             entry["sorted_recovery_x"] = t_un / t_s
+
+            # ---- ORACLE-sorted binning (round 5, VERDICT task 4): sort
+            # lanes by their TRUE total attempt count from the unsorted
+            # run — the information ceiling for ANY sorting/compaction
+            # predictor (a two-phase relaunch scheme can at best match
+            # it, minus relaunch cost). If even this loses, the thread
+            # closes: no lane-permutation scheme can beat the unsorted
+            # kernel on this workload. ----
+            attempts = np.asarray(nacc + nrej)
+            order = jnp.asarray(np.argsort(attempts))
+            inv = jnp.argsort(order)
+
+            def run_oracle(u0s_, ps_, order_, inv_):
+                out_ = run(u0s_[order_], ps_[order_])
+                return tuple(
+                    a[..., inv_] if a.ndim > 1 else a[inv_] for a in out_
+                )
+
+            run_oracle_j = jax.jit(run_oracle)
+            t_o = _time(run_oracle_j, u0s, ps, order, inv)
+            entry["runtime_oracle_sorted_s"] = t_o
+            entry["solves_per_sec_oracle_sorted"] = B / t_o
+            entry["oracle_sorted_recovery_x"] = t_un / t_o
+            # predicted ceiling if block cost were the per-block MAX of
+            # total attempts (free-running lanes), sorted vs unsorted
+            att_sorted = np.sort(attempts)
+            blocks = att_sorted.reshape(8, -1)
+            entry["oracle_block_max_sum_sorted"] = float(
+                blocks.max(axis=1).sum()
+            )
+            rng = np.random.default_rng(0)
+            sh = attempts.copy()
+            rng.shuffle(sh)
+            entry["block_max_sum_unsorted"] = float(
+                sh.reshape(8, -1).max(axis=1).sum()
+            )
         results["configs"][name] = entry
         print(name, json.dumps(entry), flush=True)
 
