@@ -57,14 +57,29 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def count_step_flops(fn, *args, **kwargs):
+def count_step_flops(fn, *args, n_members=1024, **kwargs):
     """FLOPs per MEMBER per invocation of a lane-level step function.
 
-    Each jaxpr primitive on an (..., 8, 128) operand is one VPU lane op
-    = 1 flop per member (1024 members per block). Weighted by _COSTS;
-    unknown primitives count 1. Recurses into pjit/custom_jvp calls.
+    Each jaxpr primitive is weighted by _COSTS (unknown = 1) times the
+    VPU slot count of its output — the element count padded to (8, 128)
+    vreg granularity, so a (70, 70) PDE-grid op costs 72 x 128 = 9216
+    slots (padding included: the kernel pays it) and an (8, 128)
+    ensemble op costs 1024. The total divides by ``n_members`` (1024
+    members per ensemble block; grid points for the Kron-grid kernels).
+    Recurses into pjit/custom_jvp calls.
     """
     jaxpr = jax.make_jaxpr(lambda *a: fn(*a, **kwargs))(*args)
+
+    def slots(aval):
+        sh = getattr(aval, "shape", ())
+        if len(sh) == 0:
+            return 1024          # a scalar op still occupies a vreg slot
+        sub = sh[-2] if len(sh) >= 2 else 1
+        lan = sh[-1]
+        lead = 1
+        for s_ in sh[:-2]:
+            lead *= s_
+        return lead * (-(-sub // 8) * 8) * (-(-lan // 128) * 128)
 
     def walk(jxp):
         total = 0
@@ -82,10 +97,10 @@ def count_step_flops(fn, *args, **kwargs):
                 w = 2
             elif w is None:
                 w = 1
-            total += w
+            total += w * slots(eqn.outvars[0].aval)
         return total
 
-    return walk(jaxpr.jaxpr)
+    return walk(jaxpr.jaxpr) / n_members
 
 
 # --------------------------------------------------------------------------
@@ -257,6 +272,72 @@ def kernel_models():
         m, C, p_block,
     )
 
+    # round-5 pair: forward = collapsed step w/o outputs (want_outputs
+    # False), backward = the extracted RTS step — count BOTH real jaxprs
+    step_f = functools.partial(
+        _ek0_step_lists, f=prob.f, At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1,
+        d=d, nq=nq, collapsed=True, want_outputs=False,
+    )
+    f_pair_fwd = count_step_flops(
+        lambda m_, C_, p_: step_f(m_, C_, p_, jnp.float32(0.1)),
+        m, C, p_block,
+    )
+    bx = 1
+    At_st = [[float(At[i, l]) for l in range(nq)] for i in range(nq)]
+    QLt = np.linalg.cholesky(Qt)
+    QL_st = [[float(QLt[i, l]) for l in range(nq)] for i in range(nq)]
+    Q_st = [[float(Qt[i, l]) for l in range(nq)] for i in range(nq)]
+    C_z = [[0.0 if (i == bx or l == bx) else lane for l in range(nq)]
+           for i in range(nq)]
+    Ls_z = [[0.0 if (i == bx or l == bx or l > i) else lane
+             for l in range(nq)] for i in range(nq)]
+    f_pair_bwd = count_step_flops(
+        lambda mf, ms, s2: pk._ek0_pair_bwd_step_lists(
+            mf, C_z, ms, Ls_z, s2,
+            At_st=At_st, QL_st=QL_st, Q_st=Q_st, nq=nq, d=d, bx=bx,
+        ),
+        m, m, lane,
+    )
+
+    # Kron-grid PDE kernels (Brusselator 2-D config of run_all.py):
+    # ns = 2 species on a 70 x 70 grid; one "member" = one grid POINT.
+    # Counted on full (70, 70) operands, normalized per point — this
+    # bakes the (70, 70) -> (72, 128) vreg padding in (the kernel pays
+    # it), so frac_of_vpu_peak is the honest utilization incl. padding.
+    from odefilters.models.library import (
+        brusselator_2d_f_grids,
+        brusselator_2d_jd_grids,
+    )
+
+    NG = 70
+    npts = NG * NG
+    f_grids = brusselator_2d_f_grids(NG)
+    jd_grids = brusselator_2d_jd_grids(NG)
+    bp = jnp.float32(0.1)   # traced diffusivity (f_grids reads p directly)
+    gm = [[jnp.zeros((NG, NG), jnp.float32) for _ in range(2)]
+          for _ in range(nq)]
+    gC = [[jnp.zeros((), jnp.float32) for _ in range(nq)]
+          for _ in range(nq)]
+    kstep0 = functools.partial(
+        pk._ek0_kron_step_lists, f_grids=f_grids, p=bp,
+        At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1, d=2 * npts, ns=2, nq=nq,
+    )
+    f_kron0 = count_step_flops(
+        lambda m_, C_: kstep0(m_, C_, jnp.float32(0.1)), gm, gC,
+        n_members=npts,
+    )
+    gC2 = [[[jnp.zeros((NG, NG), jnp.float32) for _ in range(2)]
+            for _ in range(nq)] for _ in range(nq)]
+    kstep1 = functools.partial(
+        pk._ek1d_kron_step_lists, f_grids=f_grids, jd_grids=jd_grids,
+        p=bp,
+        At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1, d=2 * npts, ns=2, nq=nq,
+    )
+    f_kron1 = count_step_flops(
+        lambda m_, C_: kstep1(m_, C_, jnp.float32(0.1)), gm, gC2,
+        n_members=npts,
+    )
+
     results = json.load(open("benchmarks/results.json"))
     ad_steps = results.get("ensemble_8192_pallas_adaptive", {}).get(
         "mean_accepted_steps", 218.0)
@@ -270,13 +351,28 @@ def kernel_models():
             "bytes_per_member_step": 4 * (d + 1),
             "throughput_key": ("filter_steps_per_sec", 1.0),
         },
-        # filter+smoother: fwd streams (m | C) rows = nq*(d+nq) floats out,
-        # bwd streams them back in + writes us/std; 2 passes of step-like
-        # work (smoother combine ~ same order as the filter step)
+        # round-5 filter+smoother pair: collapsed plain-cov forward
+        # streaming (mean | active-triangle | s2) = V floats out, the
+        # backward reads them back and emits (us | var) rows
         "ensemble_8192_pallas_filter_smoother": {
-            "flops_per_member_step": 2 * f_ek0,
-            "bytes_per_member_step": 4 * (2 * nq * (d + nq) + d + 1),
+            "flops_per_member_step": f_pair_fwd + f_pair_bwd,
+            "bytes_per_member_step": 4 * (
+                2 * (nq * d + (nq - 1) * nq // 2 + 1) + d + 1
+            ),
             "throughput_key": ("solves_per_sec", 500.0),
+        },
+        # Kron-grid PDE kernels: one member = one grid point; flops are
+        # per-point per-step from the real step jaxprs on (70, 70)
+        # operands (vreg padding to (72, 128) included in the count)
+        "brusselator_2d_pallas": {
+            "flops_per_member_step": f_kron0,
+            "bytes_per_member_step": 4 * 3 * 20 / 1000.0,  # 50 saves
+            "throughput_key": ("steps_per_sec", 4900.0),
+        },
+        "brusselator_2d_pallas_ek1d": {
+            "flops_per_member_step": f_kron1,
+            "bytes_per_member_step": 4 * 3 * 20 / 1000.0,
+            "throughput_key": ("steps_per_sec", 4900.0),
         },
         # adaptive: per ACCEPTED member-step; the filter-step flop count is
         # a LOWER bound on the real work (each attempt re-preconditions at

@@ -3933,6 +3933,114 @@ def _ek0_pair_fwd_kernel(
             ).wait()
 
 
+def _ek0_pair_bwd_step_lists(
+    m_f, C_f, m_s, Ls, s2, *,
+    At_st, QL_st, Q_st, nq: int, d: int, bx: int,
+):
+    """One backward RTS step of the fused pair on list-of-lanes state —
+    the pure math between the kernel's DMA read and its output emit,
+    extracted so the roofline counts ITS jaxpr. All structural zeros
+    (row/col ``bx`` of C_f, G, b1, GQ, b3, Ls) are Python-float 0.0 at
+    trace time. Returns ``(m_new, Ls_new)``."""
+    sq_s2 = jnp.sqrt(s2)
+    L_f = _list_cholesky_rs(C_f, nq, zero_row=bx)
+    # tmp = At C_f (column bx statically zero); the smoother's
+    # cross term M = C_f At^T is tmp transposed — free
+    tmp = [
+        [
+            _sreduce([_smul(At_st[i][a], C_f[a][c])
+                      for a in range(nq)])
+            for c in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    # predicted covariance, plain symmetric (upper + aliased
+    # mirror); full-rank — Q restores the measured direction
+    Cp = [[None] * nq for _ in range(nq)]
+    for i in range(nq):
+        for l in range(i, nq):
+            Cp[i][l] = _sreduce(
+                [_smul(tmp[i][c], At_st[l][c]) for c in range(nq)]
+                + [_smul(s2, Q_st[i][l])]
+            )
+            Cp[l][i] = Cp[i][l]
+    Lp, Lp_inv = _list_chol_inv(Cp, nq)
+    # gain rows (row bx structurally zero: smoothed == filtered
+    # at the measured block)
+    G = [[0.0] * nq for _ in range(nq)]
+    for i in range(nq):
+        if i == bx:
+            continue
+        G[i] = _list_cho_solve_inv(
+            Lp, Lp_inv, [tmp[l][i] for l in range(nq)], nq
+        )
+    mp = [
+        [
+            _sreduce([_smul(At_st[i][l], m_f[l][j])
+                      for l in range(nq)])
+            for j in range(d)
+        ]
+        for i in range(nq)
+    ]
+    dm = [[m_s[i][j] - mp[i][j] for j in range(d)]
+          for i in range(nq)]
+    m_new = []
+    for i in range(nq):
+        rowm = []
+        for j in range(d):
+            inc = _sreduce(
+                [_smul(G[i][l], dm[l][j]) for l in range(nq)]
+            )
+            rowm.append(
+                m_f[i][j] if _is0(inc) else m_f[i][j] + inc
+            )
+        m_new.append(rowm)
+    GA = [
+        [
+            _sreduce([_smul(G[i][a], At_st[a][l])
+                      for a in range(nq)])
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    IGA = [
+        [(1.0 - GA[i][l]) if i == l else
+         (0.0 - GA[i][l] if not _is0(GA[i][l]) else 0.0)
+         for l in range(nq)]
+        for i in range(nq)
+    ]
+    b1 = [
+        [
+            _sreduce([_smul(IGA[i][a], L_f[a][l])
+                      for a in range(nq)])
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    GQ = [
+        [
+            _smul(sq_s2,
+                  _sreduce([_smul(G[i][a], QL_st[a][l])
+                            for a in range(nq)]))
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    b3 = [
+        [
+            _sreduce([_smul(G[i][a], Ls[a][l])
+                      for a in range(nq)])
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    Ls_new = _list_mgs_tril(
+        _t_rows(b1, nq) + _t_rows(GQ, nq) + _t_rows(b3, nq),
+        3 * nq, nq, rsqrt=True,
+    )
+    return m_new, Ls_new
+
+
 def _ek0_pair_bwd_kernel(
     st_refs, out_refs, row, sem, orow, osem,
     *, At, QLt, Qt, pinv0, T, d, nq, bx, U,
@@ -4035,101 +4143,9 @@ def _ek0_pair_bwd_kernel(
                 start_load(u, k - jnp.ones((), k.dtype))
 
             s2 = s2s[u]               # diffusion of interval k -> k+1
-            sq_s2 = jnp.sqrt(s2)
-            L_f = _list_cholesky_rs(C_f, nq, zero_row=bx)
-            # tmp = At C_f (column bx statically zero); the smoother's
-            # cross term M = C_f At^T is tmp transposed — free
-            tmp = [
-                [
-                    _sreduce([_smul(At_st[i][a], C_f[a][c])
-                              for a in range(nq)])
-                    for c in range(nq)
-                ]
-                for i in range(nq)
-            ]
-            # predicted covariance, plain symmetric (upper + aliased
-            # mirror); full-rank — Q restores the measured direction
-            Cp = [[None] * nq for _ in range(nq)]
-            for i in range(nq):
-                for l in range(i, nq):
-                    Cp[i][l] = _sreduce(
-                        [_smul(tmp[i][c], At_st[l][c]) for c in range(nq)]
-                        + [_smul(s2, Q_st[i][l])]
-                    )
-                    Cp[l][i] = Cp[i][l]
-            Lp, Lp_inv = _list_chol_inv(Cp, nq)
-            # gain rows (row bx structurally zero: smoothed == filtered
-            # at the measured block)
-            G = [[0.0] * nq for _ in range(nq)]
-            for i in range(nq):
-                if i == bx:
-                    continue
-                G[i] = _list_cho_solve_inv(
-                    Lp, Lp_inv, [tmp[l][i] for l in range(nq)], nq
-                )
-            mp = [
-                [
-                    _sreduce([_smul(At_st[i][l], m_f[l][j])
-                              for l in range(nq)])
-                    for j in range(d)
-                ]
-                for i in range(nq)
-            ]
-            dm = [[m_s[i][j] - mp[i][j] for j in range(d)]
-                  for i in range(nq)]
-            m_new = []
-            for i in range(nq):
-                rowm = []
-                for j in range(d):
-                    inc = _sreduce(
-                        [_smul(G[i][l], dm[l][j]) for l in range(nq)]
-                    )
-                    rowm.append(
-                        m_f[i][j] if _is0(inc) else m_f[i][j] + inc
-                    )
-                m_new.append(rowm)
-            GA = [
-                [
-                    _sreduce([_smul(G[i][a], At_st[a][l])
-                              for a in range(nq)])
-                    for l in range(nq)
-                ]
-                for i in range(nq)
-            ]
-            IGA = [
-                [(1.0 - GA[i][l]) if i == l else
-                 (0.0 - GA[i][l] if not _is0(GA[i][l]) else 0.0)
-                 for l in range(nq)]
-                for i in range(nq)
-            ]
-            b1 = [
-                [
-                    _sreduce([_smul(IGA[i][a], L_f[a][l])
-                              for a in range(nq)])
-                    for l in range(nq)
-                ]
-                for i in range(nq)
-            ]
-            GQ = [
-                [
-                    _smul(sq_s2,
-                          _sreduce([_smul(G[i][a], QL_st[a][l])
-                                    for a in range(nq)]))
-                    for l in range(nq)
-                ]
-                for i in range(nq)
-            ]
-            b3 = [
-                [
-                    _sreduce([_smul(G[i][a], Ls[a][l])
-                              for a in range(nq)])
-                    for l in range(nq)
-                ]
-                for i in range(nq)
-            ]
-            Ls_new = _list_mgs_tril(
-                _t_rows(b1, nq) + _t_rows(GQ, nq) + _t_rows(b3, nq),
-                3 * nq, nq, rsqrt=True,
+            m_new, Ls_new = _ek0_pair_bwd_step_lists(
+                m_f, C_f, m_s, Ls, s2,
+                At_st=At_st, QL_st=QL_st, Q_st=Q_st, nq=nq, d=d, bx=bx,
             )
             v00 = Ls_new[0][0]
             emit(u, k, [pinv0 * m_new[0][j] for j in range(d)], v00 * v00)
@@ -6376,6 +6392,74 @@ def solve_ensemble_ek0_adaptive_pallas(
 # ==========================================================================
 
 
+def _ek0_kron_step_lists(
+    m, C, t_new, *,
+    f_grids: Callable, p, At: np.ndarray, Qt: np.ndarray,
+    pinv0: float, pinv1: float, d: int, ns: int, nq: int,
+):
+    """One EK0 step on the Kronecker PDE-grid state: per-species (N, M)
+    grid means, ONE shared scalar (q+1, q+1) covariance (the EK0 update
+    preserves the Kronecker structure exactly — `ops/kron.py` recursion).
+    Extracted from the kernel body so the roofline can count ITS jaxpr
+    (`benchmarks/roofline.py`). Returns (m_new, C_new, ll_inc)."""
+    hq = pinv1 * pinv1 * Qt[1, 1]
+    mp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [At[i, l] * m[l][s] for l in range(nq)
+                 if At[i, l] != 0.0],
+            )
+            for s in range(ns)
+        ]
+        for i in range(nq)
+    ]
+    u_pred = [pinv0 * mp[0][s] for s in range(ns)]
+    du = f_grids(u_pred, p, t_new)
+    z = [pinv1 * mp[1][s] - du[s] for s in range(ns)]
+    zz = functools.reduce(
+        lambda a, b: a + b, [jnp.sum(zs * zs) for zs in z]
+    )
+    s2 = zz / (d * hq)
+    tmp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [At[i, a] * C[a][b] for a in range(nq)
+                 if At[i, a] != 0.0],
+            )
+            for b in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    Cp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [tmp[i][b] * At[l, b] for b in range(nq)
+                 if At[l, b] != 0.0],
+            )
+            + Qt[i, l] * s2
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    sc = pinv1 * pinv1 * Cp[1][1]
+    inv_s = 1.0 / sc
+    kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
+    m_new = [
+        [mp[i][s] - kg[i] * z[s] for s in range(ns)] for i in range(nq)
+    ]
+    C_new = [
+        [Cp[i][l] - kg[i] * kg[l] * sc for l in range(nq)]
+        for i in range(nq)
+    ]
+    ll_inc = -0.5 * (
+        zz * inv_s + d * (jnp.log(jnp.maximum(sc, 1e-30)) + _LOG_2PI)
+    )
+    return m_new, C_new, ll_inc
+
+
 def _ek0_kron_grid_kernel(
     m0_ref, us_ref, var_ref, ll_ref, *,
     f_grids: Callable, p, At: np.ndarray, Qt: np.ndarray,
@@ -6387,11 +6471,15 @@ def _ek0_kron_grid_kernel(
     sdtype = m_init[0][0].dtype
     zero = jnp.zeros((), sdtype)
     C_init = [[zero for _ in range(nq)] for _ in range(nq)]
-    hq = pinv1 * pinv1 * Qt[1, 1]
 
     for s in range(ns):
         us_ref[0, s] = pinv0 * m_init[0][s]
     var_ref[0] = jnp.zeros_like(var_ref[0])
+
+    step = functools.partial(
+        _ek0_kron_step_lists, f_grids=f_grids, p=p, At=At, Qt=Qt,
+        pinv0=pinv0, pinv1=pinv1, d=d, ns=ns, nq=nq,
+    )
 
     def body(k, carry):
         m, C, ll = carry
@@ -6399,60 +6487,8 @@ def _ek0_kron_grid_kernel(
         t_new = jnp.asarray(t0, sdtype) + jnp.asarray(dt, sdtype) * (
             k.astype(sdtype) + jnp.asarray(1.0, sdtype)
         )
-        mp = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [At[i, l] * m[l][s] for l in range(nq)
-                     if At[i, l] != 0.0],
-                )
-                for s in range(ns)
-            ]
-            for i in range(nq)
-        ]
-        u_pred = [pinv0 * mp[0][s] for s in range(ns)]
-        du = f_grids(u_pred, p, t_new)
-        z = [pinv1 * mp[1][s] - du[s] for s in range(ns)]
-        zz = functools.reduce(
-            lambda a, b: a + b, [jnp.sum(zs * zs) for zs in z]
-        )
-        s2 = zz / (d * hq)
-        tmp = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [At[i, a] * C[a][b] for a in range(nq)
-                     if At[i, a] != 0.0],
-                )
-                for b in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        Cp = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [tmp[i][b] * At[l, b] for b in range(nq)
-                     if At[l, b] != 0.0],
-                )
-                + Qt[i, l] * s2
-                for l in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        sc = pinv1 * pinv1 * Cp[1][1]
-        inv_s = 1.0 / sc
-        kg = [pinv1 * Cp[i][1] * inv_s for i in range(nq)]
-        m_new = [
-            [mp[i][s] - kg[i] * z[s] for s in range(ns)] for i in range(nq)
-        ]
-        C_new = [
-            [Cp[i][l] - kg[i] * kg[l] * sc for l in range(nq)]
-            for i in range(nq)
-        ]
-        ll = ll - 0.5 * (
-            zz * inv_s + d * (jnp.log(jnp.maximum(sc, 1e-30)) + _LOG_2PI)
-        )
+        m_new, C_new, ll_inc = step(m, C, t_new)
+        ll = ll + ll_inc
 
         @pl.when(jax.lax.rem(k1, jnp.int32(save_every)) == 0)
         def _():
@@ -6635,6 +6671,115 @@ def solve_brusselator_ek1d_pallas(
 # ==========================================================================
 
 
+def _ek1d_kron_step_lists(
+    m, C, t_new, *,
+    f_grids: Callable, jd_grids: Callable, p, At: np.ndarray,
+    Qt: np.ndarray, pinv0: float, pinv1: float, d: int, ns: int, nq: int,
+):
+    """One DiagonalEK1 step on per-point covariance fields: C[i][l][s]
+    is an (N, M) grid; the per-point measurement row is
+    ``h = pinv1 e1 - J_ss pinv0 e0`` with the in-kernel Jacobian diagonal.
+    Extracted for roofline jaxpr counting.
+
+    Round-5 lever: the per-point covariance is SYMMETRIC — Cp and C_new
+    compute the upper triangle only with the lower mirror ALIASED (zero
+    compute), and the carried C keeps the aliasing, cutting the
+    dominant per-point covariance FLOPs ~2x (the same collapsed-row/
+    symmetric algebra as the fast ensemble filter, minus the structural
+    zero row: DiagonalEK1's collapsed direction is per-point
+    J-dependent, so no row is STATICALLY zero). Returns
+    (m_new, C_new, ll_inc)."""
+    q00, q01, q11 = float(Qt[0, 0]), float(Qt[0, 1]), float(Qt[1, 1])
+    mp = [
+        [
+            functools.reduce(
+                lambda a, b: a + b,
+                [At[i, l] * m[l][s] for l in range(nq)
+                 if At[i, l] != 0.0],
+            )
+            for s in range(ns)
+        ]
+        for i in range(nq)
+    ]
+    u_pred = [pinv0 * mp[0][s] for s in range(ns)]
+    du = f_grids(u_pred, p, t_new)
+    jd = jd_grids(u_pred, p, t_new)          # ns per-point diagonals
+    z = [pinv1 * mp[1][s] - du[s] for s in range(ns)]
+    # per-point h = pinv1 e1 - jd pinv0 e0;  hq = h^T Qt h per point
+    a = [jd[s] * pinv0 for s in range(ns)]
+    hq = [
+        pinv1 * pinv1 * q11 - 2.0 * pinv1 * q01 * a[s]
+        + q00 * a[s] * a[s]
+        for s in range(ns)
+    ]
+    # dynamic scalar diffusion: sigma^2 = mean_i z_i^2 / hq_i
+    zz_hq = functools.reduce(
+        lambda x, y: x + y, [jnp.sum(z[s] * z[s] / hq[s])
+                             for s in range(ns)]
+    )
+    s2 = zz_hq / d
+    # Cp = At C At^T + s2 Qt per point: upper triangle + aliased mirror
+    tmp = [
+        [
+            [
+                functools.reduce(
+                    lambda x, y: x + y,
+                    [At[i, a_] * C[a_][b][s] for a_ in range(nq)
+                     if At[i, a_] != 0.0],
+                )
+                for s in range(ns)
+            ]
+            for b in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    Cp = [[None] * nq for _ in range(nq)]
+    for i in range(nq):
+        for l in range(i, nq):
+            Cp[i][l] = [
+                functools.reduce(
+                    lambda x, y: x + y,
+                    [tmp[i][b][s] * At[l, b] for b in range(nq)
+                     if At[l, b] != 0.0],
+                )
+                + Qt[i, l] * s2
+                for s in range(ns)
+            ]
+            Cp[l][i] = Cp[i][l]              # aliased mirror (no compute)
+    # hC[i] = h^T Cp e_i, sc = h^T Cp h, gain = hC / sc (per point)
+    hC = [
+        [pinv1 * Cp[1][i][s] - a[s] * Cp[0][i][s] for s in range(ns)]
+        for i in range(nq)
+    ]
+    sc = [pinv1 * hC[1][s] - a[s] * hC[0][s] for s in range(ns)]
+    inv_s = [1.0 / sc[s] for s in range(ns)]
+    kg = [[hC[i][s] * inv_s[s] for s in range(ns)] for i in range(nq)]
+    m_new = [
+        [mp[i][s] - kg[i][s] * z[s] for s in range(ns)]
+        for i in range(nq)
+    ]
+    C_new = [[None] * nq for _ in range(nq)]
+    for i in range(nq):
+        for l in range(i, nq):
+            C_new[i][l] = [
+                Cp[i][l][s] - kg[i][s] * kg[l][s] * sc[s]
+                for s in range(ns)
+            ]
+            C_new[l][i] = C_new[i][l]        # aliased mirror
+    ll_inc = -0.5 * (
+        functools.reduce(
+            lambda x, y: x + y,
+            [
+                jnp.sum(z[s] * z[s] * inv_s[s])
+                + jnp.sum(jnp.log(jnp.maximum(sc[s], 1e-30)))
+                for s in range(ns)
+            ],
+        )
+        + d * _LOG_2PI
+    )
+    return m_new, C_new, ll_inc
+
+
 def _ek1d_kron_grid_kernel(
     m0_ref, us_ref, var_ref, ll_ref, *,
     f_grids: Callable, jd_grids: Callable, p, At: np.ndarray,
@@ -6648,11 +6793,15 @@ def _ek1d_kron_grid_kernel(
     # per-point covariance fields, C[i][l][s] an (N, M) grid
     C_init = [[[zero_g for _ in range(ns)] for _ in range(nq)]
               for _ in range(nq)]
-    q00, q01, q11 = float(Qt[0, 0]), float(Qt[0, 1]), float(Qt[1, 1])
 
     for s in range(ns):
         us_ref[0, s] = pinv0 * m_init[0][s]
     var_ref[0] = jnp.zeros_like(var_ref[0])
+
+    step = functools.partial(
+        _ek1d_kron_step_lists, f_grids=f_grids, jd_grids=jd_grids, p=p,
+        At=At, Qt=Qt, pinv0=pinv0, pinv1=pinv1, d=d, ns=ns, nq=nq,
+    )
 
     def body(k, carry):
         m, C, ll = carry
@@ -6660,95 +6809,8 @@ def _ek1d_kron_grid_kernel(
         t_new = jnp.asarray(t0, sdtype) + jnp.asarray(dt, sdtype) * (
             k.astype(sdtype) + jnp.asarray(1.0, sdtype)
         )
-        mp = [
-            [
-                functools.reduce(
-                    lambda a, b: a + b,
-                    [At[i, l] * m[l][s] for l in range(nq)
-                     if At[i, l] != 0.0],
-                )
-                for s in range(ns)
-            ]
-            for i in range(nq)
-        ]
-        u_pred = [pinv0 * mp[0][s] for s in range(ns)]
-        du = f_grids(u_pred, p, t_new)
-        jd = jd_grids(u_pred, p, t_new)          # ns per-point diagonals
-        z = [pinv1 * mp[1][s] - du[s] for s in range(ns)]
-        # per-point h = pinv1 e1 - jd pinv0 e0;  hq = h^T Qt h per point
-        a = [jd[s] * pinv0 for s in range(ns)]
-        hq = [
-            pinv1 * pinv1 * q11 - 2.0 * pinv1 * q01 * a[s]
-            + q00 * a[s] * a[s]
-            for s in range(ns)
-        ]
-        # dynamic scalar diffusion: sigma^2 = mean_i z_i^2 / hq_i
-        zz_hq = functools.reduce(
-            lambda x, y: x + y, [jnp.sum(z[s] * z[s] / hq[s])
-                                 for s in range(ns)]
-        )
-        s2 = zz_hq / d
-        # Cp = At C At^T + s2 Qt, per point
-        tmp = [
-            [
-                [
-                    functools.reduce(
-                        lambda x, y: x + y,
-                        [At[i, a_] * C[a_][b][s] for a_ in range(nq)
-                         if At[i, a_] != 0.0],
-                    )
-                    for s in range(ns)
-                ]
-                for b in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        Cp = [
-            [
-                [
-                    functools.reduce(
-                        lambda x, y: x + y,
-                        [tmp[i][b][s] * At[l, b] for b in range(nq)
-                         if At[l, b] != 0.0],
-                    )
-                    + Qt[i, l] * s2
-                    for s in range(ns)
-                ]
-                for l in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        # hC[i] = h^T Cp e_i, sc = h^T Cp h, gain = hC / sc (per point)
-        hC = [
-            [pinv1 * Cp[1][i][s] - a[s] * Cp[0][i][s] for s in range(ns)]
-            for i in range(nq)
-        ]
-        sc = [pinv1 * hC[1][s] - a[s] * hC[0][s] for s in range(ns)]
-        inv_s = [1.0 / sc[s] for s in range(ns)]
-        kg = [[hC[i][s] * inv_s[s] for s in range(ns)] for i in range(nq)]
-        m_new = [
-            [mp[i][s] - kg[i][s] * z[s] for s in range(ns)]
-            for i in range(nq)
-        ]
-        C_new = [
-            [
-                [Cp[i][l][s] - kg[i][s] * kg[l][s] * sc[s]
-                 for s in range(ns)]
-                for l in range(nq)
-            ]
-            for i in range(nq)
-        ]
-        ll = ll - 0.5 * (
-            functools.reduce(
-                lambda x, y: x + y,
-                [
-                    jnp.sum(z[s] * z[s] * inv_s[s])
-                    + jnp.sum(jnp.log(jnp.maximum(sc[s], 1e-30)))
-                    for s in range(ns)
-                ],
-            )
-            + d * _LOG_2PI
-        )
+        m_new, C_new, ll_inc = step(m, C, t_new)
+        ll = ll + ll_inc
 
         @pl.when(jax.lax.rem(k1, jnp.int32(save_every)) == 0)
         def _():
