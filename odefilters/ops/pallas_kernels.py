@@ -4041,9 +4041,124 @@ def _ek0_pair_bwd_step_lists(
     return m_new, Ls_new
 
 
+def _ek0_pair_bwd_step_plain(
+    m_f, C_f, m_s, Cs, s2, *,
+    At_st, QL_st, Q_st, nq: int, d: int, bx: int,
+):
+    """Plain-covariance Joseph backward step: carries the SMOOTHED
+    covariance plain (active upper triangle, aliased mirror) instead of
+    a factor, via the additive Joseph form
+
+        C_s' = (I-GA) C_f (I-GA)^T + s2 (G QL)(G QL)^T + G C_s G^T
+
+    — three PSD terms, no subtraction, so it is f32-stable in the
+    preconditioned frame (unlike the classical C_f + G(C_s - Cp)G^T,
+    which is the plain form CLAUDE.md forbids). Eliminates the sqrt
+    path's per-step chol(C_f), sqrt(s2) and the 3(q+1)-row MGS — ~7
+    transcendentals and ~40 mult-adds per member-step on an issue-bound
+    kernel. Validated == the sqrt backward to ~1e-12 (f64 interpret)
+    and ~1e-6 relative stds on-chip f32 (pair_plain experiment).
+    Returns ``(m_new, Cs_new)`` with row/col ``bx`` statically zero."""
+    tmp = [
+        [
+            _sreduce([_smul(At_st[i][a], C_f[a][c])
+                      for a in range(nq)])
+            for c in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    Cp = [[None] * nq for _ in range(nq)]
+    for i in range(nq):
+        for l in range(i, nq):
+            Cp[i][l] = _sreduce(
+                [_smul(tmp[i][c], At_st[l][c]) for c in range(nq)]
+                + [_smul(s2, Q_st[i][l])]
+            )
+            Cp[l][i] = Cp[i][l]
+    Lp, Lp_inv = _list_chol_inv(Cp, nq)
+    G = [[0.0] * nq for _ in range(nq)]
+    for i in range(nq):
+        if i == bx:
+            continue
+        G[i] = _list_cho_solve_inv(
+            Lp, Lp_inv, [tmp[l][i] for l in range(nq)], nq
+        )
+    mp = [
+        [
+            _sreduce([_smul(At_st[i][l], m_f[l][j])
+                      for l in range(nq)])
+            for j in range(d)
+        ]
+        for i in range(nq)
+    ]
+    dm = [[m_s[i][j] - mp[i][j] for j in range(d)]
+          for i in range(nq)]
+    m_new = []
+    for i in range(nq):
+        rowm = []
+        for j in range(d):
+            inc = _sreduce(
+                [_smul(G[i][l], dm[l][j]) for l in range(nq)]
+            )
+            rowm.append(m_f[i][j] if _is0(inc) else m_f[i][j] + inc)
+        m_new.append(rowm)
+    GA = [
+        [
+            _sreduce([_smul(G[i][a], At_st[a][l]) for a in range(nq)])
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    IGA = [
+        [(1.0 - GA[i][l]) if i == l else
+         (0.0 - GA[i][l] if not _is0(GA[i][l]) else 0.0)
+         for l in range(nq)]
+        for i in range(nq)
+    ]
+    # B1 = (I-GA) C_f (I-GA)^T  (C_f row/col bx statically zero)
+    Y = [
+        [
+            _sreduce([_smul(IGA[i][a], C_f[a][c]) for a in range(nq)])
+            for c in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    # GL = G QL  (QL lower triangular static)
+    GL = [
+        [
+            _sreduce([_smul(G[i][a], QL_st[a][l]) for a in range(nq)])
+            for l in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    # V = G C_s  (C_s row/col bx statically zero)
+    V = [
+        [
+            _sreduce([_smul(G[i][a], Cs[a][c]) for a in range(nq)])
+            for c in range(nq)
+        ]
+        for i in range(nq)
+    ]
+    Cs_new = [[0.0] * nq for _ in range(nq)]
+    for i in range(nq):
+        if i == bx:
+            continue
+        for l in range(i, nq):
+            if l == bx:
+                continue
+            b1 = _sreduce([_smul(Y[i][c], IGA[l][c]) for c in range(nq)])
+            b2 = _smul(s2, _sreduce(
+                [_smul(GL[i][k], GL[l][k]) for k in range(nq)]
+            ))
+            b3 = _sreduce([_smul(V[i][c], G[l][c]) for c in range(nq)])
+            Cs_new[i][l] = _sreduce([b1, b2, b3])
+            Cs_new[l][i] = Cs_new[i][l]          # aliased mirror
+    return m_new, Cs_new
+
+
 def _ek0_pair_bwd_kernel(
     st_refs, out_refs, row, sem, orow, osem,
-    *, At, QLt, Qt, pinv0, T, d, nq, bx, U,
+    *, At, QLt, Qt, pinv0, T, d, nq, bx, U, plain: bool = False,
 ):
     """Backward square-root RTS pass over the packed plain-covariance
     stream, ``U`` chains interleaved (`smoothing.jl:12-27` semantics on
@@ -4120,11 +4235,18 @@ def _ek0_pair_bwd_kernel(
         m_T, C_T, s2_T = wait_and_read(u, jnp.int32(T))
         if T >= 1:
             start_load(u, jnp.int32(T - 1))   # prefetch first backward row
-        L_T = _list_cholesky_rs(C_T, nq, zero_row=bx)
-        emit(u, jnp.int32(T), [pinv0 * m_T[0][j] for j in range(d)],
-             L_T[0][0] * L_T[0][0])
+        if plain:
+            # plain-Joseph carry: the smoothed covariance at t1 IS the
+            # filtered one — no factorization needed at all
+            emit(u, jnp.int32(T), [pinv0 * m_T[0][j] for j in range(d)],
+                 C_T[0][0])
+            Lacts.append([C_T[i][l] for (i, l) in triu])
+        else:
+            L_T = _list_cholesky_rs(C_T, nq, zero_row=bx)
+            emit(u, jnp.int32(T), [pinv0 * m_T[0][j] for j in range(d)],
+                 L_T[0][0] * L_T[0][0])
+            Lacts.append([L_T[i][l] for (i, l) in tril_act])
         ms.append(m_T)
-        Lacts.append([L_T[i][l] for (i, l) in tril_act])
         s2s.append(s2_T)
 
     def body(step, carry):
@@ -4133,9 +4255,6 @@ def _ek0_pair_bwd_kernel(
         ms2, Lacts2, s2s2 = [], [], []
         for u in range(U):
             m_s = ms[u]
-            Ls = [[0.0] * nq for _ in range(nq)]
-            for (i, l), v in zip(tril_act, Lacts[u]):
-                Ls[i][l] = v
             m_f, C_f, s2_k = wait_and_read(u, k)
 
             @pl.when(k >= 1)
@@ -4143,14 +4262,33 @@ def _ek0_pair_bwd_kernel(
                 start_load(u, k - jnp.ones((), k.dtype))
 
             s2 = s2s[u]               # diffusion of interval k -> k+1
-            m_new, Ls_new = _ek0_pair_bwd_step_lists(
-                m_f, C_f, m_s, Ls, s2,
-                At_st=At_st, QL_st=QL_st, Q_st=Q_st, nq=nq, d=d, bx=bx,
-            )
-            v00 = Ls_new[0][0]
-            emit(u, k, [pinv0 * m_new[0][j] for j in range(d)], v00 * v00)
+            if plain:
+                Cs = [[0.0] * nq for _ in range(nq)]
+                for (i, l), v in zip(triu, Lacts[u]):
+                    Cs[i][l] = v
+                    Cs[l][i] = Cs[i][l]
+                m_new, Cs_new = _ek0_pair_bwd_step_plain(
+                    m_f, C_f, m_s, Cs, s2,
+                    At_st=At_st, QL_st=QL_st, Q_st=Q_st,
+                    nq=nq, d=d, bx=bx,
+                )
+                emit(u, k, [pinv0 * m_new[0][j] for j in range(d)],
+                     Cs_new[0][0])
+                Lacts2.append([Cs_new[i][l] for (i, l) in triu])
+            else:
+                Ls = [[0.0] * nq for _ in range(nq)]
+                for (i, l), v in zip(tril_act, Lacts[u]):
+                    Ls[i][l] = v
+                m_new, Ls_new = _ek0_pair_bwd_step_lists(
+                    m_f, C_f, m_s, Ls, s2,
+                    At_st=At_st, QL_st=QL_st, Q_st=Q_st,
+                    nq=nq, d=d, bx=bx,
+                )
+                v00 = Ls_new[0][0]
+                emit(u, k, [pinv0 * m_new[0][j] for j in range(d)],
+                     v00 * v00)
+                Lacts2.append([Ls_new[i][l] for (i, l) in tril_act])
             ms2.append(m_new)
-            Lacts2.append([Ls_new[i][l] for (i, l) in tril_act])
             s2s2.append(s2_k)
         return ms2, Lacts2, s2s2
 
@@ -4245,6 +4383,7 @@ def ek0_fused_solve(
     mesh=None,
     second_order: bool = False,
     diffusion: str = "dynamic",
+    _bwd_plain: bool = False,
 ):
     """Complete fused probabilistic solve: filter + RTS smoother kernels.
 
@@ -4284,6 +4423,7 @@ def ek0_fused_solve(
             lambda m0_, ps_: ek0_fused_solve(
                 f, m0_, ps_, t0, dt, n_steps, q, prior=prior,
                 second_order=second_order, diffusion=diffusion,
+                _bwd_plain=_bwd_plain,
             ),
             (m0, ps), in_axes=(2, 1), out_axes=out_axes,
         )
@@ -4382,7 +4522,7 @@ def ek0_fused_solve(
     skernel = functools.partial(
         _ek0_pair_bwd_kernel, At=At_np.astype(fdtype),
         QLt=QLt_np.astype(fdtype), Qt=Qt_np.astype(fdtype),
-        pinv0=pinv0, T=T, d=d, nq=nq, bx=bx, U=U_b,
+        pinv0=pinv0, T=T, d=d, nq=nq, bx=bx, U=U_b, plain=_bwd_plain,
     )
     sscratch = [
         pltpu.VMEM((U_b, 2, V, _SUB, _LANE), dtype),

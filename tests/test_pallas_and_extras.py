@@ -474,6 +474,44 @@ def test_pallas_ek0_smooth_matches_kron_interpret():
     np.testing.assert_allclose(stds[:, 0], sk.u_std[:, 0], rtol=1e-7, atol=1e-12)
 
 
+def test_pallas_ek0_smooth_plain_backward_interpret():
+    """The plain-Joseph backward (`_ek0_pair_bwd_step_plain`: smoothed
+    covariance carried PLAIN through the additive three-term Joseph form,
+    no per-step chol/MGS) equals the square-root backward and the
+    Kronecker path. The additive form is PSD-stable — distinct from the
+    subtractive plain RTS that CLAUDE.md forbids."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from odefilters.kronsolve import solve_fixed_kron
+    from odefilters.ops import pallas_kernels as pk
+    from odefilters.taylor import taylor_coefficients
+
+    prob = odf.models.fitzhugh_nagumo(tspan=(0.0, 2.0))
+    B, T, q = pk.BLOCK, 30, 3
+    u0s = jnp.broadcast_to(prob.u0, (B, 2)).astype(jnp.float64)
+    ps = jnp.broadcast_to(prob.p, (B, 4)).astype(jnp.float64)
+    m0 = jax.vmap(
+        lambda u0, p: jnp.stack(taylor_coefficients(prob.f, u0, p, 0.0, q))
+    )(u0s, ps).transpose(1, 2, 0)
+    dt = 2.0 / T
+    with pltpu.force_tpu_interpret_mode():
+        us_p, std_p = pk.ek0_fused_solve(
+            prob.f, m0, ps.T, 0.0, dt, T, q, _bwd_plain=True
+        )
+        us_s, std_s = pk.ek0_fused_solve(prob.f, m0, ps.T, 0.0, dt, T, q)
+    # plain == sqrt backward (identical gains; only the covariance
+    # bookkeeping differs)
+    np.testing.assert_allclose(us_p, us_s, rtol=0, atol=1e-13)
+    np.testing.assert_allclose(std_p, std_s, rtol=1e-10, atol=1e-15)
+    sk = solve_fixed_kron(
+        prob, odf.EK0(order=3), ts=jnp.linspace(0.0, 2.0, T + 1)
+    )
+    np.testing.assert_allclose(us_p[:, :, 0], sk.u, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        std_p[:, 0], sk.u_std[:, 0], rtol=1e-7, atol=1e-12
+    )
+
+
 def test_grad_through_adaptive_solver():
     """Forward-mode gradients through the *adaptive* while-loop solver vs
     the analytic sensitivity (golden value) and the fixed-grid reverse-mode
