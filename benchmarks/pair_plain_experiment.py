@@ -70,7 +70,10 @@ def main():
     for name, plain in (("sqrt", False), ("plain", True)):
         fn = jax.jit(lambda m0_, ps_, _p=plain: pk.ek0_fused_solve(
             prob.f, m0_, ps_, t0f, dt, T, q, _bwd_plain=_p))
-        t = _timeit(fn, m0, ps.T)
+        timed = jax.jit(
+            lambda m0_, ps_, _f=fn: _f(m0_, ps_)[0][-1].sum()
+        )
+        t = _timeit(timed, m0, ps.T)
         us, stds = fn(m0, ps.T)
         runs[name] = {"pair_s": t, "solves_per_s": B / t}
         outs[name] = (np.asarray(us, np.float64), np.asarray(stds, np.float64))

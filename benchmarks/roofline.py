@@ -291,10 +291,13 @@ def kernel_models():
            for i in range(nq)]
     Ls_z = [[0.0 if (i == bx or l == bx or l > i) else lane
              for l in range(nq)] for i in range(nq)]
+    # the shipped default backward is the plain-Joseph step (round-5)
+    Cs_z = C_z
     f_pair_bwd = count_step_flops(
-        lambda mf, ms, s2: pk._ek0_pair_bwd_step_lists(
-            mf, C_z, ms, Ls_z, s2,
+        lambda mf, ms, s2: pk._ek0_pair_bwd_step_plain(
+            mf, C_z, ms, Cs_z, s2,
             At_st=At_st, QL_st=QL_st, Q_st=Q_st, nq=nq, d=d, bx=bx,
+            jitter=1e-6,
         ),
         m, m, lane,
     )

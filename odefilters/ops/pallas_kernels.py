@@ -3516,10 +3516,17 @@ def _list_cho_solve_inv(L, invd, b, nq):
 
 
 def _list_cholesky_rs(Cm, nq, zero_row=None):
-    """`_list_cholesky` (structural zero row/column) with rsqrt pivots and
-    multiplicative inverses. Bit-level different from the sqrt+divide
-    original, so the adaptive kernels keep that one — their equivalence
-    tests pin exact accept sequences."""
+    """`_list_cholesky` (structural zero row/column) with rsqrt pivots,
+    multiplicative inverses, and NUMERICALLY-dependent rows zeroed: a
+    pivot below ``eps_rel`` of its own diagonal (the previous columns
+    explain the row to f32 roundoff — or the f32 committed covariance is
+    slightly indefinite there, observed on perturbed FHN lanes at
+    collapsed-diffusion steps) would otherwise put 1/sqrt(roundoff)
+    junk in the factor row; such a row carries ~zero residual variance
+    and is zeroed instead. Bit-level different from the sqrt+divide
+    `_list_cholesky`, so the adaptive kernels keep that one — their
+    equivalence tests pin exact accept sequences."""
+    eps_rel = 1e-7
     L = [[0.0] * nq for _ in range(nq)]
     for i in range(nq):
         if i == zero_row:
@@ -3527,7 +3534,11 @@ def _list_cholesky_rs(Cm, nq, zero_row=None):
         s = Cm[i][i]
         for k in range(i):
             s = s - _smul(L[i][k], L[i][k])
-        inv = jax.lax.rsqrt(jnp.maximum(s, 1e-30))
+        thresh = eps_rel * Cm[i][i] + 1e-35
+        inv = jnp.where(
+            s > thresh, jax.lax.rsqrt(jnp.maximum(s, 1e-30)),
+            jnp.zeros_like(s),
+        )
         L[i][i] = s * inv
         for l in range(i + 1, nq):
             if l == zero_row:
@@ -3935,7 +3946,7 @@ def _ek0_pair_fwd_kernel(
 
 def _ek0_pair_bwd_step_lists(
     m_f, C_f, m_s, Ls, s2, *,
-    At_st, QL_st, Q_st, nq: int, d: int, bx: int,
+    At_st, QL_st, Q_st, nq: int, d: int, bx: int, jitter: float = 0.0,
 ):
     """One backward RTS step of the fused pair on list-of-lanes state —
     the pure math between the kernel's DMA read and its output emit,
@@ -3964,6 +3975,10 @@ def _ek0_pair_bwd_step_lists(
                 + [_smul(s2, Q_st[i][l])]
             )
             Cp[l][i] = Cp[i][l]
+    if jitter:
+        # relative diagonal jitter — see `_ek0_pair_bwd_step_plain`
+        for i in range(nq):
+            Cp[i][i] = Cp[i][i] * (1.0 + jitter)
     Lp, Lp_inv = _list_chol_inv(Cp, nq)
     # gain rows (row bx structurally zero: smoothed == filtered
     # at the measured block)
@@ -4043,7 +4058,7 @@ def _ek0_pair_bwd_step_lists(
 
 def _ek0_pair_bwd_step_plain(
     m_f, C_f, m_s, Cs, s2, *,
-    At_st, QL_st, Q_st, nq: int, d: int, bx: int,
+    At_st, QL_st, Q_st, nq: int, d: int, bx: int, jitter: float = 0.0,
 ):
     """Plain-covariance Joseph backward step: carries the SMOOTHED
     covariance plain (active upper triangle, aliased mirror) instead of
@@ -4075,6 +4090,18 @@ def _ek0_pair_bwd_step_plain(
                 + [_smul(s2, Q_st[i][l])]
             )
             Cp[l][i] = Cp[i][l]
+    if jitter:
+        # relative diagonal jitter (the `smooth_solution(jitter=)` house
+        # mechanism, CLAUDE.md): at steps whose dynamic diffusion
+        # collapses (s2 ~ 1e-10 observed on perturbed FHN lanes), the
+        # PLAIN Cp's conditioning is the factor form's SQUARED — its
+        # f32 eigmin goes (slightly) negative and an unjittered solve
+        # amplifies roundoff without bound (NaN stds; measured). The
+        # jitter bounds the gain's amplification at ~1/jitter and
+        # perturbs results by <= ~jitter relatively — dtype-scaled by
+        # the caller (1e-6 in f32, 1e-12 in f64).
+        for i in range(nq):
+            Cp[i][i] = Cp[i][i] * (1.0 + jitter)
     Lp, Lp_inv = _list_chol_inv(Cp, nq)
     G = [[0.0] * nq for _ in range(nq)]
     for i in range(nq):
@@ -4159,6 +4186,7 @@ def _ek0_pair_bwd_step_plain(
 def _ek0_pair_bwd_kernel(
     st_refs, out_refs, row, sem, orow, osem,
     *, At, QLt, Qt, pinv0, T, d, nq, bx, U, plain: bool = False,
+    jitter: float = 0.0,
 ):
     """Backward square-root RTS pass over the packed plain-covariance
     stream, ``U`` chains interleaved (`smoothing.jl:12-27` semantics on
@@ -4270,7 +4298,7 @@ def _ek0_pair_bwd_kernel(
                 m_new, Cs_new = _ek0_pair_bwd_step_plain(
                     m_f, C_f, m_s, Cs, s2,
                     At_st=At_st, QL_st=QL_st, Q_st=Q_st,
-                    nq=nq, d=d, bx=bx,
+                    nq=nq, d=d, bx=bx, jitter=jitter,
                 )
                 emit(u, k, [pinv0 * m_new[0][j] for j in range(d)],
                      Cs_new[0][0])
@@ -4282,7 +4310,7 @@ def _ek0_pair_bwd_kernel(
                 m_new, Ls_new = _ek0_pair_bwd_step_lists(
                     m_f, C_f, m_s, Ls, s2,
                     At_st=At_st, QL_st=QL_st, Q_st=Q_st,
-                    nq=nq, d=d, bx=bx,
+                    nq=nq, d=d, bx=bx, jitter=jitter,
                 )
                 v00 = Ls_new[0][0]
                 emit(u, k, [pinv0 * m_new[0][j] for j in range(d)],
@@ -4383,7 +4411,7 @@ def ek0_fused_solve(
     mesh=None,
     second_order: bool = False,
     diffusion: str = "dynamic",
-    _bwd_plain: bool = False,
+    _bwd_plain: bool = True,
 ):
     """Complete fused probabilistic solve: filter + RTS smoother kernels.
 
@@ -4519,10 +4547,19 @@ def ek0_fused_solve(
             scratch_shapes=fscratch,
         )(m0_g, ps_g)
 
+    # relative Cp jitter for the backward solves: at collapsed-diffusion
+    # steps the plain predicted covariance's f32 conditioning is the
+    # factor form's squared and its eigmin dips (slightly) negative —
+    # the jitter bounds the smoothing gain's amplification (the
+    # `smooth_solution(jitter=)` mechanism; measured NaN stds without
+    # it on perturbed-FHN chip lanes). 1e-12 in f64 keeps the interpret
+    # equivalence tests at their exactness tolerances.
+    jit_eps = 1e-6 if fdtype == np.float32 else 1e-12
     skernel = functools.partial(
         _ek0_pair_bwd_kernel, At=At_np.astype(fdtype),
         QLt=QLt_np.astype(fdtype), Qt=Qt_np.astype(fdtype),
         pinv0=pinv0, T=T, d=d, nq=nq, bx=bx, U=U_b, plain=_bwd_plain,
+        jitter=jit_eps,
     )
     sscratch = [
         pltpu.VMEM((U_b, 2, V, _SUB, _LANE), dtype),
