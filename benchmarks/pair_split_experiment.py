@@ -4,7 +4,7 @@ The round-4 roofline flags the pair as issue/latency-bound at ~15% of VPU
 peak while the filter-only kernel runs at 62%. This experiment times, at
 the bench.py headline config (8192-member FHN, T=500, q=3, f32):
 
-  - the pair's FORWARD kernel alone (`_ek0_filter_states_kernel` via a
+  - the pair's FORWARD kernel alone (`_ek0_pair_fwd_kernel` via a
     replicated pallas_call),
   - the full pair (`ek0_fused_solve`),
   - the filter-only fast kernel (`ek0_fused_filter`) for reference,
